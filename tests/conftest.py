@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors how the rebuild is validated without multi-chip hardware: JAX's
+``xla_force_host_platform_device_count`` simulates the device mesh on CPU
+(the reference has no multi-node tests at all — SURVEY.md §4).
+
+Note: pytest plugins (jaxtyping) import jax before this file runs, so
+setting ``JAX_PLATFORMS`` via the environment is too late — we update the
+jax config directly, which is allowed until the first backend access.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,181 @@
+"""Device-resident scan-cube data model.
+
+TPU-native equivalent of the reference's per-stage dataset
+``ScannedImageFilterData`` (``/root/reference/src/data_container.rs:109-195``).
+
+Differences from the reference, by design:
+
+* The cube is a **pytree of device arrays** with static shape metadata, so a
+  whole pipeline stage is one jit-compiled pure function ``cube -> cube``.
+* The reference caches ``realfft`` r2c/c2r plans inside the struct
+  (``data_container.rs:127-129``); under XLA the FFT is compiled into the
+  stage program, so plans disappear entirely.
+* Pixel selection and ROI polygons are *host* concerns (they only affect
+  which 1-D slices get published for plotting, see
+  ``data_thread.rs:853-903``), so they live outside the pytree to keep jit
+  signatures stable. ROI reductions are computed from host-built masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree, honoring ``static`` metadata."""
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("static", False):
+            meta_fields.append(f.name)
+        else:
+            data_fields.append(f.name)
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+
+
+def static_field(**kwargs):
+    kwargs.setdefault("metadata", {})
+    kwargs["metadata"] = dict(kwargs["metadata"], static=True)
+    return dataclasses.field(**kwargs)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScanCube:
+    """One pipeline stage's dataset: time- and frequency-domain views.
+
+    Axis convention follows the reference: ``data[x, y, t]`` where axis 0 is
+    the scan's x/width direction (``data_container.rs:136-137``).
+
+    Array fields (pytree leaves, device arrays):
+
+    time            (T,)    f32  time axis in ps
+    data            (X,Y,T) f32  time-domain traces
+    freq            (F,)    f32  frequency axis in THz, F = T//2 + 1
+    fft             (X,Y,F) c64  complex spectra (``rfft`` of ``data``)
+    amplitudes      (X,Y,F) f32  |fft|
+    phases          (X,Y,F) f32  unwrapped angle(fft)
+    avg_data        (T,)    f32  mean time trace (only when avg-in-Fourier)
+    avg_fft         (F,)    c64  pixel-mean complex spectrum
+    avg_signal_fft  (F,)    f32  pixel-mean amplitude
+    avg_phase_fft   (F,)    f32  pixel-mean unwrapped phase
+
+    Static fields (pytree aux data — changing them recompiles stages):
+
+    dx, dy          spatial steps in mm (None when unknown)
+    x_min, y_min    scan origin in mm (None when unknown)
+    scaling         current spatial downscale factor (1 = native)
+    """
+
+    time: jax.Array
+    data: jax.Array
+    freq: jax.Array
+    fft: jax.Array
+    amplitudes: jax.Array
+    phases: jax.Array
+    avg_data: jax.Array
+    avg_fft: jax.Array
+    avg_signal_fft: jax.Array
+    avg_phase_fft: jax.Array
+
+    dx: Optional[float] = static_field(default=None)
+    dy: Optional[float] = static_field(default=None)
+    x_min: Optional[float] = static_field(default=None)
+    y_min: Optional[float] = static_field(default=None)
+    scaling: int = static_field(default=1)
+
+    # ---- derived shape helpers (static) ----
+    @property
+    def width(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def n_time(self) -> int:
+        return self.data.shape[2]
+
+    @property
+    def n_freq(self) -> int:
+        return self.fft.shape[2]
+
+    def replace(self, **kwargs) -> "ScanCube":
+        return dataclasses.replace(self, **kwargs)
+
+
+def frequency_axis(time: jnp.ndarray) -> jnp.ndarray:
+    """Frequency axis the way the reference computes it at load time.
+
+    ``io.rs:614-621``: ``freq[i] = i / (time[-1] - time[0])`` for
+    ``i in 0..T//2+1`` — i.e. bins of ``1/range`` THz (time in ps). Note this
+    is ``i/range`` and *not* ``i/(T*dt)``; we reproduce it exactly.
+    """
+    n = time.shape[0]
+    rng = time[-1] - time[0]
+    return jnp.arange(n // 2 + 1, dtype=jnp.float32) / rng
+
+
+def make_cube(
+    time,
+    data,
+    dx: Optional[float] = None,
+    dy: Optional[float] = None,
+    x_min: Optional[float] = None,
+    y_min: Optional[float] = None,
+    scaling: int = 1,
+) -> ScanCube:
+    """Build a ScanCube from a time axis and a raw (X, Y, T) array.
+
+    Spectral fields are allocated zero-filled at the load-time frequency
+    resolution, mirroring ``io.rs:626-628``.
+    """
+    time = jnp.asarray(time, jnp.float32)
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim != 3:
+        raise ValueError(f"data must be (X, Y, T), got shape {data.shape}")
+    freq = frequency_axis(time)
+    nf = freq.shape[0]
+    x, y = data.shape[0], data.shape[1]
+    return ScanCube(
+        time=time,
+        data=data,
+        freq=freq,
+        fft=jnp.zeros((x, y, nf), jnp.complex64),
+        amplitudes=jnp.zeros((x, y, nf), jnp.float32),
+        phases=jnp.zeros((x, y, nf), jnp.float32),
+        avg_data=jnp.zeros((time.shape[0],), jnp.float32),
+        avg_fft=jnp.zeros((nf,), jnp.complex64),
+        avg_signal_fft=jnp.zeros((nf,), jnp.float32),
+        avg_phase_fft=jnp.zeros((nf,), jnp.float32),
+        dx=dx,
+        dy=dy,
+        x_min=x_min,
+        y_min=y_min,
+        scaling=scaling,
+    )
+
+
+@partial(jax.jit, donate_argnums=0)
+def _subtract_dc(data: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel DC-offset subtraction using sample 0 (``io.rs:578-585``)."""
+    return data - data[:, :, :1]
+
+
+def load_preprocess(data: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Load-time preprocessing: DC-offset removal + intensity image.
+
+    Mirrors ``io.rs:576-595``: subtract each pixel's first sample, then
+    ``img[x, y] = sum_t data[x, y, t]^2``.
+    """
+    data = _subtract_dc(jnp.asarray(data, jnp.float32))
+    img = jnp.sum(data * data, axis=-1)
+    return data, img

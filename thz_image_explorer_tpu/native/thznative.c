@@ -1,0 +1,191 @@
+/* Host-side native runtime kernels.
+ *
+ * The reference app's host runtime is native Rust throughout; this C library
+ * is the TPU rebuild's equivalent for the host-side pieces that are not
+ * array math on the device:
+ *
+ *   - polygon ROI rasterization with the exact semantics of
+ *     `point_in_polygon` / `average_polygon_roi`
+ *     (/root/reference/src/math_tools.rs:574-661), including the unsigned
+ *     wrap-around arithmetic of the Rust release build (usize subtraction
+ *     wraps mod 2^64), the x/y swap and the vertical flip;
+ *   - a latest-wins bounded(1) command slot mirroring `send_latest_config`
+ *     (/root/reference/src/config.rs:41-51) for GUI->pipeline command flow.
+ *
+ * Exposed via ctypes (no pybind11 in this environment).
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+#include <stdlib.h>
+#include <pthread.h>
+
+/* ------------------------------------------------------------------ */
+/* Polygon rasterization                                               */
+/* ------------------------------------------------------------------ */
+
+/* Ray-cast with u64 wrap-around semantics (math_tools.rs:574-591). */
+static int point_in_polygon_u64(uint64_t x, uint64_t y,
+                                const uint64_t *px, const uint64_t *py,
+                                size_t n) {
+    int inside = 0;
+    size_t j = n - 1;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t xi = px[i], yi = py[i];
+        uint64_t xj = px[j], yj = py[j];
+        int cond = (yi > y) != (yj > y);
+        if (cond) {
+            /* all ops wrap mod 2^64 like Rust release-mode usize */
+            uint64_t den = yj - yi;           /* nonzero given cond */
+            uint64_t t = (xj - xi) * (y - yi);
+            uint64_t val = t / den + xi;
+            if (x < val)
+                inside = !inside;
+        }
+        j = i;
+    }
+    return inside;
+}
+
+/* Build the ROI mask over the data grid.
+ *
+ * data is indexed data[y_size - y - 1, x, z] by the reference
+ * (math_tools.rs:640-648) where y_size = shape[0], x_size = shape[1];
+ * mask has shape (shape0, shape1) in C order and mask[y_size-1-y, x] = 1
+ * for every (x, y) inside the polygon's clamped bounding box that passes
+ * the ray cast. Polygon coords are pre-divided by `scaling` (integer div,
+ * math_tools.rs:604-609).
+ *
+ * Returns the number of pixels set.
+ */
+long long thz_polygon_mask(const uint64_t *poly_x_in, const uint64_t *poly_y_in,
+                           size_t n_vertices, size_t shape0, size_t shape1,
+                           uint64_t scaling, uint8_t *mask /* shape0*shape1 */) {
+    if (n_vertices == 0 || shape0 == 0 || shape1 == 0 || scaling == 0)
+        return 0;
+
+    uint64_t *px = (uint64_t *)malloc(n_vertices * sizeof(uint64_t));
+    uint64_t *py = (uint64_t *)malloc(n_vertices * sizeof(uint64_t));
+    if (!px || !py) { free(px); free(py); return -1; }
+    for (size_t i = 0; i < n_vertices; i++) {
+        px[i] = poly_x_in[i] / scaling;
+        py[i] = poly_y_in[i] / scaling;
+    }
+
+    uint64_t x_size = shape1;  /* x/y swapped (math_tools.rs:611-614) */
+    uint64_t y_size = shape0;
+
+    uint64_t x_min = UINT64_MAX, y_min = UINT64_MAX, x_max = 0, y_max = 0;
+    for (size_t i = 0; i < n_vertices; i++) {
+        if (px[i] < x_min) x_min = px[i];
+        if (py[i] < y_min) y_min = py[i];
+        if (px[i] > x_max) x_max = px[i];
+        if (py[i] > y_max) y_max = py[i];
+    }
+    /* clamp to array bounds (math_tools.rs:633-637) */
+    if (x_min > x_size - 1) x_min = x_size - 1;
+    if (y_min > y_size - 1) y_min = y_size - 1;
+    if (x_max > x_size - 1) x_max = x_size - 1;
+    if (y_max > y_size - 1) y_max = y_size - 1;
+
+    memset(mask, 0, shape0 * shape1);
+    long long count = 0;
+    for (uint64_t y = y_min; y <= y_max; y++) {
+        for (uint64_t x = x_min; x <= x_max; x++) {
+            if (point_in_polygon_u64(x, y, px, py, n_vertices)) {
+                mask[(y_size - y - 1) * shape1 + x] = 1;
+                count++;
+            }
+        }
+    }
+    free(px);
+    free(py);
+    return count;
+}
+
+/* ------------------------------------------------------------------ */
+/* Latest-wins command slot (config.rs:41-51)                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    uint64_t seq;        /* id of the command currently in the slot */
+    int occupied;
+    int closed;
+} thz_cmd_slot;
+
+void *thz_cmd_slot_new(void) {
+    thz_cmd_slot *s = (thz_cmd_slot *)calloc(1, sizeof(thz_cmd_slot));
+    if (!s) return NULL;
+    pthread_mutex_init(&s->mu, NULL);
+    pthread_cond_init(&s->cv, NULL);
+    return s;
+}
+
+void thz_cmd_slot_free(void *p) {
+    thz_cmd_slot *s = (thz_cmd_slot *)p;
+    pthread_mutex_destroy(&s->mu);
+    pthread_cond_destroy(&s->cv);
+    free(s);
+}
+
+/* Put a command id; replaces any pending one (drop-oldest). */
+void thz_cmd_slot_put(void *p, uint64_t seq) {
+    thz_cmd_slot *s = (thz_cmd_slot *)p;
+    pthread_mutex_lock(&s->mu);
+    s->seq = seq;
+    s->occupied = 1;
+    pthread_cond_signal(&s->cv);
+    pthread_mutex_unlock(&s->mu);
+}
+
+/* Blocking take with timeout in ms; returns 1 and sets *seq on success,
+ * 0 on timeout, -1 if closed. timeout_ms < 0 waits forever. */
+int thz_cmd_slot_take(void *p, long timeout_ms, uint64_t *seq) {
+    thz_cmd_slot *s = (thz_cmd_slot *)p;
+    pthread_mutex_lock(&s->mu);
+    while (!s->occupied && !s->closed) {
+        if (timeout_ms < 0) {
+            pthread_cond_wait(&s->cv, &s->mu);
+        } else {
+            struct timespec ts;
+            clock_gettime(CLOCK_REALTIME, &ts);
+            ts.tv_sec += timeout_ms / 1000;
+            ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
+            if (ts.tv_nsec >= 1000000000L) { ts.tv_sec++; ts.tv_nsec -= 1000000000L; }
+            if (pthread_cond_timedwait(&s->cv, &s->mu, &ts) != 0) {
+                pthread_mutex_unlock(&s->mu);
+                return s->closed ? -1 : 0;
+            }
+        }
+    }
+    if (s->closed && !s->occupied) {
+        pthread_mutex_unlock(&s->mu);
+        return -1;
+    }
+    *seq = s->seq;
+    s->occupied = 0;
+    pthread_mutex_unlock(&s->mu);
+    return 1;
+}
+
+void thz_cmd_slot_close(void *p) {
+    thz_cmd_slot *s = (thz_cmd_slot *)p;
+    pthread_mutex_lock(&s->mu);
+    s->closed = 1;
+    pthread_cond_broadcast(&s->cv);
+    pthread_mutex_unlock(&s->mu);
+}
+
+/* Drain: returns 1 + clears slot if a command was pending (abort drain,
+ * data_thread.rs:163-172). */
+int thz_cmd_slot_drain(void *p) {
+    thz_cmd_slot *s = (thz_cmd_slot *)p;
+    pthread_mutex_lock(&s->mu);
+    int had = s->occupied;
+    s->occupied = 0;
+    pthread_mutex_unlock(&s->mu);
+    return had;
+}

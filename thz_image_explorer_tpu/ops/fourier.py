@@ -1,0 +1,112 @@
+"""Batched forward / inverse FFT over the scan cube.
+
+TPU-native replacement for the rayon-parallel per-pixel loops in
+``/root/reference/src/math_tools.rs:330-571``: a single ``jnp.fft.rfft`` over
+the whole ``(X, Y, T)`` cube, with amplitude / unwrapped-phase extraction
+fused by XLA, and a parallel-friendly phase unwrap (diff → wrap → cumsum)
+replacing the sequential scan of ``numpy_unwrap`` (``math_tools.rs:211-240``).
+
+Semantics preserved exactly:
+
+* the window **mutates** the time-domain data before the FFT, so downstream
+  stages see the *windowed* traces (``math_tools.rs:349-371``);
+* ``realfft``'s unnormalized r2c forward == ``jnp.fft.rfft``; its c2r with an
+  explicit 1/N == ``jnp.fft.irfft`` (``math_tools.rs:545-569``);
+* phase unwrap uses period 2π with strict ``> π`` comparisons.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from thz_image_explorer_tpu.data import ScanCube
+from thz_image_explorer_tpu.ops.windows import WindowType, window_array
+
+
+def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """numpy-compatible 1-D phase unwrap with period 2π.
+
+    Parallel reformulation of the reference's sequential loop
+    (``math_tools.rs:226-238``): adjusted diffs then a cumulative sum.
+    Strict inequalities match the reference (a jump of exactly π is kept).
+    """
+    phase = jnp.moveaxis(phase, axis, -1)
+    d = phase[..., 1:] - phase[..., :-1]
+    two_pi = jnp.asarray(2.0 * jnp.pi, phase.dtype)
+    d_adj = d - two_pi * (d > jnp.pi) + two_pi * (d < -jnp.pi)
+    out = jnp.concatenate(
+        [phase[..., :1], phase[..., :1] + jnp.cumsum(d_adj, axis=-1)], axis=-1
+    )
+    return jnp.moveaxis(out, -1, axis)
+
+
+def forward_fft(
+    cube: ScanCube,
+    window_type: WindowType,
+    window_low,
+    window_high,
+) -> ScanCube:
+    """Window + batched real FFT + amplitude / unwrapped phase.
+
+    Equivalent of ``fft()`` (``math_tools.rs:330-398``) over all pixels at
+    once. ``window_low``/``window_high`` are traced scalars (ps) used only by
+    the adapted Blackman window.
+    """
+    w = window_array(cube.time, window_type, window_low, window_high)
+    data = cube.data * w.astype(cube.data.dtype)
+    spec = jnp.fft.rfft(data, axis=-1).astype(jnp.complex64)
+    amplitudes = jnp.abs(spec)
+    phases = unwrap(jnp.angle(spec))
+    return cube.replace(
+        data=data,
+        fft=spec,
+        amplitudes=amplitudes.astype(jnp.float32),
+        phases=phases.astype(jnp.float32),
+    )
+
+
+def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
+    """Batched inverse FFT plus pixel-mean spectra.
+
+    Equivalent of ``ifft()`` (``math_tools.rs:418-571``) minus the ROI
+    handling, which is a host-masked reduction in
+    :mod:`thz_image_explorer_tpu.ops.roi` (ROI sets change pipeline-external
+    state, so they are kept out of this jitted stage).
+
+    * mean complex spectrum / amplitude / phase over all pixels
+      (``math_tools.rs:421-440``) — the only cross-pixel reduction in the
+      whole pipeline (an ICI ``psum`` when the cube is sharded);
+    * optionally reconstruct the average trace from polar means
+      (``math_tools.rs:442-470``);
+    * per-pixel c2r with 1/N normalization (``math_tools.rs:545-569``).
+    """
+    n_time = cube.time.shape[0]
+    avg_fft = jnp.mean(cube.fft, axis=(0, 1))
+    avg_signal_fft = jnp.mean(cube.amplitudes, axis=(0, 1))
+    avg_phase_fft = jnp.mean(cube.phases, axis=(0, 1))
+
+    avg_data = cube.avg_data
+    if avg_in_fourier_space:
+        spectrum = avg_signal_fft * jnp.exp(1j * avg_phase_fft)
+        avg_data = jnp.fft.irfft(spectrum, n=n_time).astype(jnp.float32)
+
+    data = jnp.fft.irfft(cube.fft, n=n_time, axis=-1).astype(jnp.float32)
+
+    return cube.replace(
+        data=data,
+        avg_data=avg_data,
+        avg_fft=avg_fft.astype(jnp.complex64),
+        avg_signal_fft=avg_signal_fft.astype(jnp.float32),
+        avg_phase_fft=avg_phase_fft.astype(jnp.float32),
+    )
+
+
+def polar_irfft(amplitude: jnp.ndarray, phase: jnp.ndarray, n_time: int) -> jnp.ndarray:
+    """Reconstruct a real time trace from amplitude+phase spectra.
+
+    Used for ROI traces in avg-in-Fourier mode (``math_tools.rs:496-529``);
+    the reference zeroes the imaginary part of the DC bin, which ``irfft``
+    does implicitly.
+    """
+    spectrum = amplitude * jnp.exp(1j * phase)
+    return jnp.fft.irfft(spectrum, n=n_time, axis=-1).astype(jnp.float32)

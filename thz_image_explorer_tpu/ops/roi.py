@@ -1,0 +1,121 @@
+"""Polygon ROI masks and masked-mean reductions.
+
+The reference rasterizes each ROI polygon per query with a ray cast and
+averages pixels inside (``/root/reference/src/math_tools.rs:574-661``). The
+TPU-native split: rasterize **once on the host** into a boolean mask (native
+C, exact reference semantics — including the Rust release build's wrapping
+``usize`` arithmetic, the x/y swap and the vertical flip), then compute ROI
+traces on device as a masked mean (one small ``einsum`` — a ``psum`` over ICI
+when the cube is sharded).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thz_image_explorer_tpu import native
+
+_M64 = 1 << 64
+
+
+def _point_in_polygon_py(x: int, y: int, poly: list[tuple[int, int]]) -> bool:
+    """Pure-Python fallback with u64 wrap-around semantics
+    (``math_tools.rs:574-591``)."""
+    inside = False
+    j = len(poly) - 1
+    for i in range(len(poly)):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        if (yi > y) != (yj > y):
+            den = (yj - yi) % _M64
+            t = (((xj - xi) % _M64) * ((y - yi) % _M64)) % _M64
+            val = (t // den + xi) % _M64
+            if x < val:
+                inside = not inside
+        j = i
+    return inside
+
+
+def polygon_mask(
+    polygon: list[tuple[int, int]],
+    shape: tuple[int, int],
+    scaling: int = 1,
+) -> np.ndarray:
+    """Boolean mask over the data grid for a polygon ROI.
+
+    ``shape`` is ``data.shape[:2]``; ``mask[y_size-1-y, x]`` is set for
+    in-polygon pixels, reproducing ``average_polygon_roi``'s swapped/flipped
+    indexing (``math_tools.rs:611-648``). Polygon coords are divided by
+    ``scaling`` with integer division first (``math_tools.rs:604-609``).
+    """
+    shape0, shape1 = int(shape[0]), int(shape[1])
+    mask = np.zeros((shape0, shape1), np.uint8)
+    if not polygon or shape0 == 0 or shape1 == 0:
+        return mask.astype(bool)
+
+    lib = native.load()
+    if lib is not None:
+        n = len(polygon)
+        px = (ctypes.c_uint64 * n)(*[int(p[0]) % _M64 for p in polygon])
+        py = (ctypes.c_uint64 * n)(*[int(p[1]) % _M64 for p in polygon])
+        count = lib.thz_polygon_mask(
+            px,
+            py,
+            n,
+            shape0,
+            shape1,
+            int(scaling),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if count >= 0:
+            return mask.astype(bool)
+
+    # Pure-Python fallback, identical semantics.
+    poly = [(int(x) // int(scaling), int(y) // int(scaling)) for x, y in polygon]
+    x_size, y_size = shape1, shape0
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    x_min = min(min(xs), x_size - 1)
+    y_min = min(min(ys), y_size - 1)
+    x_max = min(max(xs), x_size - 1)
+    y_max = min(max(ys), y_size - 1)
+    for y in range(y_min, y_max + 1):
+        for x in range(x_min, x_max + 1):
+            if _point_in_polygon_py(x, y, poly):
+                mask[y_size - y - 1, x] = 1
+    return mask.astype(bool)
+
+
+@jax.jit
+def masked_mean_trace(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """ROI-averaged trace: mean over masked pixels for each t/f bin.
+
+    Equivalent of the accumulation loop in ``average_polygon_roi``
+    (``math_tools.rs:640-659``); an empty mask yields zeros, matching the
+    reference's untouched zero result array.
+    """
+    m = mask.astype(data.dtype) if not jnp.issubdtype(
+        data.dtype, jnp.complexfloating
+    ) else mask.astype(jnp.float32)
+    count = jnp.sum(mask.astype(jnp.float32))
+    total = jnp.einsum("xy,xyt->t", m, data)
+    return jnp.where(count > 0, total / count.astype(total.dtype), 0.0)
+
+
+@partial(jax.jit, static_argnums=2)
+def roi_reductions(
+    cube_data: jnp.ndarray,
+    masks: jnp.ndarray,
+    n_rois: int,
+) -> jnp.ndarray:
+    """Batched ROI means for ``n_rois`` masks stacked as ``(R, X, Y)``."""
+    del n_rois
+    m = masks.astype(cube_data.dtype)
+    counts = jnp.sum(masks.astype(jnp.float32), axis=(1, 2))
+    totals = jnp.einsum("rxy,xyt->rt", m, cube_data)
+    return jnp.where(counts[:, None] > 0, totals / counts[:, None], 0.0)

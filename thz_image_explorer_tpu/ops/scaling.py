@@ -1,0 +1,49 @@
+"""Spatial downscaling of the scan cube by block averaging.
+
+Equivalent of ``scaling()`` (``/root/reference/src/math_tools.rs:242-310``)
+as a reshape-mean: crop to a multiple of the scale factor, reshape
+``(X/s, s, Y/s, s, T)`` and average axes 1 and 3. Because the reference's
+block loop never reads out of bounds for ``nx < W/s`` (``math_tools.rs:283-
+296``), the crop-reshape-mean is bit-for-bit the same computation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from thz_image_explorer_tpu.data import ScanCube
+
+
+def _block_mean(arr: jnp.ndarray, s: int) -> jnp.ndarray:
+    x, y, t = arr.shape
+    nx, ny = x // s, y // s
+    cropped = arr[: nx * s, : ny * s, :]
+    blocks = cropped.reshape(nx, s, ny, s, t)
+    if jnp.issubdtype(arr.dtype, jnp.complexfloating):
+        return blocks.sum(axis=(1, 3)) / (s * s)
+    return blocks.sum(axis=(1, 3)) / jnp.asarray(s * s, arr.dtype)
+
+
+def scale_cube(cube: ScanCube, scale: int) -> ScanCube:
+    """Downscale ``data``, ``amplitudes``, ``phases`` and ``fft`` by ``scale``.
+
+    ``scale`` is static (changing it changes output shapes → recompile, same
+    as the reference re-allocating). A no-op for ``scale <= 1`` or when the
+    result would be empty (``math_tools.rs:244-256``).
+    """
+    if scale <= 1:
+        return cube
+    nx, ny = cube.width // scale, cube.height // scale
+    if nx == 0 or ny == 0:
+        return cube
+    dx = cube.dx * scale if cube.dx is not None else None
+    dy = cube.dy * scale if cube.dy is not None else None
+    return cube.replace(
+        data=_block_mean(cube.data, scale),
+        amplitudes=_block_mean(cube.amplitudes, scale),
+        phases=_block_mean(cube.phases, scale),
+        fft=_block_mean(cube.fft, scale),
+        dx=dx,
+        dy=dy,
+        scaling=scale,
+    )
