@@ -1,0 +1,142 @@
+"""I/O tests: dotTHz round-trip, real knife-edge file, real PSF npz."""
+
+import os
+
+import numpy as np
+import pytest
+
+from thz_image_explorer_tpu.io import (
+    DotthzMetadata,
+    load_metadata,
+    load_psf,
+    open_pulse,
+    open_scan,
+    save_psf,
+    save_scan,
+    update_metadata,
+)
+from thz_image_explorer_tpu.io.vtk import export_to_vtk
+
+from make_sample import synthetic_scan, write_scan_thz, write_pulse_thz
+
+REF_KNIFE_X = (
+    "/root/reference/sample_data/example_beam_width/measurement_x/data/"
+    "1750085285.8557956_data.thz"
+)
+REF_PSF = "/root/reference/sample_data/psf.npz"
+
+
+def test_scan_roundtrip(tmp_path):
+    t, cube = synthetic_scan(width=8, height=6, n_time=64)
+    path = write_scan_thz(str(tmp_path / "scan.thzimg"), t, cube, dx=0.25, dy=0.75)
+    loaded, img, md = open_scan(path)
+    assert loaded.width == 8 and loaded.height == 6 and loaded.n_time == 64
+    assert loaded.dx == 0.25 and loaded.dy == 0.75
+    # DC offset subtracted: first sample of every trace is 0
+    np.testing.assert_allclose(np.asarray(loaded.data)[:, :, 0], 0.0, atol=1e-6)
+    # intensity = sum of squares of DC-corrected data
+    expected_img = ((cube - cube[:, :, :1]) ** 2).sum(axis=-1)
+    np.testing.assert_allclose(img, expected_img, rtol=1e-4)
+    # frequency axis: i / time range (io.rs:614-621)
+    rng = t[-1] - t[0]
+    np.testing.assert_allclose(
+        np.asarray(loaded.freq), np.arange(33) / rng, rtol=1e-5
+    )
+    assert md.md["width"] == "8"
+
+
+def test_pulse_fallback_and_open_pulse(tmp_path):
+    t = np.linspace(0, 10, 128).astype(np.float32)
+    sig = np.sin(t).astype(np.float32)
+    path = write_pulse_thz(str(tmp_path / "ref.thz"), t, sig)
+    time, signal, _md = open_pulse(path)
+    np.testing.assert_allclose(time, t)
+    np.testing.assert_allclose(signal, sig)
+    # open_scan falls back to a 1x1 cube (io.rs:545-561)
+    cube, img, _ = open_scan(path)
+    assert cube.width == 1 and cube.height == 1
+    assert cube.dx == 1.0 and cube.dy == 1.0
+
+
+def test_save_scan_and_metadata_update(tmp_path):
+    t, cube_np = synthetic_scan(width=4, height=4, n_time=32)
+    path = write_scan_thz(str(tmp_path / "scan.thz"), t, cube_np)
+    cube, _, md = open_scan(path)
+
+    out = str(tmp_path / "resaved.thz")
+    md.ds_description = ["time", "dataset"]
+    save_scan(out, cube, md)
+    cube2, _, md2 = open_scan(out)
+    np.testing.assert_allclose(np.asarray(cube2.time), np.asarray(cube.time))
+    # resaved data had DC already removed; loader subtracts zeros
+    np.testing.assert_allclose(
+        np.asarray(cube2.data), np.asarray(cube.data), atol=1e-6
+    )
+
+    md2.md["custom"] = "42"
+    update_metadata(out, md2)
+    md3 = load_metadata(out)
+    assert md3.md["custom"] == "42"
+
+
+def test_roi_metadata_roundtrip():
+    md = DotthzMetadata()
+    rois = {
+        "uuid-1": ("sample", [(1, 2), (3, 4), (5, 6)]),
+        "uuid-2": ("reference", [(7, 8), (9, 10), (11, 12)]),
+    }
+    md.set_rois(rois)
+    assert md.md["ROI Labels"] == "sample,reference"
+    assert md.md["ROI 0"] == "[1,2],[3,4],[5,6]"
+    parsed = md.get_rois()
+    assert parsed[0] == ("sample", [(1, 2), (3, 4), (5, 6)])
+    assert parsed[1][1][2] == (11, 12)
+    md.set_rois({})
+    assert "ROI Labels" not in md.md
+    assert "ROI 0" not in md.md
+
+
+@pytest.mark.skipif(not os.path.exists(REF_KNIFE_X), reason="fixture missing")
+def test_real_knife_edge_file_first_group():
+    """The real (non-LFS) knife-edge fixture parses as a pulse group."""
+    import h5py
+
+    with h5py.File(REF_KNIFE_X, "r") as f:
+        assert len(f.keys()) == 300
+    time, signal, md = open_pulse(REF_KNIFE_X)
+    assert time.shape == (1001,)
+    assert md.md.get("position [mm]") is not None
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PSF), reason="fixture missing")
+def test_real_psf_npz_load_and_roundtrip(tmp_path):
+    psf = load_psf(REF_PSF)
+    assert psf.is_loaded
+    assert len(psf.x0_spline.knots) == 20
+    # evaluations are finite and positive beam widths
+    freqs = np.linspace(0.1, 10.0, 50)
+    wx = psf.wx_fit.eval(freqs)
+    wy = psf.wy_fit.eval(freqs)
+    assert np.isfinite(wx).all() and (wx > 0).all()
+    assert np.isfinite(wy).all() and (wy > 0).all()
+    # centers use constant extrapolation outside the knots
+    x0_low = psf.x0_spline.eval_const_extrap(0.01)
+    assert x0_low == psf.x0_spline.values[0]
+    # roundtrip through our writer
+    out = str(tmp_path / "psf_out.npz")
+    save_psf(out, psf)
+    psf2 = load_psf(out)
+    np.testing.assert_allclose(
+        psf2.wx_fit.correction.coeff_b, psf.wx_fit.correction.coeff_b
+    )
+    np.testing.assert_allclose(psf2.wx_fit.base_a, psf.wx_fit.base_a)
+
+
+def test_vtk_export(tmp_path):
+    pos = np.array([[0, 0, 0], [1, 1, 1], [2, 0, 1]], float)
+    col = np.array([[1, 0, 0, 0.5], [0, 1, 0, 0.7], [0, 0, 1, 1.0]], float)
+    path = str(tmp_path / "out.vtu")
+    export_to_vtk(pos, col, path)
+    text = open(path).read()
+    assert "UnstructuredGrid" in text and 'NumberOfPoints="3"' in text
+    assert "Opacity" in text

@@ -1,0 +1,285 @@
+"""dotTHz (HDF5) reader/writer emitting device arrays.
+
+Host loader for the ``.thz`` / ``.thzimg`` format the reference reads via
+the ``dotthz`` crate (``/root/reference/src/io.rs:329-631``). Per
+BASELINE.md the loader emits device arrays directly: the raw cube goes
+through one ``jax.device_put`` and the load-time preprocessing (DC-offset
+subtraction + intensity image, ``io.rs:576-595``) runs on device.
+
+dotTHz group-attribute conventions (observed in the reference's own sample
+files and the ``dotthz`` crate):
+
+* ``description``/``date``/``time``/``instrument``/``mode``/``thzVer``
+  scalar string attrs;
+* ``user`` = ``"orcid/name/email/institution"``;
+* ``mdDescription`` = comma-separated metadata names, values in attrs
+  ``md1``..``mdN``;
+* ``dsDescription`` = comma-separated dataset names, data in datasets
+  ``ds1``..``dsN``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+
+from thz_image_explorer_tpu.data import ScanCube, load_preprocess, make_cube
+
+
+@dataclasses.dataclass
+class DotthzMetadata:
+    """Group-level metadata of a dotTHz file (mirrors the ``dotthz``
+    crate's ``DotthzMetaData`` used throughout ``io.rs``)."""
+
+    user: str = ""
+    email: str = ""
+    orcid: str = ""
+    institution: str = ""
+    description: str = ""
+    md: dict = dataclasses.field(default_factory=dict)
+    ds_description: list = dataclasses.field(default_factory=list)
+    version: str = "1.00"
+    mode: str = ""
+    instrument: str = ""
+    time: str = ""
+    date: str = ""
+
+    # ---- ROI round-trip (data_thread.rs:104-139, :646-711) ----
+    def set_rois(self, rois: dict[str, tuple[str, list[tuple[int, int]]]]):
+        """Serialize ROIs into metadata entries: ``"ROI Labels"`` holds the
+        comma-joined labels, ``"ROI <i>"`` holds ``[x,y],[x,y],...``."""
+        for key in [k for k in self.md if _is_roi_key(k)]:
+            del self.md[key]
+        if not rois:
+            self.md.pop("ROI Labels", None)
+            return
+        labels = []
+        for i, (_uuid, (label, coords)) in enumerate(rois.items()):
+            if coords is None:
+                continue
+            labels.append(label)
+            self.md[f"ROI {i}"] = ",".join(f"[{x},{y}]" for x, y in coords)
+        self.md["ROI Labels"] = ",".join(labels)
+
+    def get_rois(self) -> list[tuple[str, list[tuple[int, int]]]]:
+        """Parse ROI entries back into (label, polygon) pairs."""
+        labels = self.md.get("ROI Labels", "")
+        if not labels:
+            return []
+        out = []
+        for i, label in enumerate(labels.split(",")):
+            coords_str = self.md.get(f"ROI {i}")
+            if not coords_str:
+                continue
+            coords = []
+            for part in coords_str.replace("],[", "]|[").split("|"):
+                part = part.strip("[]")
+                xs, ys = part.split(",")
+                coords.append((int(xs), int(ys)))
+            out.append((label, coords))
+        return out
+
+
+def _is_roi_key(key: str) -> bool:
+    return key.startswith("ROI ") and key[4:].isdigit()
+
+
+def _attr_str(val) -> str:
+    if isinstance(val, bytes):
+        return val.decode("utf-8", "replace")
+    if isinstance(val, np.ndarray) and val.size == 1:
+        return _attr_str(val.reshape(-1)[0])
+    if isinstance(val, (np.floating, float)):
+        # Rust reads HDF5 float attrs through Display; repr matches closely
+        return repr(float(val))
+    return str(val)
+
+
+def read_group_metadata(group: h5py.Group) -> DotthzMetadata:
+    md = DotthzMetadata()
+    attrs = group.attrs
+    md.description = _attr_str(attrs.get("description", ""))
+    md.date = _attr_str(attrs.get("date", ""))
+    md.time = _attr_str(attrs.get("time", ""))
+    md.instrument = _attr_str(attrs.get("instrument", ""))
+    md.mode = _attr_str(attrs.get("mode", ""))
+    md.version = _attr_str(attrs.get("thzVer", "1.00"))
+    user = _attr_str(attrs.get("user", ""))
+    parts = user.split("/")
+    if len(parts) == 4:
+        md.orcid, md.user, md.email, md.institution = parts
+    else:
+        md.user = user
+    names = _attr_str(attrs.get("mdDescription", ""))
+    if names:
+        for i, name in enumerate(n.strip() for n in names.split(",")):
+            val = attrs.get(f"md{i + 1}")
+            if val is not None:
+                md.md[name] = _attr_str(val)
+    ds_names = _attr_str(attrs.get("dsDescription", ""))
+    if ds_names:
+        md.ds_description = [n.strip() for n in ds_names.split(",")]
+    return md
+
+
+def write_group_metadata(group: h5py.Group, md: DotthzMetadata):
+    group.attrs["description"] = md.description
+    group.attrs["date"] = md.date
+    group.attrs["time"] = md.time
+    group.attrs["instrument"] = md.instrument
+    group.attrs["mode"] = md.mode
+    group.attrs["thzVer"] = md.version
+    group.attrs["user"] = "/".join([md.orcid, md.user, md.email, md.institution])
+    group.attrs["mdDescription"] = ",".join(md.md.keys())
+    for i, value in enumerate(md.md.values()):
+        group.attrs[f"md{i + 1}"] = str(value)
+    group.attrs["dsDescription"] = ",".join(md.ds_description)
+
+
+def clear_group_metadata(group: h5py.Group):
+    for key in list(group.attrs.keys()):
+        del group.attrs[key]
+
+
+def _first_group(f: h5py.File) -> Optional[str]:
+    names = sorted(f.keys())
+    return names[0] if names else None
+
+
+def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
+    """Open a scan: returns ``(cube, intensity_image, metadata)``.
+
+    Reproduces ``open_scan_from_thz`` (``io.rs:496-631``): first group only;
+    first 1-D dataset is time, first 3-D dataset the cube; fallback to a
+    2-D ``[time, signal]`` single pulse as a 1x1 cube; width/height/dx/dy/
+    x_min/y_min parsed from metadata strings; per-pixel DC offset removed
+    and intensity image computed (on device here).
+    """
+    with h5py.File(path, "r") as f:
+        gname = _first_group(f)
+        if gname is None:
+            raise ValueError(f"no groups in {path}")
+        group = f[gname]
+        metadata = read_group_metadata(group)
+
+        time = None
+        data = None
+        ds_names = sorted(group.keys())
+        for name in ds_names:
+            arr = group[name]
+            if isinstance(arr, h5py.Dataset) and arr.ndim == 1:
+                time = np.asarray(arr[()], np.float32)
+                break
+        for name in ds_names:
+            arr = group[name]
+            if isinstance(arr, h5py.Dataset) and arr.ndim == 3:
+                data = np.asarray(arr[()], np.float32)
+                break
+        dx = dy = x_min = y_min = None
+        if time is None and data is None:
+            # single-pulse fallback (io.rs:545-561)
+            for name in ds_names:
+                arr = group[name]
+                if isinstance(arr, h5py.Dataset) and arr.ndim == 2:
+                    arr2 = np.asarray(arr[()], np.float32)
+                    time = arr2[:, 0]
+                    data = arr2[:, 1][None, None, :]
+                    dx = dy = 1.0
+                    break
+        if time is None or data is None:
+            raise ValueError(f"no usable datasets in {path}")
+
+    def _parse(key, cast):
+        val = metadata.md.get(key)
+        if val is None:
+            return None
+        try:
+            return cast(val)
+        except ValueError:
+            return None
+
+    width = _parse("width", int)
+    height = _parse("height", int)
+    if width is not None and height is not None and data.shape[:2] != (width, height):
+        # metadata wins in the reference; keep the actual array shape but
+        # don't reshape silently — the reference indexes by metadata dims.
+        if width * height == data.shape[0] * data.shape[1]:
+            data = data.reshape(width, height, data.shape[2])
+    dx = _parse("dx [mm]", float) if dx is None else dx
+    dy = _parse("dy [mm]", float) if dy is None else dy
+    x_min = _parse("x_min [mm]", float)
+    y_min = _parse("y_min [mm]", float)
+
+    data_dev, img = load_preprocess(data)
+    cube = make_cube(time, data_dev, dx=dx, dy=dy, x_min=x_min, y_min=y_min)
+    return cube, np.asarray(img), metadata
+
+
+def open_pulse(path: str) -> tuple[np.ndarray, np.ndarray, DotthzMetadata]:
+    """Read a single reference pulse: first group, first dataset, 2-D
+    ``[time, signal]`` columns (``io.rs:435-477``)."""
+    with h5py.File(path, "r") as f:
+        gname = _first_group(f)
+        if gname is None:
+            raise ValueError(f"no groups in {path}")
+        group = f[gname]
+        metadata = read_group_metadata(group)
+        for name in sorted(group.keys()):
+            ds = group[name]
+            if isinstance(ds, h5py.Dataset) and ds.ndim == 2:
+                arr = np.asarray(ds[()], np.float32)
+                return arr[:, 0], arr[:, 1], metadata
+    raise ValueError(f"no 2-D dataset in {path}")
+
+
+def save_scan(path: str, cube: ScanCube, metadata: DotthzMetadata):
+    """Write time + raw cube under an "Image" group (``io.rs:406-433``).
+
+    Only datasets named in ``ds_description`` as ``"time"`` / ``"dataset"``
+    are written, at their declared positions.
+    """
+    with h5py.File(path, "w") as f:
+        group = f.create_group("Image")
+        write_group_metadata(group, metadata)
+        if "time" in metadata.ds_description:
+            i = metadata.ds_description.index("time")
+            group.create_dataset(f"ds{i + 1}", data=np.asarray(cube.time))
+        if "dataset" in metadata.ds_description:
+            i = metadata.ds_description.index("dataset")
+            group.create_dataset(f"ds{i + 1}", data=np.asarray(cube.data))
+
+
+def load_metadata(path: str, group_name: str = "Image") -> DotthzMetadata:
+    """Metadata-only read (``io.rs:329-342``)."""
+    with h5py.File(path, "r") as f:
+        return read_group_metadata(f[group_name])
+
+
+def update_metadata(path: str, metadata: DotthzMetadata, group_name: str = "Image"):
+    """Clear + rewrite metadata in place (``io.rs:363-380``)."""
+    with h5py.File(path, "r+") as f:
+        group = f[group_name]
+        clear_group_metadata(group)
+        write_group_metadata(group, metadata)
+
+
+def sibling_scan_path(path: str, delta: int) -> Optional[str]:
+    """Arrow-key navigation helper: next/previous file with the same
+    extension in the directory (``left_panel.rs:165-275``)."""
+    from thz_image_explorer_tpu.io.files import find_files_with_same_extension
+
+    files = find_files_with_same_extension(path)
+    if not files:
+        return None
+    try:
+        idx = files.index(os.path.abspath(path))
+    except ValueError:
+        return None
+    new = idx + delta
+    if 0 <= new < len(files):
+        return files[new]
+    return None
