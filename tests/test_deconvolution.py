@@ -1,0 +1,147 @@
+"""Deconvolution tests: FIR design parity, band planning guards, and the
+device program vs a numpy/scipy oracle using the real psf.npz fixture."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from thz_image_explorer_tpu.io import load_psf
+from thz_image_explorer_tpu.models.psf import PSF
+from thz_image_explorer_tpu.ops import firdesign
+from thz_image_explorer_tpu.ops.deconvolution import (
+    DeconvolutionParams,
+    deconvolve_cube,
+    plan_bands,
+)
+
+from oracle_deconv import deconvolve_oracle
+
+REF_PSF = "/root/reference/sample_data/psf.npz"
+needs_psf = pytest.mark.skipif(not os.path.exists(REF_PSF), reason="no fixture")
+
+
+# ---------------------------------------------------------------- FIR design
+def test_lowpass_dc_gain_and_symmetry():
+    taps = firdesign.firwin_lowpass(499, 1.0, 14.0, 20.0)
+    assert abs(taps.sum() - 1.0) < 1e-12  # unit DC gain
+    np.testing.assert_allclose(taps, taps[::-1], atol=1e-15)  # linear phase
+    assert taps[0] == 0.0 and taps[-1] == 0.0  # forced-zero endpoints
+
+
+def test_highpass_response():
+    fs = 20.0
+    taps = firdesign.firwin_highpass(499, 2.0, 14.0, fs)
+    freqs, mags = firdesign.frequency_response(taps, 256, fs)
+    # blocks DC, passes high frequencies
+    assert mags[0] < 1e-6
+    assert mags[np.searchsorted(freqs, 8.0)] > 0.9
+
+
+def test_bandpass_bank_partition_of_unity():
+    """Band edges at geometric means with lowpass/highpass ends: the bank
+    should sum to ~allpass inside the band range (the property the
+    reconstruction-by-summing-bands relies on)."""
+    t = np.arange(512) * 0.05
+    bank, centers = firdesign.create_filter_bank(8, 0.25, 4.0, 0.5, t)
+    total = bank.sum(axis=0)
+    fs = 20.0
+    freqs, mags = firdesign.frequency_response(total, 512, fs)
+    inside = (freqs > 0.05) & (freqs < 9.0)
+    np.testing.assert_allclose(mags[inside], 1.0, atol=0.02)
+    assert len(centers) == 8
+    np.testing.assert_allclose(centers[0], 0.25)
+    np.testing.assert_allclose(centers[-1], 4.0)
+
+
+def test_even_ntaps_appends_zero():
+    taps = firdesign.firwin_lowpass(10, 1.0, 5.0, 20.0)
+    assert len(taps) == 10 and taps[-1] == 0.0
+
+
+def test_bessel_i0_matches_scipy():
+    from scipy.special import i0 as scipy_i0
+
+    x = np.linspace(0.0, 25.0, 50)
+    np.testing.assert_allclose(firdesign.bessel_i0(x), scipy_i0(x), rtol=1e-10)
+
+
+# ---------------------------------------------------------------- planning
+def _small_cube(n=64, w=20, h=18, seed=3):
+    rng = np.random.default_rng(seed)
+    t = (np.arange(n) * 0.05).astype(np.float32)
+    x = np.zeros((w, h, n), np.float32)
+    x[:, :, 12] = rng.uniform(0.5, 1.0, (w, h))
+    x += 0.01 * rng.normal(size=x.shape).astype(np.float32)
+    return t, x
+
+
+@needs_psf
+def test_plan_bands_geometry():
+    psf = load_psf(REF_PSF)
+    t, _ = _small_cube()
+    params = DeconvolutionParams(
+        n_iterations=10, n_filters=5, start_freq=0.25, end_freq=4.0
+    )
+    geo = plan_bands(params, psf, t, (20, 18), 1.0, 1.0)
+    assert geo is not None
+    assert geo.taps.shape == (5, 499)
+    assert geo.psfs.shape[1] % 2 == 1 and geo.psfs.shape[2] % 2 == 1
+    # iteration counts span [1, n_iterations] monotonically-ish in wx
+    assert geo.n_iter.min() >= 1 and geo.n_iter.max() <= 10
+    # canvases hold the centred PSFs: centre cell is the PSF max for a
+    # centred Gaussian-ish kernel
+    b = 0
+    c = geo.psfs[b]
+    assert c[c.shape[0] // 2, c.shape[1] // 2] > 0
+
+
+@needs_psf
+def test_plan_bands_guards():
+    psf = load_psf(REF_PSF)
+    t, _ = _small_cube()
+    params = DeconvolutionParams(n_filters=4)
+    # image too small
+    assert plan_bands(params, psf, t, (8, 8), 1.0, 1.0) is None
+    # PSF not loaded
+    assert plan_bands(params, PSF.empty(), t, (20, 18), 1.0, 1.0) is None
+    # PSF too large for the image (tiny dx -> huge pixel extent)
+    assert plan_bands(params, psf, t, (20, 18), 0.01, 0.01) is None
+
+
+# ---------------------------------------------------------------- device vs oracle
+@needs_psf
+def test_deconvolve_matches_oracle():
+    psf = load_psf(REF_PSF)
+    t, cube = _small_cube()
+    params = DeconvolutionParams(
+        n_iterations=5, n_filters=3, start_freq=0.25, end_freq=4.0
+    )
+    geo = plan_bands(params, psf, t, cube.shape[:2], 1.0, 1.0)
+    assert geo is not None
+
+    got = deconvolve_cube(jnp.asarray(cube), geo)
+    expected = deconvolve_oracle(cube, geo)
+
+    got = np.asarray(got)
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got / scale, expected / scale, atol=5e-3)
+
+
+@needs_psf
+def test_deconvolve_cancellation():
+    psf = load_psf(REF_PSF)
+    t, cube = _small_cube()
+    params = DeconvolutionParams(
+        n_iterations=3, n_filters=3, start_freq=0.25, end_freq=4.0
+    )
+    geo = plan_bands(params, psf, t, cube.shape[:2], 1.0, 1.0)
+    calls = {"n": 0}
+
+    def cancelled():
+        calls["n"] += 1
+        return calls["n"] > 1  # cancel after the first band
+
+    out = deconvolve_cube(jnp.asarray(cube), geo, cancelled=cancelled)
+    assert out is None

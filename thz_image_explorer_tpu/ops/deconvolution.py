@@ -1,0 +1,358 @@
+"""Frequency-resolved Richardson-Lucy deconvolution — the flagship kernel.
+
+TPU-native re-design of the reference's heaviest filter
+(``/root/reference/src/filters/deconvolution.rs``, IEEE TTHZ.2025.3546756):
+split the scan into frequency bands with a Kaiser FIR bank, deconvolve each
+band's intensity image with a band-specific Gaussian PSF via Richardson-
+Lucy, convert the intensity correction into per-pixel gains and re-sum the
+bands.
+
+Mapping to TPU:
+
+* the rayon band-parallel loop becomes a host loop over bands dispatching
+  ONE compiled band program (uniform static shapes across bands), so the
+  device pipeline stays full while the host retains per-band progress and
+  cancellation — the reference's ``par_for_each_cancellable_reduce``
+  contract (``deconvolution.rs:891-1013``);
+* per-trace FIR filtering becomes one batched rfft of the whole cube
+  (reused across ALL bands) times each band's tap spectrum —
+  ``convolve1d``'s pow2-padded FFT convolution (``deconvolution.rs:266-317``)
+  without re-transforming the data per band;
+* band geometry (PSF canvas size, reflect-pad widths, iteration counts) is
+  host-computed static data; *per-band values* (pad width, iteration count)
+  stay traced so every band runs the same compiled program;
+* Richardson-Lucy iterations use ``lax.fori_loop`` with a traced trip
+  count; small-kernel bands use the MXU via ``lax.conv`` correlation
+  (matching the reference's direct path, which computes correlation), large
+  kernels use true FFT convolution (matching ``convolve2d``'s FFT path,
+  which computes convolution — the two genuinely differ for asymmetric
+  PSFs, and we reproduce each).
+
+Reflective padding with a *traced* pad width inside a static canvas is done
+by index arithmetic, so changing band geometry never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thz_image_explorer_tpu.models.psf import PSF, create_psf_2d, gaussian
+from thz_image_explorer_tpu.ops.firdesign import NTAPS, create_filter_bank
+
+MIN_IMAGE_SIZE = 16  # deconvolution.rs:802
+DIRECT_CONV_MAX_ELEMS = 256  # convolve2d's direct-path threshold (:485)
+_EPS = 1e-12
+
+
+@dataclasses.dataclass
+class DeconvolutionParams:
+    """User parameters (defaults: ``deconvolution.rs:725-734``)."""
+
+    n_iterations: int = 500
+    n_filters: int = 25
+    start_freq: float = 0.1
+    end_freq: float = 10.0
+    win_width: float = 0.5
+
+
+@dataclasses.dataclass
+class BandGeometry:
+    """Host-computed static geometry for all bands."""
+
+    taps: np.ndarray  # (B, ntaps) f64
+    centers: np.ndarray  # (B,)
+    psfs: np.ndarray  # (B, kr_max, kc_max) f32, centred in canvas
+    pad_r: np.ndarray  # (B,) int32 — reflect pad along axis 0
+    pad_c: np.ndarray  # (B,) int32
+    n_iter: np.ndarray  # (B,) int32
+    use_fft_conv: np.ndarray  # (B,) bool — which conv path each band takes
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def plan_bands(
+    params: DeconvolutionParams,
+    psf_model: PSF,
+    time: np.ndarray,
+    shape: tuple[int, int],
+    dx: float,
+    dy: float,
+) -> Optional[BandGeometry]:
+    """Host-side planning: filter bank + per-band PSFs + iteration counts.
+
+    Returns None when a guard fails (the stage then passes data through,
+    matching ``deconvolution.rs:780-885``).
+    """
+    img_rows, img_cols = shape
+    if img_rows < MIN_IMAGE_SIZE or img_cols < MIN_IMAGE_SIZE:
+        return None
+    if not psf_model.is_loaded:
+        return None
+
+    taps, centers = create_filter_bank(
+        params.n_filters,
+        params.start_freq,
+        params.end_freq,
+        params.win_width,
+        time,
+    )
+    centers32 = centers.astype(np.float32)
+
+    wx = psf_model.wx_fit.eval(centers32)
+    wy = psf_model.wy_fit.eval(centers32)
+    w_min = float(min(wx.min(), wy.min()))
+    w_max = float(max(wx.max(), wy.max()))
+
+    # PSF-too-large guard (deconvolution.rs:872-885; note the reference
+    # compares the x-extent against img_cols — reproduced as-is)
+    max_psf_width_x = max(int(np.ceil(wx.max() / dx)) * 2 + 1, 3)
+    max_psf_width_y = max(int(np.ceil(wy.max() / dy)) * 2 + 1, 3)
+    if max_psf_width_x >= img_cols or max_psf_width_y >= img_rows:
+        return None
+
+    x0s = psf_model.x0_spline.eval_const_extrap(centers32)
+    y0s = psf_model.y0_spline.eval_const_extrap(centers32)
+
+    psf_list: list[np.ndarray] = []
+    n_iter = np.zeros(len(centers), np.int32)
+    for i, fc in enumerate(centers32):
+        # PSF spatial range (deconvolution.rs:920-951)
+        range_x = max((wx[i] + abs(x0s[i])) * 3.0, 2.5)
+        range_y = max((wy[i] + abs(y0s[i])) * 3.0, 2.5)
+        range_x = np.float32(np.floor(range_x / dx) * dx + dx)
+        range_y = np.float32(np.floor(range_y / dy) * dy + dy)
+        max_allowed_x = (img_cols - 2.0) * dx / 2.0
+        max_allowed_y = (img_rows - 2.0) * dy / 2.0
+        cr_x = min(float(range_x), max_allowed_x)
+        cr_y = min(float(range_y), max_allowed_y)
+
+        nx = int(np.floor(cr_x / dx))
+        ny = int(np.floor(cr_y / dy))
+        x = np.arange(-nx, nx + 1, dtype=np.float32) * np.float32(dx)
+        y = np.arange(-ny, ny + 1, dtype=np.float32) * np.float32(dy)
+        gx = gaussian(x, float(x0s[i]), float(wx[i]))
+        gy = gaussian(y, float(y0s[i]), float(wy[i]))
+        psf_list.append(create_psf_2d(gx, gy, x, y, dx, dy))
+
+        # data-derived iteration count (deconvolution.rs:969-971)
+        if w_max == w_min:
+            n_iter[i] = 0  # Rust: NaN as usize saturates to 0
+        else:
+            n_iter[i] = int(
+                np.floor(
+                    (wx[i] - w_min) / (w_max - w_min) * (params.n_iterations - 1.0)
+                    + 1.0
+                )
+            )
+
+    kr = np.array([p.shape[0] for p in psf_list], np.int32)
+    kc = np.array([p.shape[1] for p in psf_list], np.int32)
+    kr_max = int(kr.max())
+    kc_max = int(kc.max())
+    # canvas dims must stay odd so centred embedding preserves the centre
+    if kr_max % 2 == 0:
+        kr_max += 1
+    if kc_max % 2 == 0:
+        kc_max += 1
+
+    canvases = np.zeros((len(psf_list), kr_max, kc_max), np.float32)
+    for i, p in enumerate(psf_list):
+        r0 = (kr_max - p.shape[0]) // 2
+        c0 = (kc_max - p.shape[1]) // 2
+        canvases[i, r0 : r0 + p.shape[0], c0 : c0 + p.shape[1]] = p
+
+    return BandGeometry(
+        taps=taps,
+        centers=centers,
+        psfs=canvases,
+        pad_r=(kr // 2).astype(np.int32),
+        pad_c=(kc // 2).astype(np.int32),
+        n_iter=n_iter,
+        use_fft_conv=(kr.astype(np.int64) * kc.astype(np.int64))
+        > DIRECT_CONV_MAX_ELEMS,
+    )
+
+
+# ----------------------------------------------------------------------
+# Device kernels
+# ----------------------------------------------------------------------
+
+
+def _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max: int, pad_c_max: int):
+    """Reflect-pad ``img`` by traced (pad_r, pad_c) inside a static canvas
+    of margin (pad_r_max, pad_c_max); cells outside the band's padded
+    region are zero (they behave exactly like the zero boundary of the
+    reference's convolutions)."""
+    h, w = img.shape
+    r = jnp.arange(h + 2 * pad_r_max)
+    rr = r - (pad_r_max - pad_r)
+    src_r = jnp.abs(rr - pad_r)
+    src_r = jnp.where(src_r >= h, 2 * h - 2 - src_r, src_r)
+    valid_r = (rr >= 0) & (rr < h + 2 * pad_r)
+
+    c = jnp.arange(w + 2 * pad_c_max)
+    cc = c - (pad_c_max - pad_c)
+    src_c = jnp.abs(cc - pad_c)
+    src_c = jnp.where(src_c >= w, 2 * w - 2 - src_c, src_c)
+    valid_c = (cc >= 0) & (cc < w + 2 * pad_c)
+
+    gathered = img[
+        jnp.clip(src_r, 0, h - 1)[:, None], jnp.clip(src_c, 0, w - 1)[None, :]
+    ]
+    mask = valid_r[:, None] & valid_c[None, :]
+    return jnp.where(mask, gathered, 0.0)
+
+
+def _correlate_same(a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Zero-boundary 'same' correlation — the reference's direct conv path
+    (``deconvolution.rs:432-458``), which does NOT flip the kernel. Odd
+    kernel dims assumed (canvas is odd). Runs on the MXU via lax.conv."""
+    return jax.lax.conv_general_dilated(
+        a[None, None], k[None, None], (1, 1), "SAME",
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+
+
+def _make_fft_conv(h2: int, w2: int, kr: int, kc: int):
+    """True linear convolution with 'same' crop for centred canvas kernels
+    (the reference's FFT path, ``deconvolution.rs:472-545``)."""
+    p = _next_pow2(h2 + kr - 1)
+    q = _next_pow2(w2 + kc - 1)
+    r0 = (kr - 1) // 2
+    c0 = (kc - 1) // 2
+
+    def conv(a, k):
+        fa = jnp.fft.rfft2(a, (p, q))
+        fk = jnp.fft.rfft2(k, (p, q))
+        full = jnp.fft.irfft2(fa * fk, (p, q))
+        return jax.lax.dynamic_slice(full, (r0, c0), (h2, w2))
+
+    return conv
+
+
+def _richardson_lucy(padded, psf, psf_mirror, n_iter, conv):
+    """RL iterations on the (canvas-)padded image
+    (``deconvolution.rs:620-712``). ``n_iter`` is traced."""
+
+    def body(_i, u):
+        ustarp = conv(u, psf)
+        rel = padded / (ustarp + _EPS)
+        correction = conv(rel, psf_mirror)
+        return u * correction
+
+    return jax.lax.fori_loop(0, n_iter, body, padded)
+
+
+def _band_contribution(
+    spec,  # (X, Y, Lf) complex64 — rfft of the cube, shared across bands
+    taps_spec,  # (Lf,) complex64 — this band's tap spectrum
+    psf,  # (kr_max, kc_max) f32 canvas
+    n_iter,  # () int32
+    pad_r,  # () int32
+    pad_c,  # () int32
+    *,
+    n_time: int,
+    fft_len: int,
+    shift: int,
+    pad_r_max: int,
+    pad_c_max: int,
+    fft_conv: bool,
+):
+    """One band: FIR-filter the cube, RL-deconvolve its intensity image,
+    apply per-pixel gains (``deconvolution.rs:891-1013``)."""
+    filtered = jnp.fft.irfft(spec * taps_spec, n=fft_len, axis=-1)[
+        ..., shift : shift + n_time
+    ].astype(jnp.float32)
+    img = jnp.sum(filtered * filtered, axis=-1)
+
+    padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
+    psf_mirror = psf[::-1, ::-1]
+    if fft_conv:
+        conv = _make_fft_conv(*padded.shape, psf.shape[0], psf.shape[1])
+    else:
+        conv = _correlate_same
+    u = _richardson_lucy(padded, psf, psf_mirror, n_iter, conv)
+    u = u[
+        pad_r_max : pad_r_max + img.shape[0],
+        pad_c_max : pad_c_max + img.shape[1],
+    ]
+    deconvolved = jnp.maximum(u, 0.0)
+    gains = jnp.sqrt(deconvolved / img)  # 0/0 -> NaN, as in the reference
+    return filtered * gains[:, :, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_time", "fft_len", "shift", "pad_r_max", "pad_c_max", "fft_conv"
+    ),
+    donate_argnums=(0,),
+)
+def _band_step(acc, spec, taps_spec, psf, n_iter, pad_r, pad_c, **static):
+    return acc + _band_contribution(
+        spec, taps_spec, psf, n_iter, pad_r, pad_c, **static
+    )
+
+
+@partial(jax.jit, static_argnames=("fft_len",))
+def _cube_spectrum(data, fft_len: int):
+    return jnp.fft.rfft(data, n=fft_len, axis=-1)
+
+
+def deconvolve_cube(
+    data: jnp.ndarray,
+    geometry: BandGeometry,
+    progress: Callable[[float], None] = lambda _f: None,
+    cancelled: Callable[[], bool] = lambda: False,
+) -> Optional[jnp.ndarray]:
+    """Run the full banked deconvolution; returns the band-summed cube or
+    None when cancelled.
+
+    Host loop over bands dispatches a single compiled band program; JAX's
+    async dispatch keeps the device busy while the host checks
+    cancellation — the TPU equivalent of the reference's cancellable
+    band-parallel reduce.
+    """
+    n_bands, ntaps = geometry.taps.shape
+    n_time = data.shape[-1]
+    fft_len = _next_pow2(n_time + ntaps - 1)
+    shift = (ntaps - 1) // 2
+    pad_r_max = int(geometry.pad_r.max())
+    pad_c_max = int(geometry.pad_c.max())
+
+    spec = _cube_spectrum(data, fft_len)
+    taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1).astype(np.complex64)
+
+    acc = jnp.zeros(data.shape, jnp.float32)
+    for b in range(n_bands):
+        if cancelled():
+            return None
+        progress(b / n_bands)
+        acc = _band_step(
+            acc,
+            spec,
+            jnp.asarray(taps_spec[b]),
+            jnp.asarray(geometry.psfs[b]),
+            jnp.asarray(geometry.n_iter[b]),
+            jnp.asarray(geometry.pad_r[b]),
+            jnp.asarray(geometry.pad_c[b]),
+            n_time=n_time,
+            fft_len=fft_len,
+            shift=shift,
+            pad_r_max=pad_r_max,
+            pad_c_max=pad_c_max,
+            fft_conv=bool(geometry.use_fft_conv[b]),
+        )
+    progress(1.0)
+    return acc

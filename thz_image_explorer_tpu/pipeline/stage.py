@@ -1,0 +1,166 @@
+"""Filter-stage protocol, domain ordering and registry.
+
+TPU-native rethink of the reference's filter framework
+(``/root/reference/src/filters/filter.rs`` + the ``filter_macros`` proc-macro
+crate): a stage is a *pure function* ``cube -> cube`` parameterized by a
+params object, wrapped in a thin class carrying identity/metadata. The
+``#[register_filter]`` + ``#[ctor]`` auto-registration becomes a Python
+decorator populating a module-level registry; the ``CopyStaticFields``
+preview-cache machinery disappears because stages are pure and the host
+keeps whatever previews it wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+import numpy as np
+
+from thz_image_explorer_tpu.data import ScanCube
+
+
+class FilterDomain(enum.IntEnum):
+    """Chain ordering domains (``filters/filter.rs:231-243``). The enum
+    order *is* the chain order."""
+
+    TIME_BEFORE_FFT_PRIO_FIRST = 0
+    TIME_BEFORE_FFT = 1
+    FREQUENCY = 2
+    TIME_AFTER_FFT = 3
+    TIME_AFTER_FFT_PRIO_LAST = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Display metadata (``filters/filter.rs:84-93``)."""
+
+    name: str
+    description: str
+    domain: FilterDomain
+    hyperlink: Optional[tuple[Optional[str], str]] = None
+
+
+class FilterStage:
+    """Base class for pipeline filter stages.
+
+    Subclasses define:
+
+    * ``config()`` — name/description/domain metadata;
+    * ``apply(cube, context) -> cube`` — the host-level stage call. It must
+      be *pure* with respect to the cube (internally it dispatches one or
+      more jitted device programs); long-running stages honor
+      ``context.progress`` / ``context.cancel``;
+    * parameter attributes (plain Python values; traced-scalar params avoid
+      recompiles, shape-affecting params recompile like the reference's
+      FFT re-planning).
+
+    ``active`` mirrors the reference's per-filter on/off toggles
+    (``filters_active_lock``); an inactive stage is identity
+    (``data_thread.rs:1185-1188``).
+    """
+
+    #: stable identifier used in the chain / command API (the reference
+    #: uses random uuids; a stable slug survives restarts and settings)
+    uuid: str = ""
+    #: inactive stages pass their input through
+    active: bool = True
+    #: True when apply() is a single jit-compatible pure function of
+    #: (cube, params) — such stages can be fused into one chain program
+    fusable: bool = False
+
+    def config(self) -> FilterConfig:
+        raise NotImplementedError
+
+    def reset(self, time: np.ndarray, shape: tuple[int, ...]) -> None:
+        """Called when a new scan is loaded (``data_thread.rs:1027-1060``)."""
+
+    def show_data(self, cube: ScanCube, pixel: tuple[int, int]) -> None:
+        """Update host-side preview caches for the UI (the reference's
+        ``#[static_field]`` copy-back dance, ``data_thread.rs:1322-1334``)."""
+
+    def apply(self, cube: ScanCube, context: "StageContext") -> ScanCube:
+        raise NotImplementedError
+
+    # -- convenience -------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self.config().name
+
+    @property
+    def domain(self) -> FilterDomain:
+        return self.config().domain
+
+
+@dataclasses.dataclass
+class StageContext:
+    """Per-run services handed to stages: progress reporting, cooperative
+    cancellation, and shared settings (the PSF for deconvolution — the
+    reference routes it through ``gui_settings.psf``)."""
+
+    progress: Callable[[float], None] = lambda _f: None
+    cancelled: Callable[[], bool] = lambda: False
+    psf: Optional[object] = None
+
+    def check_cancel(self) -> bool:
+        return self.cancelled()
+
+
+# ----------------------------------------------------------------------
+# Registry (filters/filter.rs:306-455; filter_macros/src/lib.rs:45-69)
+# ----------------------------------------------------------------------
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_filter(cls):
+    """Class decorator: auto-register a stage type under its slug uuid."""
+    uuid = getattr(cls, "uuid", "") or _slug(cls.__name__)
+    cls.uuid = uuid
+    _REGISTRY[uuid] = cls
+    return cls
+
+
+def _slug(name: str) -> str:
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0:
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def registered_filters() -> dict[str, type]:
+    return dict(_REGISTRY)
+
+
+def instantiate_filters() -> dict[str, FilterStage]:
+    """Fresh instances of every registered stage, uuid-keyed."""
+    return {uuid: cls() for uuid, cls in _REGISTRY.items()}
+
+
+def build_chain(filters: dict[str, FilterStage]) -> tuple[list[str], int, int, int]:
+    """Build the ordered stage chain and the scaling/fft/ifft indices.
+
+    Mirrors ``main.rs:178-268``:
+    ``[initial, scaling, <PrioFirst...>, <TimeBeforeFFT...>, fft,
+    <Frequency...>, ifft, <TimeAfterFFT...>, <PrioLast...>]``.
+    """
+    by_domain: dict[FilterDomain, list[str]] = {d: [] for d in FilterDomain}
+    for uuid, f in filters.items():
+        by_domain[f.domain].append(uuid)
+    for d in by_domain:
+        by_domain[d].sort()
+
+    chain = ["initial", "scaling"]
+    chain += by_domain[FilterDomain.TIME_BEFORE_FFT_PRIO_FIRST]
+    chain += by_domain[FilterDomain.TIME_BEFORE_FFT]
+    fft_index = len(chain)
+    chain.append("fft")
+    chain += by_domain[FilterDomain.FREQUENCY]
+    ifft_index = len(chain)
+    chain.append("ifft")
+    chain += by_domain[FilterDomain.TIME_AFTER_FFT]
+    chain += by_domain[FilterDomain.TIME_AFTER_FFT_PRIO_LAST]
+    return chain, 1, fft_index, ifft_index
