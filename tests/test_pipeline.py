@@ -1,0 +1,242 @@
+"""Pipeline executor + Explorer facade tests: chain construction,
+incremental recompute, deconvolution suppression, filters, commands."""
+
+import numpy as np
+import pytest
+
+from thz_image_explorer_tpu.pipeline import (
+    Explorer,
+    FilterDomain,
+    Pipeline,
+    build_chain,
+    instantiate_filters,
+)
+from thz_image_explorer_tpu.ops.windows import WindowType
+
+from make_sample import synthetic_scan, write_scan_thz, write_pulse_thz
+
+REF_PSF = "/root/reference/sample_data/psf.npz"
+
+
+def _scan_file(tmp_path, **kw):
+    t, cube = synthetic_scan(**kw)
+    return write_scan_thz(str(tmp_path / "scan.thzimg"), t, cube), t, cube
+
+
+def test_chain_order():
+    filters = instantiate_filters()
+    chain, scaling_idx, fft_idx, ifft_idx = build_chain(filters)
+    assert chain[0] == "initial" and chain[1] == "scaling"
+    assert scaling_idx == 1
+    assert chain[fft_idx] == "fft" and chain[ifft_idx] == "ifft"
+    # domain ordering: everything before fft is time-domain-before
+    for uuid in chain[2:fft_idx]:
+        assert filters[uuid].domain in (
+            FilterDomain.TIME_BEFORE_FFT_PRIO_FIRST,
+            FilterDomain.TIME_BEFORE_FFT,
+        )
+    for uuid in chain[fft_idx + 1 : ifft_idx]:
+        assert filters[uuid].domain == FilterDomain.FREQUENCY
+    # deconvolution is last
+    assert "deconvolution" in chain[-1]
+
+
+def test_pipeline_runs_end_to_end(tmp_path):
+    ex = Explorer()
+    path, t, cube = _scan_file(tmp_path, width=16, height=16, n_time=128)
+    ex.open_file(path)
+    out = ex.pipeline.output
+    assert out is not None
+    assert out.n_time == 128
+    # spectra were computed
+    assert float(np.abs(np.asarray(out.fft)).max()) > 0
+    # intensity image published at original resolution
+    assert ex.image.shape == (16, 16)
+    # plot series published
+    assert len(ex.plot.time) == 128
+    assert len(ex.plot.signal_fft) == 65
+    assert len(ex.plot.filtered_signal) == 128
+
+
+def test_incremental_recompute_skips_upstream(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=12, height=10, n_time=64)
+    ex.open_file(path)
+    p = ex.pipeline
+    before = [id(s) for s in p.slots]
+    # change a frequency-domain filter: stages before fft must be untouched
+    fd_uuid = "frequency_band_pass"
+    p.filters[fd_uuid].active = True
+    p.filters[fd_uuid].low = 0.3
+    ex.update_filter(fd_uuid)
+    after = [id(s) for s in p.slots]
+    idx = p.index_of(fd_uuid)
+    assert before[:idx] == after[:idx]
+    assert after[idx] != before[idx]
+
+
+def test_fd_bandpass_zeroes_outside_band(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=256)
+    ex.open_file(path)
+    p = ex.pipeline
+    p.filters["frequency_band_pass"].active = True
+    p.filters["frequency_band_pass"].low = 0.8
+    p.filters["frequency_band_pass"].high = 1.2
+    p.filters["frequency_band_pass"].window_width = 0.0
+    ex.update_filter("frequency_band_pass")
+    out = p.output
+    freq = np.asarray(out.freq)
+    amps = np.asarray(out.amplitudes)
+    outside = (freq < 0.8 - 1e-6) | (freq > 1.2 + 1e-6)
+    assert np.allclose(amps[:, :, outside], 0.0)
+    inside = ~outside
+    assert amps[:, :, inside].max() > 0
+
+
+def test_inactive_filter_is_identity(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex.open_file(path)
+    p = ex.pipeline
+    idx = p.index_of("time_band_pass_before_fft")
+    assert p.slots[idx] is p.slots[idx - 1]
+
+
+def test_deconvolution_suppression(tmp_path, monkeypatch):
+    """An upstream filter change must NOT rerun deconvolution
+    (data_thread.rs:1139-1150); its stage passes input through."""
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=16, height=16, n_time=64)
+    ex.open_file(path)
+    p = ex.pipeline
+    deconv = p.filters["deconvolution"]
+    deconv.active = True
+    calls = {"n": 0}
+
+    def fake_apply(cube, ctx):
+        calls["n"] += 1
+        return cube
+
+    monkeypatch.setattr(deconv, "apply", fake_apply)
+    # triggering another filter: deconvolution must NOT run
+    p.filters["frequency_band_pass"].active = True
+    ex.update_filter("frequency_band_pass")
+    assert calls["n"] == 0
+    # direct Apply (force) runs it
+    ex.update_filter("deconvolution", force=True)
+    assert calls["n"] == 1
+
+
+def test_scaling_and_image_upscale(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=16, height=12, n_time=64)
+    ex.open_file(path)
+    ex.set_downscaling(2)
+    out = ex.pipeline.output
+    assert out.width == 8 and out.height == 6 and out.scaling == 2
+    assert ex.image.shape == (16, 12)  # block-upscaled for display
+    ex.set_downscaling(1)
+    assert ex.pipeline.output.width == 16
+
+
+def test_window_change_reruns_fft(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex.open_file(path)
+    before = np.asarray(ex.pipeline.output.amplitudes).copy()
+    ex.set_fft_window_type(WindowType.HAMMING)
+    after = np.asarray(ex.pipeline.output.amplitudes)
+    assert not np.allclose(before, after)
+
+
+def test_tilt_changes_time_axis_and_replans(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=16, height=16, n_time=64)
+    ex.open_file(path)
+    p = ex.pipeline
+    tilt = p.filters["tilt_compensation"]
+    tilt.active = True
+    tilt.tilt_x = 10.0
+    ex.update_filter("tilt_compensation")
+    out = p.output
+    assert out.n_time > 64
+    assert out.n_freq == out.n_time // 2 + 1
+    assert len(ex.plot.filtered_time) == out.n_time
+
+
+def test_roi_and_optical_properties(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=16, height=16, n_time=128)
+    ex.open_file(path)
+    ex.add_roi("roi-1", "sample region", [(1, 1), (8, 1), (8, 8), (1, 8)])
+    ex.add_roi("roi-2", "ref region", [(10, 10), (14, 10), (14, 14), (10, 14)])
+    assert "roi-1" in ex.plot.roi_signal
+    assert len(ex.plot.roi_signal["roi-1"][1]) == 128
+    ex.set_reference("ref region")
+    ex.set_sample("sample region")
+    ex.set_material_thickness(2.0)
+    assert len(ex.plot.refractive_index) == 65
+    assert np.isfinite(ex.plot.refractive_index[1:]).all()
+    # selected-pixel sample path
+    ex.set_sample("Selected Pixel")
+    ex.set_selected_pixel(3, 3)
+    assert len(ex.plot.refractive_index) == 65
+
+
+def test_open_ref_pseudo_roi(tmp_path):
+    ex = Explorer()
+    path, t, _ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex.open_file(path)
+    pulse_path = write_pulse_thz(
+        str(tmp_path / "ref.thz"), t, np.sin(t).astype(np.float32)
+    )
+    ex.open_ref(pulse_path)
+    names = [n for n, _ in ex.rois.values()]
+    assert "Reference File" in names
+    assert "Reference File" in ex.plot.available_references
+    # pseudo-ROI publishes a spectrum usable as optical reference
+    ex.set_reference("Reference File")
+    ex.set_sample("Selected Pixel")
+    ex.update_material_calculation()
+    assert len(ex.plot.refractive_index) == 33
+
+
+def test_roi_metadata_save_roundtrip(tmp_path):
+    ex = Explorer()
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex.open_file(path)
+    ex.add_roi("u1", "region a", [(1, 1), (5, 1), (5, 5)])
+    ex.save_rois(path)
+    ex2 = Explorer()
+    ex2.open_file(path)
+    names = [n for n, _ in ex2.rois.values()]
+    assert "region a" in names
+
+
+def test_worker_latest_wins(tmp_path):
+    from thz_image_explorer_tpu.pipeline import ExplorerWorker
+
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    w = ExplorerWorker()
+    try:
+        w.send("open_file", path)
+        assert w.join_idle(timeout=60)
+        assert w.explorer.pipeline.output is not None
+        w.send("set_selected_pixel", 2, 2)
+        assert w.join_idle(timeout=60)
+        assert w.explorer.pixel_selected == [2, 2]
+    finally:
+        w.close()
+
+
+def test_latest_wins_slot_drops_oldest():
+    from thz_image_explorer_tpu.pipeline import LatestWinsSlot
+
+    s = LatestWinsSlot()
+    s.put(("a", (), {}))
+    s.put(("b", (), {}))
+    got = s.take(timeout=1)
+    assert got[0] == "b"
+    assert s.take(timeout=0.05) is None
+    s.close()

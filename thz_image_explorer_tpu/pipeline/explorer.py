@@ -1,0 +1,433 @@
+"""Host API facade: the command surface of the application.
+
+Mirrors the reference's 30-odd-variant ``ConfigCommand`` API
+(``/root/reference/src/config.rs:58-164``) and the ``main_thread`` handlers
+(``data_thread.rs:148-1050``) as plain methods on an ``Explorer`` object.
+Where the reference publishes results into ``Arc<RwLock<…>>``s for the GUI,
+the Explorer publishes a :class:`PlotData` snapshot (small 1-D/2-D slices
+pulled from device — the cube itself never leaves HBM).
+
+An asynchronous wrapper with the reference's latest-wins command coalescing
+lives in :mod:`thz_image_explorer_tpu.pipeline.worker`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import uuid as _uuidlib
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from thz_image_explorer_tpu.data import ScanCube
+from thz_image_explorer_tpu.io import dotthz as thzio
+from thz_image_explorer_tpu.io.psf_npz import load_psf
+from thz_image_explorer_tpu.ops.fourier import polar_irfft, unwrap
+from thz_image_explorer_tpu.ops.roi import masked_mean_trace, polygon_mask
+from thz_image_explorer_tpu.ops.optical import calculate_optical_properties
+from thz_image_explorer_tpu.ops.windows import WindowType, window_array
+from thz_image_explorer_tpu.pipeline.executor import Pipeline
+
+log = logging.getLogger(__name__)
+
+SELECTED_PIXEL = "Selected Pixel"
+
+
+@dataclasses.dataclass
+class PlotData:
+    """Published plot series (``PlotDataContainer``,
+    ``data_container.rs:60-105``)."""
+
+    time: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    signal: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    filtered_time: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    filtered_signal: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    avg_signal: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    frequencies: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    signal_fft: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    phase_fft: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    filtered_frequencies: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    filtered_signal_fft: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    filtered_phase_fft: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    avg_signal_fft: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    avg_phase_fft: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    roi_signal: dict = dataclasses.field(default_factory=dict)
+    roi_signal_fft: dict = dataclasses.field(default_factory=dict)
+    roi_phase: dict = dataclasses.field(default_factory=dict)
+    refractive_index: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    absorption_coefficient: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    extinction_coefficient: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    available_references: list = dataclasses.field(default_factory=list)
+    available_samples: list = dataclasses.field(default_factory=list)
+
+
+class Explorer:
+    """Synchronous command facade over the incremental pipeline."""
+
+    def __init__(self):
+        self.pipeline = Pipeline()
+        self.plot = PlotData()
+        self.metadata = thzio.DotthzMetadata()
+        self.pixel_selected = [0, 0]
+        # uuid -> (name, polygon or None); None entries are pseudo-ROIs
+        # from loaded reference pulses (data_thread.rs:568-583)
+        self.rois: dict[str, tuple[str, Optional[list]]] = {}
+        # pseudo-ROI spectra: uuid -> (trace, amplitudes, phases)
+        self._datasets: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.sample_selection = ""
+        self.reference_selection = ""
+        self.sample_thickness = 1.0  # (application.rs:184)
+        self.image: Optional[np.ndarray] = None
+        self.file_path: Optional[str] = None
+
+    # ------------------------------------------------------------ files
+    def open_file(self, path: str):
+        """OpenFile (``data_thread.rs:589-740``)."""
+        cube, img, metadata = thzio.open_scan(path)
+        self.metadata = metadata
+        self.file_path = path
+        self.image = img
+        # ROIs serialized in metadata come back (data_thread.rs:646-711)
+        self.rois = {}
+        self._datasets = {}
+        for label, coords in metadata.get_rois():
+            self.rois[str(_uuidlib.uuid4())] = (label, coords)
+        self.pixel_selected = [0, 0]
+        self.pipeline.set_input(cube)
+        self.publish()
+
+    def open_ref(self, path: str):
+        """OpenRef (``data_thread.rs:372-588``): load a reference pulse,
+        align it to the scan's time axis, window+FFT it once with the
+        current config, and register it as a pseudo-ROI dataset."""
+        time, signal, _md = thzio.open_pulse(path)
+        inp = self.pipeline.input
+        if inp is None:
+            # no scan loaded: bootstrap a 1x1 zero cube on the pulse's axis
+            from thz_image_explorer_tpu.data import make_cube
+
+            cube = make_cube(time, np.zeros((1, 1, len(time)), np.float32))
+            self.pipeline.set_input(cube)
+            inp = self.pipeline.input
+        scan_time = np.asarray(inp.time)
+        signal = _align_reference(signal, time, scan_time)
+
+        cfg = self.pipeline.config
+        w = np.asarray(
+            window_array(
+                jnp.asarray(scan_time),
+                cfg.fft_window_type,
+                cfg.fft_window[0],
+                cfg.fft_window[1],
+            )
+        )
+        windowed = signal * w
+        spec = np.fft.rfft(windowed)
+        amplitudes = np.abs(spec).astype(np.float32)
+        phases = np.asarray(unwrap(jnp.angle(spec).astype(jnp.float32)))
+
+        ref_count = sum(
+            1 for _u, (name, _p) in self.rois.items() if "Reference File" in name
+        )
+        name = f"Reference File {ref_count}" if ref_count else "Reference File"
+        uuid = str(_uuidlib.uuid4())
+        self.rois[uuid] = (name, None)
+        self._datasets[uuid] = (windowed.astype(np.float32), amplitudes, phases)
+        self.publish()
+
+    def save_file(self, path: str):
+        """SaveFile: raw (initial) cube + metadata (``data_thread.rs:741-768``)."""
+        inp = self.pipeline.input
+        if inp is None:
+            return
+        md = self.metadata
+        if "time" not in md.ds_description:
+            md.ds_description = ["time", "dataset"]
+        md.set_rois({u: nc for u, nc in self.rois.items() if nc[1] is not None})
+        thzio.save_scan(path, inp, md)
+
+    def save_rois(self, path: str):
+        """SaveROIs: update ROI entries in the file's metadata
+        (``data_thread.rs:274-330``)."""
+        md = thzio.load_metadata(path)
+        md.set_rois({u: nc for u, nc in self.rois.items() if nc[1] is not None})
+        thzio.update_metadata(path, md)
+
+    def open_psf(self, path: str):
+        """OpenPSF (``data_thread.rs:797-812``)."""
+        self.pipeline.psf = load_psf(path)
+
+    def apply_psf(self, psf):
+        """ApplyPSF from the PSF tool (``data_thread.rs:787-796``)."""
+        self.pipeline.psf = psf
+
+    # ------------------------------------------------------- fft config
+    def set_fft_window_low(self, low: float):
+        self.pipeline.config.fft_window[0] = low
+        self._rerun_from_fft()
+
+    def set_fft_window_high(self, high: float):
+        self.pipeline.config.fft_window[1] = high
+        self._rerun_from_fft()
+
+    def set_fft_window_type(self, window_type: WindowType):
+        self.pipeline.config.fft_window_type = window_type
+        self._rerun_from_fft()
+
+    def set_fft_log_plot(self, enabled: bool):
+        self.pipeline.config.fft_log_plot = enabled
+
+    def set_avg_in_fourier_space(self, enabled: bool):
+        self.pipeline.config.avg_in_fourier_space = enabled
+        self._rerun_from_fft()
+
+    def set_fft_resolution(self, df: float):
+        self.pipeline.config.fft_df = df
+        self._rerun_from_fft()
+
+    def set_downscaling(self, scale: int):
+        """SetDownScaling re-runs from the scaling stage
+        (``data_thread.rs:837-840``)."""
+        self.pipeline.config.scale_factor = scale
+        self.pipeline.run_from(self.pipeline.scaling_index)
+        self.image = self.pipeline.current_image()
+        self.publish()
+
+    def _rerun_from_fft(self):
+        """FFT-window commands re-run from the fft stage
+        (``data_thread.rs:813-836``)."""
+        self.pipeline.run_from(self.pipeline.fft_index)
+        self.image = self.pipeline.current_image()
+        self.publish()
+
+    # ------------------------------------------------------- filters
+    def update_filter(self, uuid: str, *, force: bool = False):
+        self.pipeline.update_filter(uuid, force=force)
+        self.image = self.pipeline.current_image()
+        self.publish()
+
+    def update_filters(self):
+        self.pipeline.update_all()
+        self.image = self.pipeline.current_image()
+        self.publish()
+
+    def set_filter_active(self, uuid: str, active: bool):
+        self.pipeline.filters[uuid].active = active
+        self.update_filter(uuid)
+
+    # ------------------------------------------------------- selection
+    def set_selected_pixel(self, x: int, y: int):
+        """Cheap path: re-publish plot slices only
+        (``data_thread.rs:853-903``)."""
+        self.pixel_selected = [x, y]
+        for f in self.pipeline.filters.values():
+            out = self.pipeline.output
+            if out is not None:
+                f.show_data(out, tuple(self.pixel_selected))
+        self.publish()
+
+    # ------------------------------------------------------- ROIs
+    def add_roi(self, uuid: str, name: str, polygon: list):
+        self.rois[uuid] = (name, [(int(x), int(y)) for x, y in polygon])
+        self.publish()
+
+    def update_roi(self, uuid: str, name: str, polygon: list):
+        self.add_roi(uuid, name, polygon)
+
+    def delete_roi(self, uuid: str):
+        self.rois.pop(uuid, None)
+        self._datasets.pop(uuid, None)
+        self.publish()
+
+    # ------------------------------------------------- material params
+    def set_reference(self, name: str):
+        self.reference_selection = name
+        self.publish()
+
+    def set_sample(self, name: str):
+        self.sample_selection = name
+        self.publish()
+
+    def set_material_thickness(self, thickness: float):
+        self.sample_thickness = thickness
+        self.publish()
+
+    def update_material_calculation(self):
+        self.publish()
+
+    # ------------------------------------------------------- publish
+    def publish(self):
+        """Pull the published plot slices from device state — the
+        equivalent of the big ``data_lock`` write at
+        ``data_thread.rs:1336-1560``. Only 1-D traces leave the device."""
+        plot = PlotData()
+        slots = self.pipeline.slots
+        raw = slots[0]
+        if raw is None:
+            self.plot = plot
+            return
+        px, py = self.pixel_selected
+
+        def pix(cube: ScanCube):
+            return px // cube.scaling, py // cube.scaling
+
+        # raw time-domain trace from slot 0
+        rx, ry = pix(raw)
+        if rx < raw.width and ry < raw.height:
+            plot.time = np.asarray(raw.time)
+            plot.signal = np.asarray(raw.data[rx, ry])
+
+        # raw spectrum from the stage after fft (data_thread.rs:1363-1380)
+        raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
+        if raw_fd is not None:
+            fx, fy = pix(raw_fd)
+            plot.frequencies = np.asarray(raw_fd.freq)
+            plot.signal_fft = np.asarray(raw_fd.amplitudes[fx, fy])
+            plot.phase_fft = np.asarray(raw_fd.phases[fx, fy])
+
+        filtered = slots[-1]
+        if filtered is not None:
+            gx, gy = pix(filtered)
+            plot.filtered_time = np.asarray(filtered.time)
+            plot.filtered_signal = np.asarray(filtered.data[gx, gy])
+            plot.filtered_frequencies = np.asarray(filtered.freq)
+            plot.filtered_signal_fft = np.asarray(filtered.amplitudes[gx, gy])
+            plot.filtered_phase_fft = np.asarray(filtered.phases[gx, gy])
+            if self.pipeline.config.avg_in_fourier_space:
+                plot.avg_signal = np.asarray(filtered.avg_data)
+            else:
+                plot.avg_signal = np.asarray(jnp.mean(filtered.data, axis=(0, 1)))
+            plot.avg_signal_fft = np.asarray(filtered.avg_signal_fft)
+            plot.avg_phase_fft = np.asarray(filtered.avg_phase_fft)
+
+            self._publish_rois(plot, filtered)
+            self._publish_optical(plot, filtered)
+
+        plot.available_references = [name for name, _ in self._roi_names()]
+        plot.available_samples = plot.available_references + [SELECTED_PIXEL]
+        self.plot = plot
+
+    def _roi_names(self):
+        return [(name, u) for u, (name, _poly) in self.rois.items()]
+
+    def _roi_spectra(self, cube: ScanCube, uuid: str):
+        """ROI-averaged (amplitudes, phases, time-trace) for one ROI."""
+        name, polygon = self.rois[uuid]
+        if polygon is None:
+            data = self._datasets.get(uuid)
+            if data is None:
+                return None
+            trace, amplitudes, phases = data
+            return amplitudes, phases, trace
+        mask = jnp.asarray(
+            polygon_mask(polygon, (cube.data.shape[0], cube.data.shape[1]), cube.scaling)
+        )
+        amp = np.asarray(masked_mean_trace(cube.amplitudes, mask))
+        ph = np.asarray(masked_mean_trace(cube.phases, mask))
+        if self.pipeline.config.avg_in_fourier_space:
+            trace = np.asarray(
+                polar_irfft(jnp.asarray(amp), jnp.asarray(ph), cube.n_time)
+            )
+        else:
+            trace = np.asarray(masked_mean_trace(cube.data, mask))
+        return amp, ph, trace
+
+    def _publish_rois(self, plot: PlotData, filtered: ScanCube):
+        for uuid, (name, _poly) in self.rois.items():
+            spectra = self._roi_spectra(filtered, uuid)
+            if spectra is None:
+                continue
+            amp, ph, trace = spectra
+            plot.roi_signal[uuid] = (name, trace)
+            plot.roi_signal_fft[uuid] = (name, amp)
+            plot.roi_phase[uuid] = (name, ph)
+
+    def _publish_optical(self, plot: PlotData, filtered: ScanCube):
+        """Optical properties for the selected reference/sample
+        (``data_thread.rs:1489-1559``)."""
+        ref_uuid = self._uuid_for(self.reference_selection)
+        if ref_uuid is None:
+            return
+        ref = self._roi_spectra(filtered, ref_uuid)
+        if ref is None:
+            return
+        ref_amp, ref_ph, _ = ref
+        if self.sample_selection == SELECTED_PIXEL:
+            sx = self.pixel_selected[0] // filtered.scaling
+            sy = self.pixel_selected[1] // filtered.scaling
+            samp_amp = np.asarray(filtered.amplitudes[sx, sy])
+            samp_ph = np.asarray(filtered.phases[sx, sy])
+        else:
+            samp_uuid = self._uuid_for(self.sample_selection)
+            if samp_uuid is None:
+                return
+            samp = self._roi_spectra(filtered, samp_uuid)
+            if samp is None:
+                return
+            samp_amp, samp_ph, _ = samp
+        n, alpha, kappa = calculate_optical_properties(
+            jnp.asarray(samp_amp),
+            jnp.asarray(samp_ph),
+            jnp.asarray(ref_amp),
+            jnp.asarray(ref_ph),
+            jnp.asarray(np.asarray(filtered.freq)),
+            self.sample_thickness,
+        )
+        plot.refractive_index = np.asarray(n)
+        plot.absorption_coefficient = np.asarray(alpha)
+        plot.extinction_coefficient = np.asarray(kappa)
+
+    def _uuid_for(self, name: str) -> Optional[str]:
+        for u, (n, _poly) in self.rois.items():
+            if n == name:
+                return u
+        return None
+
+
+def _align_reference(
+    signal: np.ndarray, time: np.ndarray, scan_time: np.ndarray
+) -> np.ndarray:
+    """Resize/align a reference pulse onto the scan's time axis
+    (``data_thread.rs:405-481``)."""
+    signal = np.asarray(signal, np.float32)
+    if len(scan_time) == len(signal) and (
+        len(time) == 0 or abs(scan_time[0] - time[0]) <= 1e-9
+    ):
+        return signal
+    target_len = len(scan_time)
+    if len(scan_time) > 1 and len(time) > 1:
+        ref_dt = time[1] - time[0]
+        offset = int(np.round((scan_time[0] - time[0]) / ref_dt))
+        out = np.zeros(target_len, np.float32)
+        src_start = offset if offset > 0 else 0
+        dst_start = -offset if offset < 0 else 0
+        copy_len = min(len(signal) - src_start, target_len - dst_start)
+        if copy_len > 0:
+            out[dst_start : dst_start + copy_len] = signal[
+                src_start : src_start + copy_len
+            ]
+        return out
+    out = np.zeros(target_len, np.float32)
+    n = min(target_len, len(signal))
+    out[:n] = signal[:n]
+    return out

@@ -1,0 +1,216 @@
+"""Built-in filter stages.
+
+Each stage wraps a jitted op from :mod:`thz_image_explorer_tpu.ops` in the
+stage protocol. Parameter defaults and domains mirror the reference
+filters (``/root/reference/src/filters/``); the water-vapor notch is the
+strict-superset stage BASELINE.json asks for.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from thz_image_explorer_tpu.assets.water_lines import WATER_LINES_THZ
+from thz_image_explorer_tpu.data import ScanCube
+from thz_image_explorer_tpu.ops import bandpass as bp
+from thz_image_explorer_tpu.ops import deconvolution as dec
+from thz_image_explorer_tpu.ops.tilt import tilt_compensate
+from thz_image_explorer_tpu.pipeline.stage import (
+    FilterConfig,
+    FilterDomain,
+    FilterStage,
+    StageContext,
+    register_filter,
+)
+
+log = logging.getLogger(__name__)
+
+
+@register_filter
+class TiltCompensation(FilterStage):
+    """Per-pixel time shifts for tilted samples
+    (``tilt_compensation.rs:97-226``). Inactive by default like every
+    toggleable filter at startup."""
+
+    def __init__(self):
+        self.tilt_x = 0.0  # degrees, range ±15
+        self.tilt_y = 0.0
+        self.active = False
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Tilt Compensation",
+            description="Compensate misalignment of the sample along x and y.",
+            domain=FilterDomain.TIME_BEFORE_FFT_PRIO_FIRST,
+        )
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+        return tilt_compensate(cube, self.tilt_x, self.tilt_y)
+
+
+class _TimeBandPass(FilterStage):
+    """Shared TD band-pass behavior (zero outside [low, high] ps with
+    adapted-Blackman edges; ``band_pass_td_before_fft.rs:124-182``)."""
+
+    default_window_width = 2.0
+
+    def __init__(self):
+        self.low = 0.0
+        self.high = 0.0
+        self.window_width = self.default_window_width
+        self.active = False
+
+    def reset(self, time: np.ndarray, shape) -> None:
+        # the reference resets bounds to the full time range
+        self.low = float(time[0]) if len(time) else 0.0
+        self.high = float(time[-1]) if len(time) else 0.0
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+        # clamp persistently like the reference filter does
+        t0 = float(cube.time[0])
+        t1 = float(cube.time[-1])
+        self.low = max(self.low, t0)
+        self.high = min(self.high, t1)
+        data = bp.td_bandpass(
+            cube.data, cube.time, self.low, self.high, self.window_width
+        )
+        return cube.replace(data=data)
+
+
+@register_filter
+class TimeBandPassBeforeFFT(_TimeBandPass):
+    default_window_width = 2.0
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Time Band Pass",
+            description="Band-Pass Filter in Time Domain before the FFT.",
+            domain=FilterDomain.TIME_BEFORE_FFT,
+        )
+
+
+@register_filter
+class TimeBandPassAfterFFT(_TimeBandPass):
+    default_window_width = 0.1  # band_pass_td_after_fft.rs default
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Time Band Pass (post-FFT)",
+            description="Band-Pass Filter in Time Domain after the iFFT.",
+            domain=FilterDomain.TIME_AFTER_FFT,
+        )
+
+
+@register_filter
+class FrequencyBandPass(FilterStage):
+    """FD band-pass (``band_pass_fd.rs``): defaults 0.2–5.0 THz, window
+    width 0.1; complex spectrum + amplitudes masked, phases untouched."""
+
+    def __init__(self):
+        self.low = 0.2
+        self.high = 5.0
+        self.window_width = 0.1
+        self.active = False
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Frequency Band Pass",
+            description="Band Pass Filter in Frequency Domain.",
+            domain=FilterDomain.FREQUENCY,
+        )
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+        fft, amplitudes = bp.fd_bandpass(
+            cube.fft, cube.amplitudes, cube.freq, self.low, self.high,
+            self.window_width,
+        )
+        return cube.replace(fft=fft, amplitudes=amplitudes)
+
+
+@register_filter
+class WaterVaporNotch(FilterStage):
+    """Comb of notches at atmospheric water-vapor lines. The reference
+    only overlays these lines on plots (``center_panel.rs:477-485``);
+    BASELINE.json's north star asks for them as a frequency-domain filter."""
+
+    def __init__(self):
+        self.notch_width = 0.02  # THz half-width per line
+        self.depth = 1.0  # 1 = full suppression
+        self.active = False
+        self._lines = jnp.asarray(np.asarray(WATER_LINES_THZ, np.float32))
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Water Vapor Notch",
+            description=(
+                "Suppress atmospheric water-vapor absorption lines with "
+                "Blackman-shaped notches."
+            ),
+            domain=FilterDomain.FREQUENCY,
+        )
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+        fft, amplitudes = bp.water_notch(
+            cube.fft, cube.amplitudes, cube.freq, self._lines,
+            self.notch_width, self.depth,
+        )
+        return cube.replace(fft=fft, amplitudes=amplitudes)
+
+
+@register_filter
+class Deconvolution(FilterStage):
+    """Frequency-resolved Richardson-Lucy deconvolution
+    (``deconvolution.rs``; IEEE TTHZ.2025.3546756). Toggling it on does not
+    auto-run — only an explicit Apply triggers it (``deconvolution.rs:
+    1113-1116``); the executor reproduces the rerun-suppression rule."""
+
+    def __init__(self):
+        self.params = dec.DeconvolutionParams()
+        self.active = False
+
+    def config(self) -> FilterConfig:
+        return FilterConfig(
+            name="Deconvolution",
+            description=(
+                "Frequency-dependent deconvolution for enhanced THz-TDS "
+                "scans, accounting for beam width variations in time traces."
+            ),
+            domain=FilterDomain.TIME_AFTER_FFT_PRIO_LAST,
+            hyperlink=("TTHZ.2025.3546756", "https://doi.org/10.1109/TTHZ.2025.3546756"),
+        )
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+        context.progress(0.0)
+        try:
+            if cube.dx is None or cube.dy is None:
+                log.error("No spatial resolution (dx/dy); skipping deconvolution.")
+                return cube
+            psf = context.psf
+            if psf is None or not psf.is_loaded:
+                log.error("No PSF loaded; skipping deconvolution.")
+                return cube
+            geometry = dec.plan_bands(
+                self.params,
+                psf,
+                np.asarray(cube.time),
+                (cube.width, cube.height),
+                cube.dx,
+                cube.dy,
+            )
+            if geometry is None:
+                log.warning("Deconvolution preconditions not met; skipping.")
+                return cube
+            out = dec.deconvolve_cube(
+                cube.data,
+                geometry,
+                progress=context.progress,
+                cancelled=context.cancelled,
+            )
+            if out is None:  # cancelled
+                return cube
+            return cube.replace(data=out)
+        finally:
+            context.progress(None)

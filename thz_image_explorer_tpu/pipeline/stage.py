@@ -123,9 +123,14 @@ def register_filter(cls):
 
 
 def _slug(name: str) -> str:
+    """CamelCase -> snake_case, keeping acronym runs together
+    (``TimeBandPassBeforeFFT`` -> ``time_band_pass_before_fft``)."""
     out = []
     for i, ch in enumerate(name):
-        if ch.isupper() and i > 0:
+        if ch.isupper() and i > 0 and (
+            not name[i - 1].isupper()
+            or (i + 1 < len(name) and name[i + 1].islower())
+        ):
             out.append("_")
         out.append(ch.lower())
     return "".join(out)
