@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark: full-image interactive update latency on a 200x200x1024 cube.
+
+Measures the fused interactive chain (window + FFT + FD band-pass +
+water-vapor notch + iFFT + TD band-passes + intensity image) — the
+operation behind every slider interaction in the reference app — and
+compares against a multithreaded CPU (torch) implementation of the same
+chain as the stand-in for the reference's rayon/all-cores Rust pipeline
+(the reference publishes no numbers of its own — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Run with --deconv to additionally time the banked Richardson-Lucy
+deconvolution (reported in "extra").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+WIDTH, HEIGHT, NTIME = 200, 200, 1024
+DT = 0.05  # ps
+RUNS = 20
+
+
+def _make_data():
+    rng = np.random.default_rng(0)
+    t = (np.arange(NTIME) * DT).astype(np.float32)
+    pulse = np.exp(-((t - 8.0) ** 2) / 0.6) * np.sin(2 * np.pi * 1.0 * (t - 8.0))
+    data = (
+        pulse[None, None, :] * rng.uniform(0.3, 1.0, (WIDTH, HEIGHT, 1))
+        + 0.01 * rng.normal(size=(WIDTH, HEIGHT, NTIME))
+    ).astype(np.float32)
+    return t, data
+
+
+def bench_tpu(t, data):
+    import jax
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig,
+        StepParams,
+        interactive_update,
+    )
+
+    cube = make_cube(jnp.asarray(t), jnp.asarray(data), dx=0.5, dy=0.5)
+    params = StepParams.defaults()
+    cfg = StepConfig(
+        fd_active=True,
+        notch_active=True,
+        td_before_active=True,
+        td_after_active=True,
+        avg_in_fourier_space=False,
+    )
+    # warmup / compile
+    out = interactive_update(cube, params, cfg)
+    jax.block_until_ready(out[1])
+
+    import dataclasses
+
+    times = []
+    for i in range(RUNS):
+        # nudge a traced param each run like a slider drag (no recompile)
+        params = dataclasses.replace(params, fd_low=jnp.float32(0.2 + 0.001 * i))
+        t0 = time.perf_counter()
+        out = interactive_update(cube, params, cfg)
+        jax.block_until_ready(out[1])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), cube
+
+
+def bench_cpu_torch(t, data):
+    """Same chain in torch on CPU (multithreaded — the stand-in for the
+    reference's rayon all-cores execution)."""
+    import torch
+
+    from thz_image_explorer_tpu.assets.water_lines import WATER_LINES_THZ
+
+    torch.set_num_threads(torch.get_num_threads())
+    data_t = torch.from_numpy(data.copy())
+    t_t = torch.from_numpy(t)
+
+    def chain():
+        # adapted-Blackman window [1, 7] ps
+        lower, upper = 1.0, 7.0
+        t0, t_end = t_t[0], t_t[-1]
+        head = t_t <= lower + t0
+        tail = t_t >= t_end - upper
+        bw = lambda n, m: torch.clamp(
+            0.42
+            - 0.5 * torch.cos(2 * np.pi * n / m)
+            + 0.08 * torch.cos(4 * np.pi * n / m),
+            0.0,
+            1.0,
+        )
+        w = torch.where(
+            head,
+            bw(t_t - t0, 2 * lower),
+            torch.where(tail, bw(t_t - (t_end - 2 * upper), 2 * upper), torch.ones(())),
+        )
+        x = data_t * w
+        spec = torch.fft.rfft(x, dim=-1)
+        amp = spec.abs()
+        phase = torch.angle(spec)
+        d = phase[..., 1:] - phase[..., :-1]
+        d_adj = d - 2 * np.pi * (d > np.pi) + 2 * np.pi * (d < -np.pi)
+        phase = torch.cat(
+            [phase[..., :1], phase[..., :1] + torch.cumsum(d_adj, dim=-1)], dim=-1
+        )
+        freq = torch.arange(spec.shape[-1]) / (t_t[-1] - t_t[0])
+        # FD band-pass mask 0.2..5.0
+        mask = ((freq >= 0.2) & (freq <= 5.0)).to(spec.dtype)
+        spec = spec * mask
+        amp = amp * mask.real
+        # water notch comb
+        lines = torch.tensor(WATER_LINES_THZ)
+        width = 0.05
+        inn = (freq[None, :] - lines[:, None]).abs() <= width
+        bump = 0.42 - 0.5 * torch.cos(
+            2 * np.pi * (freq[None, :] - (lines[:, None] - width)) / (2 * width)
+        ) + 0.08 * torch.cos(
+            4 * np.pi * (freq[None, :] - (lines[:, None] - width)) / (2 * width)
+        )
+        notch = torch.where(inn, 1.0 - bump.clamp(0, 1), torch.ones(()))
+        nw = notch.prod(dim=0)
+        spec = spec * nw
+        amp = amp * nw
+        # means + inverse + intensity
+        avg_fft = spec.mean(dim=(0, 1))
+        avg_amp = amp.mean(dim=(0, 1))
+        avg_phase = phase.mean(dim=(0, 1))
+        y = torch.fft.irfft(spec, n=NTIME, dim=-1)
+        img = (y * y).sum(dim=-1)
+        return img, avg_fft, avg_amp, avg_phase
+
+    chain()  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_deconv(cube):
+    import jax
+
+    from thz_image_explorer_tpu.io import load_psf
+    from thz_image_explorer_tpu.ops.deconvolution import (
+        DeconvolutionParams,
+        deconvolve_cube,
+        plan_bands,
+    )
+
+    psf = load_psf("/root/reference/sample_data/psf.npz")
+    params = DeconvolutionParams()  # defaults: 25 bands, <=500 RL iters
+    geo = plan_bands(
+        params,
+        psf,
+        np.asarray(cube.time),
+        (cube.width, cube.height),
+        cube.dx,
+        cube.dy,
+    )
+    if geo is None:
+        return None
+    out = deconvolve_cube(cube.data, geo)  # includes compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = deconvolve_cube(cube.data, geo)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--deconv", action="store_true")
+    parser.add_argument("--no-cpu", action="store_true")
+    args = parser.parse_args()
+
+    t, data = _make_data()
+    tpu_s, cube = bench_tpu(t, data)
+    cpu_s = None if args.no_cpu else bench_cpu_torch(t, data)
+
+    extra = {
+        "traces_per_sec": WIDTH * HEIGHT / tpu_s,
+        "cube": f"{WIDTH}x{HEIGHT}x{NTIME}",
+        "cpu_torch_ms": None if cpu_s is None else round(cpu_s * 1e3, 2),
+    }
+    if args.deconv:
+        d = bench_deconv(cube)
+        extra["deconv_full_s"] = None if d is None else round(d, 3)
+
+    result = {
+        "metric": "full-image update latency p50 (window+FFT+FD filter+notch+iFFT+intensity, 200x200x1024)",
+        "value": round(tpu_s * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": None if cpu_s is None else round(cpu_s / tpu_s, 1),
+        "extra": extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

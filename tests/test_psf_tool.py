@@ -1,0 +1,267 @@
+"""PSF tool tests: spline/hybrid fit parity, beam fitting on synthetic and
+REAL knife-edge data, diagnostics, full compute pipeline + export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from thz_image_explorer_tpu.psf_tool import (
+    BeamFitParams,
+    CubicSpline,
+    CurveFits,
+    DiagnosticResults,
+    FilterParams,
+    HybridFitF64,
+    KnifeEdgeMeasurement,
+    fit_mean_beam,
+    split_and_flip,
+)
+from thz_image_explorer_tpu.psf_tool.app import compute_psf, check_transition_width
+from thz_image_explorer_tpu.psf_tool.fitting import (
+    compute_intensity,
+    erf_model,
+    filter_traces_all_bands,
+    fit_error_function,
+)
+
+REF_X = (
+    "/root/reference/sample_data/example_beam_width/measurement_x/data/"
+    "1750085285.8557956_data.thz"
+)
+REF_Y = (
+    "/root/reference/sample_data/example_beam_width/measurement_y/data/"
+    "1750163177.929295_data.thz"
+)
+needs_data = pytest.mark.skipif(
+    not (os.path.exists(REF_X) and os.path.exists(REF_Y)), reason="no fixture"
+)
+
+
+# ------------------------------------------------------------------ splines
+def test_cubic_spline_exact_on_knots_and_parabola():
+    """Reference tests (``curve_fitting.rs:403-492``)."""
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    y = x**2
+    s = CubicSpline.fit(x, y)
+    np.testing.assert_allclose(s.evaluate(x), y, atol=1e-10)
+    assert abs(s.evaluate(1.5)[0] - 2.25) < 0.1
+
+
+def test_cubic_spline_linear_exact():
+    x = np.array([0.0, 1.0, 2.0, 3.0])
+    y = 2 * x + 1
+    s = CubicSpline.fit(x, y)
+    np.testing.assert_allclose(s.evaluate([0.5, 1.5, 2.5]), [2.0, 4.0, 6.0],
+                               atol=1e-10)
+
+
+def test_cubic_spline_positive_extrapolation():
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    y = np.array([5.0, 3.5, 2.8, 2.3, 2.0])
+    s = CubicSpline.fit(x, y)
+    left = s.evaluate(0.5)[0]
+    right = s.evaluate(6.0)[0]
+    assert left > 0 and left > y[0]
+    assert right > 0
+
+
+def test_hybrid_fit_recovers_base_model():
+    f = np.linspace(0.2, 4.0, 20)
+    w = 2.0 / f + 0.5
+    h = HybridFitF64.fit(f, w)
+    assert abs(h.a - 2.0) < 1e-6 and abs(h.b - 0.5) < 1e-6
+    np.testing.assert_allclose(h.evaluate(f), w, atol=1e-8)
+
+
+def test_hybrid_fit_monotone_clip():
+    f = np.linspace(0.2, 4.0, 30)
+    rng = np.random.default_rng(0)
+    w = 2.0 / f + 0.5 + 0.05 * rng.normal(size=f.shape)
+    h = HybridFitF64.fit(f, w)
+    out = h.evaluate(np.linspace(0.1, 6.0, 100))
+    assert (np.diff(out) <= 1e-12).all()
+
+
+def test_curve_fits_runtime_roundtrip():
+    """The tool's f64 fits must evaluate identically through the runtime
+    (f32) PSF model within float tolerance — the npz round-trip contract."""
+    f = np.linspace(0.2, 4.0, 20)
+    rng = np.random.default_rng(1)
+    wx = 2.0 / f + 0.5 + 0.02 * rng.normal(size=f.shape)
+    wy = 1.5 / f + 0.6 + 0.02 * rng.normal(size=f.shape)
+    x0 = 0.1 * np.sin(f)
+    y0 = 0.05 * np.cos(f)
+    fits = CurveFits.fit_from_data(f, wx, wy, x0, y0)
+    psf = fits.to_runtime_psf()
+    q = np.linspace(0.15, 5.0, 50).astype(np.float32)
+    # runtime eval_single has no monotone clip; compare against the raw
+    # (unclipped) hybrid evaluation
+    raw = fits.wx_fit.a / q + fits.wx_fit.b + fits.wx_fit._eval_correction(
+        q.astype(np.float64)
+    )
+    np.testing.assert_allclose(psf.wx_fit.eval(q), raw, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        psf.x0_spline.eval_const_extrap(q),
+        fits.x0_fit.evaluate_const_extrap(q.astype(np.float64)),
+        atol=1e-4,
+    )
+
+
+# ------------------------------------------------------------------ fitting
+def test_erf_fit_recovers_parameters():
+    x = np.linspace(-10, 10, 80)
+    y = erf_model(x, 1.3, 4.2)
+    x0, w = fit_error_function(x, y, (0.0, 10.0))
+    assert abs(x0 - 1.3) < 1e-3
+    assert abs(w - 4.2) < 1e-3
+
+
+def test_erf_fit_penalty_bounds():
+    x = np.linspace(-10, 10, 80)
+    y = erf_model(x, 5.0, 4.0)
+    x0, w = fit_error_function(x, y, (0.0, 3.0), bounds=((-2.0, 0.1), (2.0, 3.5)))
+    assert -2.0 <= x0 <= 2.0 and 0.1 <= w <= 3.5
+
+
+def test_filter_traces_matches_direct_correlation():
+    rng = np.random.default_rng(0)
+    traces = rng.normal(size=(5, 200))
+    taps = rng.normal(size=(3, 21))
+    got = filter_traces_all_bands(traces, taps)
+    mid = 21 // 2
+    for b in range(3):
+        for p in range(5):
+            expected = np.zeros(200)
+            for i in range(200):
+                acc = 0.0
+                for j in range(21):
+                    k = i + j - mid
+                    if 0 <= k < 200:
+                        acc += traces[p, k] * taps[b, j]
+                expected[i] = acc
+            np.testing.assert_allclose(got[b, p], expected, atol=1e-4)
+
+
+def _synthetic_knife_edge(n_pos=60, n_time=256, w_true=3.0, seed=0):
+    """Double knife edge: intensity I(x) = erf profile on each half."""
+    rng = np.random.default_rng(seed)
+    positions = np.linspace(0.25, 15.0, n_pos)
+    t = np.arange(n_time) * 0.05
+    pulse = np.exp(-((t - 3.0) ** 2) / 0.3) * np.sin(2 * np.pi * 1.0 * (t - 3.0))
+    # amplitude per position follows sqrt of the erf profile around x0=7.5
+    amp_right = np.sqrt(erf_model(positions, 7.5 + 3.75, w_true))
+    amp_left = np.sqrt(erf_model(positions, 3.75, w_true))
+    # first half rising (left knife), second half also rising
+    amp = np.concatenate([amp_left[: n_pos // 2], amp_right[n_pos // 2 :]])
+    traces = amp[:, None] * pulse[None, :] + 1e-4 * rng.normal(
+        size=(n_pos, n_time)
+    )
+    return KnifeEdgeMeasurement(
+        positions=positions, time_traces=traces, times=t
+    )
+
+
+def test_split_and_flip():
+    m = _synthetic_knife_edge(n_pos=10)
+    left, right = split_and_flip(m)
+    assert len(left.positions) == 5 and len(right.positions) == 5
+    np.testing.assert_allclose(left.positions, -m.positions[:5][::-1])
+    np.testing.assert_allclose(left.time_traces[0], m.time_traces[4])
+
+
+def test_fit_mean_beam_synthetic():
+    m = _synthetic_knife_edge()
+    _left, right = split_and_flip(m)
+    fit = fit_mean_beam(
+        right.positions, right.positions, right.time_traces, right.time_traces
+    )
+    # intensity ∝ amp² = erf profile with w_true -> recovered width ~3
+    assert abs(fit.popt_x[1] - 3.0) < 0.3
+
+
+def test_compute_psf_synthetic_full():
+    m = _synthetic_knife_edge()
+    params = FilterParams(n_filters=4, start_freq=0.5, end_freq=2.0)
+    res = compute_psf(m, m, params)
+    assert res is not None
+    assert res.filters.shape == (4, 499)
+    assert res.curve_fits is not None
+    widths = np.abs(res.x.beam_fits.popt_xs[:, 1])
+    assert (widths > 0).all() and (widths < 30).all()
+    # centers recentred to ~0 mean
+    assert abs(res.x.beam_fits.popt_xs[:, 0].mean()) < 1e-9
+
+
+def test_compute_psf_cancellation():
+    m = _synthetic_knife_edge()
+    params = FilterParams(n_filters=4, start_freq=0.5, end_freq=2.0)
+    calls = {"n": 0}
+
+    def progress(_axis, _cur, _tot):
+        calls["n"] += 1
+        return calls["n"] < 3
+
+    assert compute_psf(m, m, params, progress=progress) is None
+
+
+def test_transition_width_warning():
+    assert check_transition_width(0.15, 5.0, 0.5) is None
+    assert check_transition_width(1.0, 2.0, 0.8) is not None
+
+
+# ------------------------------------------------------------------ diagnostics
+def test_diagnostics_diffraction_limited():
+    """Reference test (``diagnostics.rs:878-...``): w0 = A·λ data must be
+    flagged diffraction-limited."""
+    f = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+    c_mm_thz = 0.299792458e3  # µm·THz — λ here in µm, w0 in mm
+    lam_um = c_mm_thz / f
+    w0_mm = 0.1 * lam_um * 1e-3  # w0 = 0.1·λ (same length unit)
+    d = DiagnosticResults.compute(f, w0_mm, w0_mm)
+    assert d.is_diffraction_limited
+    assert d.cv_x_percent < 1.0
+    np.testing.assert_allclose(d.a_x, 0.1, rtol=1e-6)
+    assert "diffraction-limited" in d.summary()
+
+
+def test_diagnostics_not_diffraction_limited():
+    f = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+    w0 = np.array([3.0, 3.0, 3.0, 3.0, 3.0])  # constant width: not ∝ λ
+    d = DiagnosticResults.compute(f, w0, w0)
+    assert not d.is_diffraction_limited
+
+
+def test_diagnostics_input_validation():
+    with pytest.raises(ValueError):
+        DiagnosticResults.compute([], [], [])
+    with pytest.raises(ValueError):
+        DiagnosticResults.compute([1.0], [1.0, 2.0], [1.0])
+
+
+# ------------------------------------------------------------------ real data
+@needs_data
+def test_real_knife_edge_full_pipeline(tmp_path):
+    """BASELINE config 4: PSF generation from the real example_beam_width
+    measurements, exported and reloaded through the runtime model."""
+    x = KnifeEdgeMeasurement.from_thz_file(REF_X)
+    y = KnifeEdgeMeasurement.from_thz_file(REF_Y)
+    assert x.time_traces.shape == (300, 1001)
+    params = FilterParams(n_filters=6, start_freq=0.2, end_freq=3.0)
+    res = compute_psf(x, y, params, BeamFitParams(w_max=30.0))
+    assert res is not None and res.curve_fits is not None
+    wx = np.abs(res.x.beam_fits.popt_xs[:, 1])
+    # beam widths decrease with frequency for a real focused THz beam
+    assert wx[0] > wx[-1]
+    assert (wx > 0.1).all() and (wx < 30.0).all()
+
+    # export + reload through the deconvolution-side loader
+    from thz_image_explorer_tpu.io.psf_npz import load_psf, save_psf
+
+    out = str(tmp_path / "psf_out.npz")
+    save_psf(out, res.curve_fits.to_runtime_psf())
+    psf = load_psf(out)
+    assert psf.is_loaded
+    q = np.linspace(0.3, 2.5, 20)
+    w_eval = psf.wx_fit.eval(q.astype(np.float32))
+    assert np.isfinite(w_eval).all() and (w_eval > 0).all()

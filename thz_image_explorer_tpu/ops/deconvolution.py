@@ -226,19 +226,23 @@ def _correlate_same(a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 def _make_fft_conv(h2: int, w2: int, kr: int, kc: int):
     """True linear convolution with 'same' crop for centred canvas kernels
-    (the reference's FFT path, ``deconvolution.rs:472-545``)."""
+    (the reference's FFT path, ``deconvolution.rs:472-545``). Returns
+    ``(precompute, conv)``: the kernel spectrum is computed once per band
+    and reused across all RL iterations."""
     p = _next_pow2(h2 + kr - 1)
     q = _next_pow2(w2 + kc - 1)
     r0 = (kr - 1) // 2
     c0 = (kc - 1) // 2
 
-    def conv(a, k):
+    def precompute(k):
+        return jnp.fft.rfft2(k, (p, q))
+
+    def conv(a, fk):
         fa = jnp.fft.rfft2(a, (p, q))
-        fk = jnp.fft.rfft2(k, (p, q))
         full = jnp.fft.irfft2(fa * fk, (p, q))
         return jax.lax.dynamic_slice(full, (r0, c0), (h2, w2))
 
-    return conv
+    return precompute, conv
 
 
 def _richardson_lucy(padded, psf, psf_mirror, n_iter, conv):
@@ -279,7 +283,10 @@ def _band_contribution(
     padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
     psf_mirror = psf[::-1, ::-1]
     if fft_conv:
-        conv = _make_fft_conv(*padded.shape, psf.shape[0], psf.shape[1])
+        precompute, conv = _make_fft_conv(
+            *padded.shape, psf.shape[0], psf.shape[1]
+        )
+        psf, psf_mirror = precompute(psf), precompute(psf_mirror)
     else:
         conv = _correlate_same
     u = _richardson_lucy(padded, psf, psf_mirror, n_iter, conv)

@@ -1,0 +1,156 @@
+"""Fused interactive update step: the whole non-deconvolution chain in ONE
+compiled program.
+
+The per-stage executor (:mod:`thz_image_explorer_tpu.pipeline.executor`)
+keeps every stage output cached for incremental recompute — the interactive
+contract. This module is the throughput path: scaling → TD band-pass →
+window+FFT → FD band-pass → water notch → iFFT → TD band-pass → intensity
+fused into a single jit so XLA fuses the masks and window into the FFT's
+prologue/epilogue and nothing round-trips through HBM between stages. Used
+by the benchmark, the multi-chip dry run, and batch (non-interactive)
+processing.
+
+All continuous parameters are traced (slider moves never recompile); stage
+on/off flags and the window type are static (flipping a toggle compiles
+once per combination).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thz_image_explorer_tpu.assets.water_lines import WATER_LINES_THZ
+from thz_image_explorer_tpu.data import ScanCube
+from thz_image_explorer_tpu.ops import bandpass as bp
+from thz_image_explorer_tpu.ops.fourier import forward_fft, inverse_fft
+from thz_image_explorer_tpu.ops.intensity import intensity_image
+from thz_image_explorer_tpu.ops.scaling import scale_cube
+from thz_image_explorer_tpu.ops.windows import WindowType
+from thz_image_explorer_tpu.data import _pytree_dataclass
+
+
+class StepConfig(NamedTuple):
+    """Static configuration — part of the jit cache key."""
+
+    window_type: WindowType = WindowType.ADAPTED_BLACKMAN
+    scale: int = 1
+    td_before_active: bool = False
+    fd_active: bool = False
+    notch_active: bool = False
+    td_after_active: bool = False
+    avg_in_fourier_space: bool = False
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepParams:
+    """Traced parameters (pytree) — changing them never recompiles."""
+
+    window_low: jax.Array
+    window_high: jax.Array
+    td_before_low: jax.Array
+    td_before_high: jax.Array
+    td_before_width: jax.Array
+    fd_low: jax.Array
+    fd_high: jax.Array
+    fd_width: jax.Array
+    notch_width: jax.Array
+    notch_depth: jax.Array
+    td_after_low: jax.Array
+    td_after_high: jax.Array
+    td_after_width: jax.Array
+    water_lines: jax.Array
+
+    @staticmethod
+    def defaults_np() -> "StepParams":
+        """Defaults with numpy leaves (no device placement)."""
+        f = lambda v: np.float32(v)
+        return StepParams(
+            window_low=f(1.0),
+            window_high=f(7.0),
+            td_before_low=f(0.0),
+            td_before_high=f(1e9),
+            td_before_width=f(2.0),
+            fd_low=f(0.2),
+            fd_high=f(5.0),
+            fd_width=f(0.1),
+            notch_width=f(0.05),
+            notch_depth=f(1.0),
+            td_after_low=f(0.0),
+            td_after_high=f(1e9),
+            td_after_width=f(0.1),
+            water_lines=np.asarray(WATER_LINES_THZ, np.float32),
+        )
+
+    @staticmethod
+    def defaults() -> "StepParams":
+        f = lambda v: jnp.float32(v)
+        return StepParams(
+            window_low=f(1.0),
+            window_high=f(7.0),
+            td_before_low=f(0.0),
+            td_before_high=f(1e9),
+            td_before_width=f(2.0),
+            fd_low=f(0.2),
+            fd_high=f(5.0),
+            fd_width=f(0.1),
+            notch_width=f(0.05),
+            notch_depth=f(1.0),
+            td_after_low=f(0.0),
+            td_after_high=f(1e9),
+            td_after_width=f(0.1),
+            water_lines=jnp.asarray(np.asarray(WATER_LINES_THZ, np.float32)),
+        )
+
+
+def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
+    cube = scale_cube(cube, cfg.scale)
+    if cfg.td_before_active:
+        cube = cube.replace(
+            data=bp.td_bandpass(
+                cube.data,
+                cube.time,
+                params.td_before_low,
+                params.td_before_high,
+                params.td_before_width,
+            )
+        )
+    cube = forward_fft(cube, cfg.window_type, params.window_low, params.window_high)
+    if cfg.fd_active:
+        fft, amps = bp.fd_bandpass(
+            cube.fft, cube.amplitudes, cube.freq,
+            params.fd_low, params.fd_high, params.fd_width,
+        )
+        cube = cube.replace(fft=fft, amplitudes=amps)
+    if cfg.notch_active:
+        fft, amps = bp.water_notch(
+            cube.fft, cube.amplitudes, cube.freq,
+            params.water_lines, params.notch_width, params.notch_depth,
+        )
+        cube = cube.replace(fft=fft, amplitudes=amps)
+    cube = inverse_fft(cube, cfg.avg_in_fourier_space)
+    if cfg.td_after_active:
+        cube = cube.replace(
+            data=bp.td_bandpass(
+                cube.data,
+                cube.time,
+                params.td_after_low,
+                params.td_after_high,
+                params.td_after_width,
+            )
+        )
+    img = intensity_image(cube.data)
+    return cube, img
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def interactive_update(cube: ScanCube, params: StepParams, cfg: StepConfig):
+    """One fused update of the full interactive chain. Returns
+    ``(cube_out, intensity_image)``."""
+    return _step(cube, params, cfg)

@@ -1,0 +1,365 @@
+"""PSF tool orchestration.
+
+Equivalent of the compute side of ``/root/reference/src/psf_tool/app.rs``:
+the parameter-hash-triggered recompute, the dedicated compute thread with
+progress messages + stale-result guards, the double-knife-edge left/right
+averaging, the curve-fit stage, and the Apply-to-deconvolution handshake.
+(The egui windows become host callbacks / returned result objects.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from thz_image_explorer_tpu.models.psf import PSF
+from thz_image_explorer_tpu.ops.firdesign import create_filter_bank
+from thz_image_explorer_tpu.psf_tool.curve_fitting import CurveFits
+from thz_image_explorer_tpu.psf_tool.data_loader import (
+    KnifeEdgeMeasurement,
+    split_and_flip,
+)
+from thz_image_explorer_tpu.psf_tool.diagnostics import DiagnosticResults
+from thz_image_explorer_tpu.psf_tool.fitting import (
+    BeamFitParams,
+    BeamWidthFits,
+    MeanBeamFit,
+    fit_beam_widths,
+    fit_mean_beam,
+)
+
+
+@dataclasses.dataclass
+class FilterParams:
+    """(``psf_tool/filters.rs:15-38``)"""
+
+    n_filters: int = 20
+    low_cut: float = 0.1
+    high_cut: float = 10.0
+    start_freq: float = 0.15
+    end_freq: float = 5.0
+    win_width: float = 0.5
+    frequency_spacing: str = "log"
+
+
+def check_transition_width(
+    start_freq: float, end_freq: float, win_width: float
+) -> Optional[str]:
+    """Warn when the transition band exceeds half the frequency range
+    (``warnings.rs:27-43``)."""
+    frequency_range = end_freq - start_freq
+    if win_width > frequency_range * 0.5:
+        return (
+            f"Band transition too wide ({win_width:.2f} THz) compared to "
+            f"frequency range ({frequency_range:.2f} THz). "
+            "Suggestion: reduce transition width."
+        )
+    return None
+
+
+@dataclasses.dataclass
+class AxisResult:
+    measurement: KnifeEdgeMeasurement
+    mean_fit: MeanBeamFit
+    beam_fits: BeamWidthFits
+    # left/right detail for the individual-fits view
+    beam_fits_left: Optional[BeamWidthFits] = None
+    beam_fits_right: Optional[BeamWidthFits] = None
+
+
+@dataclasses.dataclass
+class PsfComputeResult:
+    filters: np.ndarray  # (B, ntaps)
+    center_frequencies: np.ndarray
+    x: Optional[AxisResult]
+    y: Optional[AxisResult]
+    curve_fits: Optional[CurveFits]
+    warnings: list
+
+
+def _fit_axis(
+    meas: KnifeEdgeMeasurement,
+    taps: np.ndarray,
+    fit_params: BeamFitParams,
+    progress: Callable[[int, int], bool],
+) -> Optional[AxisResult]:
+    """Fit one axis: split+flip, fit both halves, average left/right and
+    re-center (``app.rs:543-713``)."""
+    left, right = split_and_flip(meas)
+    n_filters = taps.shape[0]
+
+    results = []
+    for half in (left, right):
+        mean_fit = fit_mean_beam(
+            half.positions, half.positions, half.time_traces, half.time_traces
+        )
+        fits = fit_beam_widths(
+            mean_fit,
+            half.positions,
+            half.positions,
+            half.time_traces,
+            half.time_traces,
+            taps,
+            fit_params,
+            progress,
+        )
+        if fits is None:
+            return None
+        results.append((mean_fit, fits))
+    (mean_l, fits_l), (mean_r, fits_r) = results
+
+    # average: left centers negated, widths averaged, then recentered
+    popt_avg = fits_l.popt_xs.copy()
+    popt_avg[:, 0] = (-fits_l.popt_xs[:, 0] + fits_r.popt_xs[:, 0]) / 2.0
+    popt_avg[:, 1] = (fits_l.popt_xs[:, 1] + fits_r.popt_xs[:, 1]) / 2.0
+    mean_pos = popt_avg[:, 0].mean()
+    popt_avg[:, 0] -= mean_pos
+
+    filtered_x_avg = (fits_l.filtered_traces_x + fits_r.filtered_traces_x) / 2.0
+    filtered_y_avg = (fits_l.filtered_traces_y + fits_r.filtered_traces_y) / 2.0
+
+    beam_fits = BeamWidthFits(
+        popt_xs=popt_avg.copy(),
+        popt_ys=popt_avg.copy(),
+        filtered_traces_x=filtered_x_avg,
+        filtered_traces_y=filtered_y_avg,
+        x_positions=fits_l.x_positions,
+        y_positions=fits_l.y_positions,
+    )
+    mean_fit = MeanBeamFit(
+        x0=((-mean_l.x0) + mean_r.x0) / 2.0 - mean_pos,
+        y0=0.0,
+        popt_x=mean_r.popt_x,
+        popt_y=mean_r.popt_y,
+    )
+    return AxisResult(
+        measurement=meas,
+        mean_fit=mean_fit,
+        beam_fits=beam_fits,
+        beam_fits_left=fits_l,
+        beam_fits_right=fits_r,
+    )
+
+
+def compute_curve_fits(
+    center_frequencies: np.ndarray,
+    fits_x: Optional[BeamWidthFits],
+    fits_y: Optional[BeamWidthFits],
+) -> Optional[CurveFits]:
+    """(``app.rs:912-962``) — single-axis measurements reuse the available
+    axis for both."""
+    if fits_x is not None and fits_y is not None:
+        wx = np.abs(fits_x.popt_xs[:, 1])
+        wy = np.abs(fits_y.popt_ys[:, 1])
+        x0 = fits_x.popt_xs[:, 0]
+        y0 = fits_y.popt_ys[:, 0]
+    elif fits_x is not None:
+        wx = wy = np.abs(fits_x.popt_xs[:, 1])
+        x0 = y0 = fits_x.popt_xs[:, 0]
+    elif fits_y is not None:
+        wx = wy = np.abs(fits_y.popt_ys[:, 1])
+        x0 = y0 = fits_y.popt_ys[:, 0]
+    else:
+        return None
+    try:
+        return CurveFits.fit_from_data(center_frequencies, wx, wy, x0, y0)
+    except ValueError:
+        return None
+
+
+def compute_psf(
+    x_meas: Optional[KnifeEdgeMeasurement],
+    y_meas: Optional[KnifeEdgeMeasurement],
+    filter_params: FilterParams,
+    fit_params: Optional[BeamFitParams] = None,
+    progress: Callable[[str, int, int], bool] = lambda _a, _c, _t: True,
+) -> Optional[PsfComputeResult]:
+    """Full PSF computation (``app.rs:415-757``). ``progress(axis, cur,
+    total)`` returning False cancels. Returns None on cancellation."""
+    fit_params = fit_params or BeamFitParams()
+    meas = x_meas if x_meas is not None else y_meas
+    if meas is None:
+        raise ValueError("no measurements given")
+
+    taps, centers = create_filter_bank(
+        filter_params.n_filters,
+        filter_params.start_freq,
+        filter_params.end_freq,
+        filter_params.win_width,
+        meas.times,
+        low_cut=filter_params.low_cut,
+        high_cut=filter_params.high_cut,
+        spacing=filter_params.frequency_spacing,
+    )
+
+    results: list[Optional[AxisResult]] = []
+    for axis_name, m in (("x", x_meas), ("y", y_meas)):
+        if m is None:
+            results.append(None)
+            continue
+        # both halves report into one 2*n_filters progress bar
+        counter = {"n": 0}
+
+        def axis_progress(_cur, total, _axis=axis_name, _counter=counter):
+            _counter["n"] += 1
+            return progress(_axis, _counter["n"], total * 2)
+
+        res = _fit_axis(m, taps, fit_params, axis_progress)
+        if res is None:
+            return None  # cancelled
+        results.append(res)
+
+    x_res, y_res = results
+    curve_fits = compute_curve_fits(
+        centers,
+        x_res.beam_fits if x_res else None,
+        y_res.beam_fits if y_res else None,
+    )
+    warnings = []
+    w = check_transition_width(
+        filter_params.start_freq, filter_params.end_freq, filter_params.win_width
+    )
+    if w:
+        warnings.append(w)
+
+    return PsfComputeResult(
+        filters=taps,
+        center_frequencies=centers,
+        x=x_res,
+        y=y_res,
+        curve_fits=curve_fits,
+        warnings=warnings,
+    )
+
+
+class PsfToolApp:
+    """Threaded orchestration with param-hash auto-recompute, cancellation
+    and stale-result guards (``app.rs:155-413,759-840``)."""
+
+    def __init__(self):
+        self.filter_params = FilterParams()
+        self.fit_params = BeamFitParams()
+        self.x_path: Optional[str] = None
+        self.y_path: Optional[str] = None
+        self.result: Optional[PsfComputeResult] = None
+        self.diagnostics: Optional[DiagnosticResults] = None
+        self.error: Optional[str] = None
+        self.progress: dict[str, tuple[int, int]] = {}
+        self._run_id = 0
+        self._cancel = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._last_params_hash: Optional[int] = None
+        self.on_complete: list[Callable[[PsfComputeResult], None]] = []
+
+    # ------------------------------------------------------------------
+    def _params_hash(self) -> int:
+        return hash(
+            (
+                self.x_path,
+                self.y_path,
+                dataclasses.astuple(self.filter_params),
+                dataclasses.astuple(self.fit_params),
+            )
+        )
+
+    def maybe_recompute(self) -> bool:
+        """Start a recompute if parameters changed since the last run
+        (the reference's param-hash trigger, ``app.rs:1043-1049``)."""
+        h = self._params_hash()
+        if h == self._last_params_hash:
+            return False
+        self._last_params_hash = h
+        self.start_computation()
+        return True
+
+    def start_computation(self):
+        """Cancel any in-flight run and start a new one."""
+        self.cancel()
+        self._cancel = threading.Event()
+        self._run_id += 1
+        run_id = self._run_id
+        cancel = self._cancel
+        self._thread = threading.Thread(
+            target=self._compute, args=(run_id, cancel), daemon=True
+        )
+        self._thread.start()
+
+    def cancel(self):
+        self._cancel.set()
+
+    def wait(self, timeout: Optional[float] = None):
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+
+    def _compute(self, run_id: int, cancel: threading.Event):
+        try:
+            x_meas = (
+                KnifeEdgeMeasurement.from_thz_file(self.x_path)
+                if self.x_path
+                else None
+            )
+            y_meas = (
+                KnifeEdgeMeasurement.from_thz_file(self.y_path)
+                if self.y_path
+                else None
+            )
+            if x_meas is None and y_meas is None:
+                raise ValueError("No files selected")
+
+            def progress(axis, cur, total):
+                self.progress[axis] = (cur, total)
+                return not cancel.is_set()
+
+            result = compute_psf(
+                x_meas, y_meas, self.filter_params, self.fit_params, progress
+            )
+        except Exception as e:  # noqa: BLE001
+            with self._lock:
+                # stale-result guard: only the active run may set state
+                if run_id == self._run_id and not cancel.is_set():
+                    self.error = str(e)
+            return
+        with self._lock:
+            if run_id != self._run_id or cancel.is_set():
+                return  # stale Complete from a cancelled run is dropped
+            self.result = result
+            self.error = None
+            if result is not None and result.curve_fits is not None:
+                self._update_diagnostics(result)
+            for cb in self.on_complete:
+                cb(result)
+
+    def _update_diagnostics(self, result: PsfComputeResult):
+        """(``app.rs:964-978``): diagnostics over 200 points 0.1–10 THz of
+        the fitted width curves."""
+        freqs = 0.1 + np.arange(200) / 199.0 * 9.9
+        w0x = result.curve_fits.wx_fit.evaluate(freqs)
+        w0y = result.curve_fits.wy_fit.evaluate(freqs)
+        try:
+            self.diagnostics = DiagnosticResults.compute(freqs, w0x, w0y)
+        except ValueError:
+            self.diagnostics = None
+
+    # ------------------------------------------------------------------
+    def runtime_psf(self) -> Optional[PSF]:
+        """The ApplyPSF payload (``app.rs:214-217`` →
+        ``ConfigCommand::ApplyPSF``)."""
+        if self.result is None or self.result.curve_fits is None:
+            return None
+        return self.result.curve_fits.to_runtime_psf()
+
+    def export_npz(self, path: str) -> bool:
+        """Export the fitted curves in the 28-key schema
+        (``psf_tool/export.rs``)."""
+        from thz_image_explorer_tpu.io.psf_npz import save_psf
+
+        psf = self.runtime_psf()
+        if psf is None:
+            return False
+        save_psf(path, psf)
+        return True
