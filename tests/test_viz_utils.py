@@ -1,0 +1,168 @@
+"""Tests for viz (colormap, plot math, voxel extraction) and utils
+(settings persistence, log buffer)."""
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from thz_image_explorer_tpu.viz import (
+    color_from_intensity,
+    dynamic_range_db,
+    fft_plot_series,
+    intensity_image_rgba,
+    peak_to_peak,
+    stacked_pulse_series,
+)
+from thz_image_explorer_tpu.ops.voxel import (
+    extract_instances,
+    gaussian_kernel1d,
+    jet_colormap,
+    voxel_opacities,
+)
+from thz_image_explorer_tpu.utils import (
+    LogRingBuffer,
+    PsfToolState,
+    Settings,
+)
+
+
+# ------------------------------------------------------- colormap (the
+# reference's own tests: math_tools.rs:711-754)
+def test_colormap_bw_grayscale():
+    rgb = color_from_intensity(50.0, 100.0, (10.0, 90.0), 50.0, bw=True)
+    assert rgb[0] == rgb[1] == rgb[2]
+
+
+def test_colormap_cold_is_blue():
+    rgb = color_from_intensity(0.0, 100.0, (0.0, 100.0), 50.0, bw=False)
+    # hue > 0.5 -> blue channel dominates red
+    assert rgb[2] > rgb[0]
+
+
+def test_colormap_hot_is_red():
+    rgb = color_from_intensity(100.0, 100.0, (0.0, 100.0), 50.0, bw=False)
+    assert rgb[0] > rgb[2] and rgb[0] > 0.99
+
+
+def test_intensity_image_rgba_orientation():
+    img = np.zeros((4, 3))
+    img[3, 0] = 1.0  # hottest pixel at (x=3, y=0)
+    rgba = intensity_image_rgba(img)
+    assert rgba.shape == (3, 4, 4)
+    # display[(y, x)] with vertical flip: y=0 -> row 2
+    assert rgba[2, 3, 0] == 255  # red at the flipped position
+
+
+# ------------------------------------------------------- plot math
+def test_stacked_pulse_series_offsets():
+    sigs = {"a": np.array([-2.0, 1.0]), "b": np.array([-1.0, 3.0])}
+    shifted, offset = stacked_pulse_series(sigs)
+    np.testing.assert_allclose(offset, 2.1)
+    np.testing.assert_allclose(shifted["a"], [0.1, 3.1])
+
+
+def test_fft_plot_floor():
+    amp = np.array([10.0, 1.0, 0.001])
+    out = fft_plot_series(amp, log_plot=True)
+    floor = 0.001 / 5.0
+    np.testing.assert_allclose(out[0], 20.0)
+    np.testing.assert_allclose(out[2], 20 * np.log10(0.001))
+    # values below the floor clamp to the floor
+    amp2 = np.array([10.0, 1.0, 0.001, 0.00001])
+    out2 = fft_plot_series(amp2, reference_amplitudes=amp, log_plot=True)
+    np.testing.assert_allclose(out2[3], 20 * np.log10(floor))
+
+
+def test_dr_and_ptp():
+    amp = np.concatenate([np.full(50, 100.0), np.full(150, 0.1)])
+    dr = dynamic_range_db(amp)
+    assert dr < 0  # noise floor below peak
+    assert peak_to_peak(np.array([-1.5, 2.5])) == 4.0
+    assert peak_to_peak(np.array([])) == 0.0
+
+
+# ------------------------------------------------------- voxel extraction
+def test_gaussian_kernel_normalized():
+    k = gaussian_kernel1d(3.0, 9)
+    assert len(k) == 19
+    np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(k, k[::-1])
+
+
+def test_jet_colormap_ends():
+    rgb = jet_colormap(np.array([0.0, 0.5, 1.0]))
+    assert rgb[0, 2] == 1.0 and rgb[0, 0] == 0.0  # cold -> blue
+    assert rgb[2, 0] == 1.0 and rgb[2, 2] == 0.0  # hot -> red
+
+
+def test_voxel_opacities_normalization_and_threshold():
+    rng = np.random.default_rng(0)
+    data = np.zeros((4, 4, 64), np.float32)
+    data[1, 1, 30] = 5.0  # a strong voxel line
+    data += 0.0001 * rng.normal(size=data.shape).astype(np.float32)
+    kernel = jnp.asarray(gaussian_kernel1d(3.0, 9))
+    opac, thr = voxel_opacities(
+        jnp.asarray(data), kernel, jnp.float32(2.0), jnp.float32(0.1), 9
+    )
+    opac = np.asarray(opac)
+    assert float(thr) == 0.0  # under the 2M cap
+    # the strong line is normalized to max 1; weak lines zeroed
+    assert abs(opac[1, 1].max() - 1.0) < 1e-6
+    assert opac[0, 0].max() == 0.0
+
+
+def test_extract_instances_geometry():
+    data = np.zeros((4, 4, 32), np.float32)
+    data[2, 1, 16] = 3.0
+    pos, rgba, cw, ch, cd, thr = extract_instances(
+        jnp.asarray(data), time_span=10.0, scaling=1, original_dims=(4, 4, 32)
+    )
+    assert pos.shape[0] == rgba.shape[0] > 0
+    assert cw == 0.25 and ch == 0.25
+    # opacity column in [0, 1]
+    assert (rgba[:, 3] >= 0).all() and (rgba[:, 3] <= 1).all()
+
+
+# ------------------------------------------------------- settings / logging
+def test_settings_roundtrip_with_psf(tmp_path):
+    from thz_image_explorer_tpu.io import load_psf
+
+    s = Settings(dark_mode=False, downscaling=3, sample_thickness=2.5)
+    s.psf = load_psf("/root/reference/sample_data/psf.npz")
+    s.save(str(tmp_path))
+    s2 = Settings.load(str(tmp_path))
+    assert s2.dark_mode is False and s2.downscaling == 3
+    assert s2.sample_thickness == 2.5
+    assert s2.psf is not None and s2.psf.is_loaded
+    np.testing.assert_allclose(
+        s2.psf.wx_fit.correction.knots, s.psf.wx_fit.correction.knots
+    )
+
+
+def test_settings_load_missing_returns_defaults(tmp_path):
+    s = Settings.load(str(tmp_path))
+    assert s.opacity_threshold == 0.1 and s.kernel_radius == 9
+
+
+def test_psf_tool_state_roundtrip(tmp_path):
+    st = PsfToolState(knife_edge_x_path="/a/b.thz", n_filters=33)
+    st.save(str(tmp_path))
+    st2 = PsfToolState.load(str(tmp_path))
+    assert st2.knife_edge_x_path == "/a/b.thz" and st2.n_filters == 33
+
+
+def test_log_ring_buffer():
+    buf = LogRingBuffer(capacity=5)
+    logger = logging.getLogger("thz_image_explorer_tpu.test_ring")
+    logger.addHandler(buf)
+    logger.setLevel(logging.INFO)
+    for i in range(10):
+        logger.info("msg %d", i)
+    assert len(buf.records) == 5
+    assert buf.last_warning is None
+    logger.warning("trouble!")
+    assert buf.last_warning == "trouble!"
+    buf.clear_warning()
+    assert buf.last_warning is None
+    logger.removeHandler(buf)

@@ -1,0 +1,60 @@
+"""Ring-buffer log capture.
+
+Equivalent of the reference's ``egui_logger`` integration: all log records
+go to a bounded ring buffer viewable in the settings window, and the latest
+warn/error is surfaced in the status bar (``gui/application.rs:304-471``,
+``main.rs:138-142`` caps the level at Info because of framework spam).
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import threading
+from typing import Optional
+
+
+class LogRingBuffer(logging.Handler):
+    def __init__(self, capacity: int = 2000, level=logging.INFO):
+        super().__init__(level)
+        self.records = collections.deque(maxlen=capacity)
+        self._last_warning: Optional[logging.LogRecord] = None
+        self._lock2 = threading.Lock()
+        self.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+
+    def emit(self, record: logging.LogRecord):
+        with self._lock2:
+            self.records.append(self.format(record))
+            if record.levelno >= logging.WARNING:
+                self._last_warning = record
+
+    @property
+    def last_warning(self) -> Optional[str]:
+        """The status-bar popup message (latest warn/error)."""
+        with self._lock2:
+            if self._last_warning is None:
+                return None
+            return self._last_warning.getMessage()
+
+    def clear_warning(self):
+        with self._lock2:
+            self._last_warning = None
+
+    def tail(self, n: int = 100) -> list[str]:
+        with self._lock2:
+            return list(self.records)[-n:]
+
+
+_installed: Optional[LogRingBuffer] = None
+
+
+def install_log_buffer(capacity: int = 2000) -> LogRingBuffer:
+    """Install the ring buffer on the package's logger tree."""
+    global _installed
+    if _installed is None:
+        _installed = LogRingBuffer(capacity)
+        logging.getLogger("thz_image_explorer_tpu").addHandler(_installed)
+        logging.getLogger("thz_image_explorer_tpu").setLevel(logging.INFO)
+    return _installed

@@ -1,0 +1,72 @@
+"""Intensity-image colormap.
+
+Equivalent of ``color_from_intensity``
+(``/root/reference/src/gui/matrix_plot.rs:68-122``): normalize to percent,
+remap through the clipping cutoffs, then either a midpoint-warped grayscale
+or a blue→green→red HSV ramp with a draggable midpoint. Vectorized over the
+whole image.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h6 = (h % 1.0) * 6.0
+    i = np.floor(h6).astype(int) % 6
+    f = h6 - np.floor(h6)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def color_from_intensity(
+    intensity,
+    max_intensity: float,
+    cut_off: tuple[float, float] = (0.0, 100.0),
+    midpoint: float = 50.0,
+    bw: bool = False,
+) -> np.ndarray:
+    """Color(s) for intensity value(s); returns float rgb in [0, 1] with
+    shape ``intensity.shape + (3,)``."""
+    y = np.clip(np.asarray(intensity, np.float64) / max_intensity, 0.0, 1.0) * 100.0
+    lo, hi = cut_off
+    remapped = np.where(
+        y <= lo, 0.0, np.where(y >= hi, 1.0, (y - lo) / (hi - lo))
+    )
+    mid = midpoint / 100.0
+    if bw:
+        gray = np.where(
+            remapped <= mid,
+            (remapped / mid) * 0.5,
+            0.5 + (remapped - mid) / (1.0 - mid) * 0.5,
+        )
+        return np.stack([gray, gray, gray], axis=-1)
+    hue = np.where(
+        remapped <= mid,
+        0.667 - (remapped / mid) * 0.334,
+        0.333 - (remapped - mid) / (1.0 - mid) * 0.333,
+    )
+    return _hsv_to_rgb(hue, np.ones_like(hue), np.ones_like(hue))
+
+
+def intensity_image_rgba(
+    img: np.ndarray,
+    cut_off: tuple[float, float] = (0.0, 100.0),
+    midpoint: float = 50.0,
+    bw: bool = False,
+) -> np.ndarray:
+    """Render the intensity image to uint8 RGBA in the reference's display
+    orientation: the GUI draws ``img_display[(y, x)] = data[(x, y)]`` with a
+    vertical flip (``matrix_plot.rs:409-426``)."""
+    rotated = img.T[::-1, :]
+    rgb = color_from_intensity(rotated, float(img.max()) or 1.0, cut_off, midpoint, bw)
+    rgba = np.concatenate(
+        [rgb, np.ones(rgb.shape[:-1] + (1,), rgb.dtype)], axis=-1
+    )
+    return (rgba * 255).astype(np.uint8)

@@ -1,0 +1,56 @@
+"""Plot-series math of the reference's center panel
+(``/root/reference/src/gui/center_panel.rs``), frontend-agnostic."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stacked_pulse_series(
+    signals: dict[str, np.ndarray],
+) -> tuple[dict[str, np.ndarray], float]:
+    """Min-offset stacking (``center_panel.rs:40-99``): every time-domain
+    trace is shifted up by 1.05x the largest |min| across all traces so the
+    pulses stack above zero. Returns (shifted signals, offset)."""
+    offset = max(
+        (abs(float(np.min(s))) for s in signals.values() if len(s)), default=0.0
+    ) * 1.05
+    return {k: np.asarray(s, np.float64) + offset for k, s in signals.items()}, offset
+
+
+def fft_plot_series(
+    amplitudes: np.ndarray,
+    reference_amplitudes: np.ndarray | None = None,
+    log_plot: bool = True,
+) -> np.ndarray:
+    """FFT display values: ``20·log10`` with a floor of ``min/5`` of the
+    *raw* pixel spectrum (``center_panel.rs:207-231``)."""
+    amp = np.asarray(amplitudes, np.float64)
+    if not log_plot:
+        return amp
+    ref = amp if reference_amplitudes is None else np.asarray(reference_amplitudes)
+    floor = float(ref.min()) / 5.0 if len(ref) else 0.0
+    return np.where(
+        amp < floor, 20.0 * np.log10(floor), 20.0 * np.log10(np.maximum(amp, 1e-300))
+    )
+
+
+def dynamic_range_db(signal_fft: np.ndarray) -> float:
+    """DR readout (``center_panel.rs:565-578``): mean of the last 100
+    amplitude bins in dB, relative to the plot's maximum (clamped at
+    −200 dB)."""
+    amp = np.asarray(signal_fft, np.float64)
+    if len(amp) == 0:
+        return 0.0
+    noise = float(amp[-100:].sum()) / 100.0
+    log_vals = fft_plot_series(amp, log_plot=True)
+    max_fft = max(float(log_vals.max()), -200.0)
+    return 20.0 * np.log10(abs(noise) + 1e-10) - max_fft
+
+
+def peak_to_peak(signal: np.ndarray) -> float:
+    """ptp readout in nA (``center_panel.rs:582-591``)."""
+    s = np.asarray(signal, np.float64)
+    if len(s) == 0:
+        return 0.0
+    return float(s.max() - s.min())
