@@ -58,9 +58,15 @@ def bench_tpu(t, data):
         td_after_active=True,
         avg_in_fourier_space=False,
     )
+    def run_once(p):
+        out = interactive_update(cube, p, cfg)
+        # On remote-tunnelled devices block_until_ready can return at
+        # enqueue time; a scalar device->host read is the only reliable
+        # completion barrier.
+        return float(jnp.sum(out[1])), out
+
     # warmup / compile
-    out = interactive_update(cube, params, cfg)
-    jax.block_until_ready(out[1])
+    run_once(params)
 
     import dataclasses
 
@@ -69,8 +75,7 @@ def bench_tpu(t, data):
         # nudge a traced param each run like a slider drag (no recompile)
         params = dataclasses.replace(params, fd_low=jnp.float32(0.2 + 0.001 * i))
         t0 = time.perf_counter()
-        out = interactive_update(cube, params, cfg)
-        jax.block_until_ready(out[1])
+        run_once(params)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), cube
 
@@ -170,11 +175,13 @@ def bench_deconv(cube):
     )
     if geo is None:
         return None
+    import jax.numpy as jnp
+
     out = deconvolve_cube(cube.data, geo)  # includes compile
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0, 0]))  # completion barrier (see bench_tpu)
     t0 = time.perf_counter()
     out = deconvolve_cube(cube.data, geo)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0, 0]))
     return time.perf_counter() - t0
 
 

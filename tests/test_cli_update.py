@@ -1,0 +1,61 @@
+"""CLI shell + update-check tests."""
+
+import numpy as np
+import pytest
+
+from thz_image_explorer_tpu.cli import main
+from thz_image_explorer_tpu.utils.update import is_newer, parse_version
+
+from make_sample import synthetic_scan, write_scan_thz
+
+
+@pytest.fixture
+def scan_path(tmp_path):
+    t, cube = synthetic_scan(width=16, height=16, n_time=128)
+    return write_scan_thz(str(tmp_path / "scan.thzimg"), t, cube, dx=1.0, dy=1.0)
+
+
+def test_cli_info(scan_path, capsys):
+    assert main(["info", scan_path]) == 0
+    out = capsys.readouterr().out
+    assert "16 x 16 pixels x 128 samples" in out
+
+
+def test_cli_process_and_save(scan_path, tmp_path, capsys):
+    out_file = str(tmp_path / "processed.thz")
+    assert (
+        main(
+            [
+                "process",
+                scan_path,
+                "--fd-bandpass", "0.2", "5.0",
+                "--water-notch",
+                "--save", out_file,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "stage timings" in out
+    from thz_image_explorer_tpu.io import open_scan
+
+    cube, _, _ = open_scan(out_file)
+    assert cube.n_time == 128
+
+
+def test_cli_psf_diagnostics(capsys):
+    import os
+
+    psf = "/root/reference/sample_data/psf.npz"
+    if not os.path.exists(psf):
+        pytest.skip("fixture missing")
+    assert main(["psf-diagnostics", psf]) == 0
+    assert "PSF Diagnostics" in capsys.readouterr().out
+
+
+def test_semver():
+    assert parse_version("v1.3.0") == (1, 3, 0)
+    assert is_newer("1.4.0", "1.3.9")
+    assert not is_newer("1.3.0", "1.3.0")
+    with pytest.raises(ValueError):
+        parse_version("nope")

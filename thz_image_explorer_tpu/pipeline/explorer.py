@@ -36,6 +36,38 @@ SELECTED_PIXEL = "Selected Pixel"
 
 
 @dataclasses.dataclass
+class HouseKeeping:
+    """Scan-condition metadata (``data_container.rs:18-56``), populated at
+    load time from the cube geometry (``data_thread.rs:617-639``)."""
+
+    dx: float = 1.0
+    x_range: tuple[float, float] = (0.0, 10.0)
+    dy: float = 1.0
+    y_range: tuple[float, float] = (0.0, 10.0)
+    t_begin: float = 1000.0
+    range: float = 50.0
+    ambient_temperature: float = 22.0
+    ambient_pressure: float = 950.0
+    ambient_humidity: float = 50.0
+    sample_temperature: float = 0.0
+
+    @staticmethod
+    def from_cube(cube: ScanCube) -> "HouseKeeping":
+        hk = HouseKeeping()
+        hk.dx = cube.dx if cube.dx is not None else 1.0
+        hk.dy = cube.dy if cube.dy is not None else 1.0
+        x0 = cube.x_min if cube.x_min is not None else 0.0
+        y0 = cube.y_min if cube.y_min is not None else 0.0
+        hk.x_range = (x0, x0 + cube.width * hk.dx)
+        hk.y_range = (y0, y0 + cube.height * hk.dy)
+        time = np.asarray(cube.time)
+        if len(time):
+            hk.t_begin = float(time[0])
+            hk.range = float(time[-1] - time[0])
+        return hk
+
+
+@dataclasses.dataclass
 class PlotData:
     """Published plot series (``PlotDataContainer``,
     ``data_container.rs:60-105``)."""
@@ -99,6 +131,7 @@ class Explorer:
         self.sample_thickness = 1.0  # (application.rs:184)
         self.image: Optional[np.ndarray] = None
         self.file_path: Optional[str] = None
+        self.housekeeping = HouseKeeping()
 
     # ------------------------------------------------------------ files
     def open_file(self, path: str):
@@ -113,6 +146,7 @@ class Explorer:
         for label, coords in metadata.get_rois():
             self.rois[str(_uuidlib.uuid4())] = (label, coords)
         self.pixel_selected = [0, 0]
+        self.housekeeping = HouseKeeping.from_cube(cube)
         self.pipeline.set_input(cube)
         self.publish()
 

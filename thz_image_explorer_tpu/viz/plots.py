@@ -30,9 +30,13 @@ def fft_plot_series(
         return amp
     ref = amp if reference_amplitudes is None else np.asarray(reference_amplitudes)
     floor = float(ref.min()) / 5.0 if len(ref) else 0.0
-    return np.where(
-        amp < floor, 20.0 * np.log10(floor), 20.0 * np.log10(np.maximum(amp, 1e-300))
-    )
+    with np.errstate(divide="ignore"):
+        # a zero floor yields -inf exactly like the reference's f32 log10
+        return np.where(
+            amp < floor,
+            20.0 * np.log10(max(floor, 1e-300)),
+            20.0 * np.log10(np.maximum(amp, 1e-300)),
+        )
 
 
 def dynamic_range_db(signal_fft: np.ndarray) -> float:
