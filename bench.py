@@ -58,12 +58,15 @@ def bench_tpu(t, data):
         td_after_active=True,
         avg_in_fourier_space=False,
     )
+    _sum = jax.jit(jnp.sum)
+
     def run_once(p):
         out = interactive_update(cube, p, cfg)
         # On remote-tunnelled devices block_until_ready can return at
         # enqueue time; a scalar device->host read is the only reliable
-        # completion barrier.
-        return float(jnp.sum(out[1])), out
+        # completion barrier. (Jitted sum: eager ops are unsupported on
+        # the axon backend.)
+        return float(_sum(out[1])), out
 
     # warmup / compile
     run_once(params)
@@ -177,11 +180,12 @@ def bench_deconv(cube):
         return None
     import jax.numpy as jnp
 
+    _sum = jax.jit(jnp.sum)
     out = deconvolve_cube(cube.data, geo)  # includes compile
-    float(jnp.sum(out[0, 0]))  # completion barrier (see bench_tpu)
+    float(_sum(out))  # completion barrier (see bench_tpu)
     t0 = time.perf_counter()
     out = deconvolve_cube(cube.data, geo)
-    float(jnp.sum(out[0, 0]))
+    float(_sum(out))
     return time.perf_counter() - t0
 
 

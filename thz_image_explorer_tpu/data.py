@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _pytree_dataclass(cls):
@@ -112,16 +113,24 @@ class ScanCube:
         return dataclasses.replace(self, **kwargs)
 
 
-def frequency_axis(time: jnp.ndarray) -> jnp.ndarray:
+def frequency_axis(time) -> jnp.ndarray:
     """Frequency axis the way the reference computes it at load time.
 
     ``io.rs:614-621``: ``freq[i] = i / (time[-1] - time[0])`` for
     ``i in 0..T//2+1`` — i.e. bins of ``1/range`` THz (time in ps). Note this
     is ``i/range`` and *not* ``i/(T*dt)``; we reproduce it exactly.
+
+    Works under jit (traced ``time``) and eagerly; the eager path computes
+    on host to avoid per-op device dispatch (which some backends don't
+    support and which would be slow anyway).
     """
     n = time.shape[0]
-    rng = time[-1] - time[0]
-    return jnp.arange(n // 2 + 1, dtype=jnp.float32) / rng
+    if isinstance(time, jax.core.Tracer):
+        rng = time[-1] - time[0]
+        return jnp.arange(n // 2 + 1, dtype=jnp.float32) / rng
+    t = np.asarray(time)
+    rng = np.float32(t[-1] - t[0])
+    return jnp.asarray(np.arange(n // 2 + 1, dtype=np.float32) / rng)
 
 
 def make_cube(
@@ -145,17 +154,20 @@ def make_cube(
     freq = frequency_axis(time)
     nf = freq.shape[0]
     x, y = data.shape[0], data.shape[1]
+    # zero-filled spectra are device_puts of host zeros, not eager device
+    # ops (eager dispatch is unsupported on some remote TPU backends)
+    zeros = lambda shape, dt: jnp.asarray(np.zeros(shape, dt))
     return ScanCube(
         time=time,
         data=data,
         freq=freq,
-        fft=jnp.zeros((x, y, nf), jnp.complex64),
-        amplitudes=jnp.zeros((x, y, nf), jnp.float32),
-        phases=jnp.zeros((x, y, nf), jnp.float32),
-        avg_data=jnp.zeros((time.shape[0],), jnp.float32),
-        avg_fft=jnp.zeros((nf,), jnp.complex64),
-        avg_signal_fft=jnp.zeros((nf,), jnp.float32),
-        avg_phase_fft=jnp.zeros((nf,), jnp.float32),
+        fft=zeros((x, y, nf), np.complex64),
+        amplitudes=zeros((x, y, nf), np.float32),
+        phases=zeros((x, y, nf), np.float32),
+        avg_data=zeros((time.shape[0],), np.float32),
+        avg_fft=zeros((nf,), np.complex64),
+        avg_signal_fft=zeros((nf,), np.float32),
+        avg_phase_fft=zeros((nf,), np.float32),
         dx=dx,
         dy=dy,
         x_min=x_min,
@@ -165,17 +177,12 @@ def make_cube(
 
 
 @partial(jax.jit, donate_argnums=0)
-def _subtract_dc(data: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel DC-offset subtraction using sample 0 (``io.rs:578-585``)."""
-    return data - data[:, :, :1]
+def _load_kernel(data: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    data = data - data[:, :, :1]
+    return data, jnp.sum(data * data, axis=-1)
 
 
-def load_preprocess(data: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Load-time preprocessing: DC-offset removal + intensity image.
-
-    Mirrors ``io.rs:576-595``: subtract each pixel's first sample, then
-    ``img[x, y] = sum_t data[x, y, t]^2``.
-    """
-    data = _subtract_dc(jnp.asarray(data, jnp.float32))
-    img = jnp.sum(data * data, axis=-1)
-    return data, img
+def load_preprocess(data) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Load-time preprocessing on device: per-pixel DC-offset subtraction
+    using sample 0 plus the intensity image (``io.rs:576-595``)."""
+    return _load_kernel(jnp.asarray(data, jnp.float32))

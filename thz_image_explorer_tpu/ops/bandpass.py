@@ -63,6 +63,7 @@ def td_bandpass_weights(time: jnp.ndarray, low, high, window_width) -> jnp.ndarr
     return jnp.where(inside, win, 0.0)
 
 
+@jax.jit
 def td_bandpass(data: jnp.ndarray, time: jnp.ndarray, low, high, window_width):
     """Apply the TD band-pass to the cube's time traces. Only ``data``
     changes; spectra pass through (matching the reference stage)."""
@@ -100,6 +101,7 @@ def fd_bandpass_weights(freq: jnp.ndarray, low, high, window_width) -> jnp.ndarr
     return jnp.where(inside, win, 0.0)
 
 
+@jax.jit
 def fd_bandpass(fft, amplitudes, freq, low, high, window_width):
     """Apply the FD band-pass: complex spectrum and amplitudes are
     windowed/zeroed; phases are untouched (the reference leaves them)."""
@@ -119,6 +121,7 @@ def water_notch_weights(freq: jnp.ndarray, lines: jnp.ndarray, width, depth) -> 
     return jnp.prod(notch, axis=0)
 
 
+@jax.jit
 def water_notch(fft, amplitudes, freq, lines, width, depth):
     w = water_notch_weights(freq, lines, width, depth)
     return fft * w.astype(fft.dtype), amplitudes * w.astype(amplitudes.dtype)

@@ -341,7 +341,7 @@ def deconvolve_cube(
     spec = _cube_spectrum(data, fft_len)
     taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1).astype(np.complex64)
 
-    acc = jnp.zeros(data.shape, jnp.float32)
+    acc = jnp.asarray(np.zeros(data.shape, np.float32))
     for b in range(n_bands):
         if cancelled():
             return None

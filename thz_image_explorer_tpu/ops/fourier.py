@@ -17,6 +17,9 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from thz_image_explorer_tpu.data import ScanCube
@@ -40,6 +43,7 @@ def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+@partial(jax.jit, static_argnames=("window_type",))
 def forward_fft(
     cube: ScanCube,
     window_type: WindowType,
@@ -65,6 +69,7 @@ def forward_fft(
     )
 
 
+@partial(jax.jit, static_argnames=("avg_in_fourier_space",))
 def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
     """Batched inverse FFT plus pixel-mean spectra.
 
@@ -101,6 +106,7 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
     )
 
 
+@partial(jax.jit, static_argnames=("n_time",))
 def polar_irfft(amplitude: jnp.ndarray, phase: jnp.ndarray, n_time: int) -> jnp.ndarray:
     """Reconstruct a real time trace from amplitude+phase spectra.
 

@@ -19,6 +19,10 @@ def intensity_image(data: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(data * data, axis=-1)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("scale",))
 def upscaled_intensity_image(data: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Intensity image block-upscaled for display after downscaling.
 

@@ -9,6 +9,9 @@ block loop never reads out of bounds for ``nx < W/s`` (``math_tools.rs:283-
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from thz_image_explorer_tpu.data import ScanCube
@@ -24,18 +27,14 @@ def _block_mean(arr: jnp.ndarray, s: int) -> jnp.ndarray:
     return blocks.sum(axis=(1, 3)) / jnp.asarray(s * s, arr.dtype)
 
 
-def scale_cube(cube: ScanCube, scale: int) -> ScanCube:
+@partial(jax.jit, static_argnames=("scale",))
+def _scale_impl(cube: ScanCube, scale: int) -> ScanCube:
     """Downscale ``data``, ``amplitudes``, ``phases`` and ``fft`` by ``scale``.
 
     ``scale`` is static (changing it changes output shapes → recompile, same
     as the reference re-allocating). A no-op for ``scale <= 1`` or when the
     result would be empty (``math_tools.rs:244-256``).
     """
-    if scale <= 1:
-        return cube
-    nx, ny = cube.width // scale, cube.height // scale
-    if nx == 0 or ny == 0:
-        return cube
     dx = cube.dx * scale if cube.dx is not None else None
     dy = cube.dy * scale if cube.dy is not None else None
     return cube.replace(
@@ -47,3 +46,13 @@ def scale_cube(cube: ScanCube, scale: int) -> ScanCube:
         dy=dy,
         scaling=scale,
     )
+
+
+def scale_cube(cube: ScanCube, scale: int) -> ScanCube:
+    """Public entry: no-op (same object) for ``scale <= 1`` or when the
+    result would be empty; otherwise one jitted block-mean program."""
+    if scale <= 1:
+        return cube
+    if cube.width // scale == 0 or cube.height // scale == 0:
+        return cube
+    return _scale_impl(cube, scale)

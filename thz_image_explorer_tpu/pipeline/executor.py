@@ -177,9 +177,9 @@ class Pipeline:
         shape = (cube.width, cube.height, nf)
         return cube.replace(
             freq=freq,
-            fft=jnp.zeros(shape, jnp.complex64),
-            amplitudes=jnp.zeros(shape, jnp.float32),
-            phases=jnp.zeros(shape, jnp.float32),
+            fft=jnp.asarray(np.zeros(shape, np.complex64)),
+            amplitudes=jnp.asarray(np.zeros(shape, np.float32)),
+            phases=jnp.asarray(np.zeros(shape, np.float32)),
         )
 
     # ------------------------------------------------------------------

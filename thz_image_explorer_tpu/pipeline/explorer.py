@@ -18,6 +18,7 @@ import logging
 import uuid as _uuidlib
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,7 +33,16 @@ from thz_image_explorer_tpu.pipeline.executor import Pipeline
 
 log = logging.getLogger(__name__)
 
+_jit_window = jax.jit(window_array, static_argnames=("window_type",))
+
 SELECTED_PIXEL = "Selected Pixel"
+
+
+# Jitted accessors for publishing: pixel indices are traced so pixel
+# clicks never recompile, and nothing runs as eager per-op dispatch (slow,
+# and unsupported on some remote TPU backends).
+_pixel_trace = jax.jit(lambda arr, x, y: arr[x, y])
+_mean_pixels = jax.jit(lambda arr: jnp.mean(arr, axis=(0, 1)))
 
 
 @dataclasses.dataclass
@@ -168,17 +178,18 @@ class Explorer:
 
         cfg = self.pipeline.config
         w = np.asarray(
-            window_array(
+            _jit_window(
                 jnp.asarray(scan_time),
                 cfg.fft_window_type,
-                cfg.fft_window[0],
-                cfg.fft_window[1],
+                jnp.float32(cfg.fft_window[0]),
+                jnp.float32(cfg.fft_window[1]),
             )
         )
-        windowed = signal * w
+        # one-off host math: window + FFT + unwrap of a single trace
+        windowed = (signal * w).astype(np.float32)
         spec = np.fft.rfft(windowed)
         amplitudes = np.abs(spec).astype(np.float32)
-        phases = np.asarray(unwrap(jnp.angle(spec).astype(jnp.float32)))
+        phases = np.unwrap(np.angle(spec)).astype(np.float32)
 
         ref_count = sum(
             1 for _u, (name, _p) in self.rois.items() if "Reference File" in name
@@ -329,28 +340,32 @@ class Explorer:
         rx, ry = pix(raw)
         if rx < raw.width and ry < raw.height:
             plot.time = np.asarray(raw.time)
-            plot.signal = np.asarray(raw.data[rx, ry])
+            plot.signal = np.asarray(_pixel_trace(raw.data, rx, ry))
 
         # raw spectrum from the stage after fft (data_thread.rs:1363-1380)
         raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
         if raw_fd is not None:
             fx, fy = pix(raw_fd)
             plot.frequencies = np.asarray(raw_fd.freq)
-            plot.signal_fft = np.asarray(raw_fd.amplitudes[fx, fy])
-            plot.phase_fft = np.asarray(raw_fd.phases[fx, fy])
+            plot.signal_fft = np.asarray(_pixel_trace(raw_fd.amplitudes, fx, fy))
+            plot.phase_fft = np.asarray(_pixel_trace(raw_fd.phases, fx, fy))
 
         filtered = slots[-1]
         if filtered is not None:
             gx, gy = pix(filtered)
             plot.filtered_time = np.asarray(filtered.time)
-            plot.filtered_signal = np.asarray(filtered.data[gx, gy])
+            plot.filtered_signal = np.asarray(_pixel_trace(filtered.data, gx, gy))
             plot.filtered_frequencies = np.asarray(filtered.freq)
-            plot.filtered_signal_fft = np.asarray(filtered.amplitudes[gx, gy])
-            plot.filtered_phase_fft = np.asarray(filtered.phases[gx, gy])
+            plot.filtered_signal_fft = np.asarray(
+                _pixel_trace(filtered.amplitudes, gx, gy)
+            )
+            plot.filtered_phase_fft = np.asarray(
+                _pixel_trace(filtered.phases, gx, gy)
+            )
             if self.pipeline.config.avg_in_fourier_space:
                 plot.avg_signal = np.asarray(filtered.avg_data)
             else:
-                plot.avg_signal = np.asarray(jnp.mean(filtered.data, axis=(0, 1)))
+                plot.avg_signal = np.asarray(_mean_pixels(filtered.data))
             plot.avg_signal_fft = np.asarray(filtered.avg_signal_fft)
             plot.avg_phase_fft = np.asarray(filtered.avg_phase_fft)
 
@@ -409,8 +424,8 @@ class Explorer:
         if self.sample_selection == SELECTED_PIXEL:
             sx = self.pixel_selected[0] // filtered.scaling
             sy = self.pixel_selected[1] // filtered.scaling
-            samp_amp = np.asarray(filtered.amplitudes[sx, sy])
-            samp_ph = np.asarray(filtered.phases[sx, sy])
+            samp_amp = np.asarray(_pixel_trace(filtered.amplitudes, sx, sy))
+            samp_ph = np.asarray(_pixel_trace(filtered.phases, sx, sy))
         else:
             samp_uuid = self._uuid_for(self.sample_selection)
             if samp_uuid is None:
