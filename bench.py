@@ -24,7 +24,7 @@ import numpy as np
 
 WIDTH, HEIGHT, NTIME = 200, 200, 1024
 DT = 0.05  # ps
-RUNS = 20
+RUNS = 10
 
 
 def _make_data():
@@ -49,6 +49,7 @@ def bench_tpu(t, data):
         interactive_update,
     )
 
+    print("bench: h2d...", file=sys.stderr, flush=True)
     cube = make_cube(jnp.asarray(t), jnp.asarray(data), dx=0.5, dy=0.5)
     params = StepParams.defaults()
     cfg = StepConfig(
@@ -69,14 +70,16 @@ def bench_tpu(t, data):
         return float(_sum(out[1])), out
 
     # warmup / compile
+    print("bench: compile+warmup...", file=sys.stderr, flush=True)
     run_once(params)
+    print("bench: timing...", file=sys.stderr, flush=True)
 
     import dataclasses
 
     times = []
     for i in range(RUNS):
         # nudge a traced param each run like a slider drag (no recompile)
-        params = dataclasses.replace(params, fd_low=jnp.float32(0.2 + 0.001 * i))
+        params = dataclasses.replace(params, fd_low=np.float32(0.2 + 0.001 * i))
         t0 = time.perf_counter()
         run_once(params)
         times.append(time.perf_counter() - t0)
@@ -147,6 +150,7 @@ def bench_cpu_torch(t, data):
         img = (y * y).sum(dim=-1)
         return img, avg_fft, avg_amp, avg_phase
 
+    print("bench: torch cpu...", file=sys.stderr, flush=True)
     chain()  # warmup
     times = []
     for _ in range(3):

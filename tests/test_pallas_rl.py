@@ -1,0 +1,57 @@
+"""Pallas RL kernel vs the XLA direct path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thz_image_explorer_tpu.ops.deconvolution import (
+    _correlate_same,
+    _richardson_lucy,
+)
+from thz_image_explorer_tpu.ops.pallas_rl import (
+    qualifies,
+    richardson_lucy_pallas,
+)
+
+
+def _case(h2=40, w2=36, kr=7, kc=5, n_iter=4, seed=0):
+    rng = np.random.default_rng(seed)
+    padded = rng.uniform(0.1, 1.0, (h2, w2)).astype(np.float32)
+    psf = rng.uniform(0.0, 1.0, (kr, kc)).astype(np.float32)
+    return padded, psf
+
+
+def test_pallas_rl_matches_xla_direct():
+    padded, psf = _case()
+    psf_m = psf[::-1, ::-1]
+    n_iter = jnp.asarray(4, jnp.int32)
+
+    expected = _richardson_lucy(
+        jnp.asarray(padded), jnp.asarray(psf), jnp.asarray(psf_m), n_iter,
+        _correlate_same,
+    )
+    got = richardson_lucy_pallas(
+        jnp.asarray(padded), jnp.asarray(psf), jnp.asarray(psf_m), n_iter,
+        h2=padded.shape[0], w2=padded.shape[1],
+        kr=psf.shape[0], kc=psf.shape[1], interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_pallas_rl_zero_iterations_is_identity():
+    padded, psf = _case()
+    got = richardson_lucy_pallas(
+        jnp.asarray(padded), jnp.asarray(psf), jnp.asarray(psf[::-1, ::-1]),
+        jnp.asarray(0, jnp.int32),
+        h2=padded.shape[0], w2=padded.shape[1],
+        kr=psf.shape[0], kc=psf.shape[1], interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), padded)
+
+
+def test_qualification_limits():
+    assert qualifies(260, 260, 13, 13)
+    assert not qualifies(2000, 2000, 13, 13)  # image too big for VMEM
+    assert not qualifies(100, 100, 11, 11)  # too many taps

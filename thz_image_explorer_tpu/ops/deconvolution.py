@@ -272,6 +272,7 @@ def _band_contribution(
     pad_r_max: int,
     pad_c_max: int,
     fft_conv: bool,
+    use_pallas: bool = False,
 ):
     """One band: FIR-filter the cube, RL-deconvolve its intensity image,
     apply per-pixel gains (``deconvolution.rs:891-1013``)."""
@@ -287,9 +288,17 @@ def _band_contribution(
             *padded.shape, psf.shape[0], psf.shape[1]
         )
         psf, psf_mirror = precompute(psf), precompute(psf_mirror)
+        u = _richardson_lucy(padded, psf, psf_mirror, n_iter, conv)
+    elif use_pallas:
+        from thz_image_explorer_tpu.ops.pallas_rl import richardson_lucy_pallas
+
+        u = richardson_lucy_pallas(
+            padded, psf, psf_mirror, n_iter,
+            h2=padded.shape[0], w2=padded.shape[1],
+            kr=psf.shape[0], kc=psf.shape[1],
+        )
     else:
-        conv = _correlate_same
-    u = _richardson_lucy(padded, psf, psf_mirror, n_iter, conv)
+        u = _richardson_lucy(padded, psf, psf_mirror, n_iter, _correlate_same)
     u = u[
         pad_r_max : pad_r_max + img.shape[0],
         pad_c_max : pad_c_max + img.shape[1],
@@ -302,7 +311,8 @@ def _band_contribution(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_time", "fft_len", "shift", "pad_r_max", "pad_c_max", "fft_conv"
+        "n_time", "fft_len", "shift", "pad_r_max", "pad_c_max", "fft_conv",
+        "use_pallas",
     ),
     donate_argnums=(0,),
 )
@@ -315,6 +325,23 @@ def _band_step(acc, spec, taps_spec, psf, n_iter, pad_r, pad_c, **static):
 @partial(jax.jit, static_argnames=("fft_len",))
 def _cube_spectrum(data, fft_len: int):
     return jnp.fft.rfft(data, n=fft_len, axis=-1)
+
+
+def _pallas_available(h2: int, w2: int, kr: int, kc: int) -> bool:
+    """Use the VMEM-resident pallas RL kernel on TPU when the working set
+    qualifies (see ops.pallas_rl)."""
+    import os
+
+    if os.environ.get("THZ_DISABLE_PALLAS"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    from thz_image_explorer_tpu.ops.pallas_rl import qualifies
+
+    return qualifies(h2, w2, kr, kc)
 
 
 def deconvolve_cube(
@@ -341,6 +368,11 @@ def deconvolve_cube(
     spec = _cube_spectrum(data, fft_len)
     taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1).astype(np.complex64)
 
+    h2 = data.shape[0] + 2 * pad_r_max
+    w2 = data.shape[1] + 2 * pad_c_max
+    kr, kc = geometry.psfs.shape[1], geometry.psfs.shape[2]
+    use_pallas = _pallas_available(h2, w2, kr, kc)
+
     acc = jnp.asarray(np.zeros(data.shape, np.float32))
     for b in range(n_bands):
         if cancelled():
@@ -360,6 +392,7 @@ def deconvolve_cube(
             pad_r_max=pad_r_max,
             pad_c_max=pad_c_max,
             fft_conv=bool(geometry.use_fft_conv[b]),
+            use_pallas=use_pallas,
         )
     progress(1.0)
     return acc

@@ -93,10 +93,10 @@ def tilt_compensate(cube: ScanCube, tilt_x_deg: float, tilt_y_deg: float) -> Sca
     data, new_time = _tilt_kernel(
         cube.data,
         cube.time,
-        jnp.float32(tilt_x_deg),
-        jnp.float32(tilt_y_deg),
-        jnp.float32(cube.dx),
-        jnp.float32(cube.dy),
+        np.float32(tilt_x_deg),
+        np.float32(tilt_y_deg),
+        np.float32(cube.dx),
+        np.float32(cube.dy),
         num_steps,
     )
     return cube.replace(data=data, time=new_time)

@@ -107,7 +107,7 @@ def extract_instances(
     """
     kernel = jnp.asarray(gaussian_kernel1d(kernel_sigma, kernel_radius))
     opac, thr = voxel_opacities(
-        data, kernel, jnp.float32(contrast), jnp.float32(opacity_threshold),
+        data, kernel, np.float32(contrast), np.float32(opacity_threshold),
         kernel_radius,
     )
     opac = np.asarray(opac)

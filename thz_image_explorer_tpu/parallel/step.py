@@ -90,7 +90,8 @@ class StepParams:
 
     @staticmethod
     def defaults() -> "StepParams":
-        f = lambda v: jnp.float32(v)
+        # np scalars: converted at jit dispatch, no eager device ops
+        f = lambda v: np.float32(v)
         return StepParams(
             window_low=f(1.0),
             window_high=f(7.0),

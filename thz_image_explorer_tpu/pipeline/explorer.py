@@ -181,8 +181,8 @@ class Explorer:
             _jit_window(
                 jnp.asarray(scan_time),
                 cfg.fft_window_type,
-                jnp.float32(cfg.fft_window[0]),
-                jnp.float32(cfg.fft_window[1]),
+                np.float32(cfg.fft_window[0]),
+                np.float32(cfg.fft_window[1]),
             )
         )
         # one-off host math: window + FFT + unwrap of a single trace
