@@ -52,6 +52,6 @@ def test_pallas_rl_zero_iterations_is_identity():
 
 
 def test_qualification_limits():
-    assert qualifies(260, 260, 13, 13)
-    assert not qualifies(2000, 2000, 13, 13)  # image too big for VMEM
+    assert qualifies(260, 260, 9, 9)
+    assert not qualifies(2000, 2000, 9, 9)  # image too big for VMEM
     assert not qualifies(100, 100, 11, 11)  # too many taps
