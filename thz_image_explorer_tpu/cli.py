@@ -226,6 +226,13 @@ def _cmd_psf_fit(args):
     return 0
 
 
+def _cmd_serve(args):
+    from thz_image_explorer_tpu.web import serve
+
+    serve(port=args.port, scan=args.scan)
+    return 0
+
+
 def _cmd_psf_diagnostics(args):
     from thz_image_explorer_tpu.io import load_psf
     from thz_image_explorer_tpu.psf_tool import DiagnosticResults
@@ -286,6 +293,11 @@ def main(argv=None):
     p = sub.add_parser("psf-diagnostics", help="Gaussian-beam diagnostics")
     p.add_argument("psf", help="PSF .npz")
     p.set_defaults(fn=_cmd_psf_diagnostics)
+
+    p = sub.add_parser("serve", help="interactive web frontend")
+    p.add_argument("scan", nargs="?", default=None)
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=_cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -154,9 +154,7 @@ def make_cube(
     freq = frequency_axis(time)
     nf = freq.shape[0]
     x, y = data.shape[0], data.shape[1]
-    # zero-filled spectra are device_puts of host zeros, not eager device
-    # ops (eager dispatch is unsupported on some remote TPU backends)
-    zeros = lambda shape, dt: jnp.asarray(np.zeros(shape, dt))
+    zeros = lambda shape, dt: device_zeros(shape=shape, dtype=dt)
     return ScanCube(
         time=time,
         data=data,
@@ -174,6 +172,14 @@ def make_cube(
         y_min=y_min,
         scaling=scaling,
     )
+
+
+@partial(jax.jit, static_argnames=("shape", "dtype"))
+def device_zeros(*, shape, dtype) -> jnp.ndarray:
+    """Zero-filled device allocation as a compiled program: neither an
+    eager op (unsupported on remote backends) nor a host->device transfer
+    (hundreds of MB over a tunnelled device)."""
+    return jnp.zeros(shape, dtype)
 
 
 @partial(jax.jit, donate_argnums=0)

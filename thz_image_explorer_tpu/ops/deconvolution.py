@@ -373,7 +373,9 @@ def deconvolve_cube(
     kr, kc = geometry.psfs.shape[1], geometry.psfs.shape[2]
     use_pallas = _pallas_available(h2, w2, kr, kc)
 
-    acc = jnp.asarray(np.zeros(data.shape, np.float32))
+    from thz_image_explorer_tpu.data import device_zeros
+
+    acc = device_zeros(shape=data.shape, dtype=np.float32)
     for b in range(n_bands):
         if cancelled():
             return None

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from thz_image_explorer_tpu.data import ScanCube, frequency_axis
+from thz_image_explorer_tpu.data import ScanCube, device_zeros, frequency_axis
 from thz_image_explorer_tpu.ops.fourier import forward_fft, inverse_fft
 from thz_image_explorer_tpu.ops.intensity import (
     intensity_image,
@@ -177,9 +177,9 @@ class Pipeline:
         shape = (cube.width, cube.height, nf)
         return cube.replace(
             freq=freq,
-            fft=jnp.asarray(np.zeros(shape, np.complex64)),
-            amplitudes=jnp.asarray(np.zeros(shape, np.float32)),
-            phases=jnp.asarray(np.zeros(shape, np.float32)),
+            fft=device_zeros(shape=shape, dtype=np.complex64),
+            amplitudes=device_zeros(shape=shape, dtype=np.float32),
+            phases=device_zeros(shape=shape, dtype=np.float32),
         )
 
     # ------------------------------------------------------------------

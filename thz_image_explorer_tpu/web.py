@@ -1,0 +1,453 @@
+"""Interactive web frontend.
+
+The GUI replacement for the reference's Bevy/egui desktop shell
+(``/root/reference/src/gui/``): a dependency-free HTTP server driving an
+:class:`ExplorerWorker`. The browser page shows the intensity image
+(click = pixel select, shift-click = ROI polygon vertices with the
+reference's close-within-5% rule, ``matrix_plot.rs:569-637``), pulse and
+FFT plots with water-line overlays and DR/ptp readouts
+(``center_panel.rs``), filter toggles + parameter sliders (right panel),
+and optical-property plots. Commands flow through the same latest-wins
+queue as any other frontend.
+
+Run: ``python -m thz_image_explorer_tpu serve [--port 8080] [scan.thzimg]``
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import struct
+import threading
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from thz_image_explorer_tpu.assets.water_lines import WATER_LINES_THZ
+from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+from thz_image_explorer_tpu.viz import (
+    dynamic_range_db,
+    fft_plot_series,
+    intensity_image_rgba,
+    peak_to_peak,
+)
+
+
+def encode_png(rgba: np.ndarray) -> bytes:
+    """Minimal PNG encoder (RGBA8) — no imaging dependency needed."""
+    h, w = rgba.shape[:2]
+    raw = b"".join(
+        b"\x00" + rgba[i].astype(np.uint8).tobytes() for i in range(h)
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _series(arr, limit=2048):
+    a = np.asarray(arr, np.float64)
+    if len(a) > limit:
+        step = int(np.ceil(len(a) / limit))
+        a = a[::step]
+    return [None if not np.isfinite(v) else round(float(v), 6) for v in a]
+
+
+class WebApp:
+    def __init__(self, worker: ExplorerWorker | None = None):
+        self.worker = worker or ExplorerWorker()
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------- state
+    def state(self) -> dict:
+        ex = self.worker.explorer
+        plot = ex.plot
+        pipeline = ex.pipeline
+        log_plot = pipeline.config.fft_log_plot
+
+        image_b64 = None
+        img_shape = (0, 0)
+        if ex.image is not None and ex.image.size:
+            rgba = intensity_image_rgba(ex.image)
+            image_b64 = base64.b64encode(encode_png(rgba)).decode()
+            img_shape = ex.image.shape
+
+        filters = {}
+        for uuid, f in pipeline.filters.items():
+            cfg = f.config()
+            params = {
+                k: v
+                for k, v in vars(f).items()
+                if isinstance(v, (int, float, bool)) and not k.startswith("_")
+            }
+            if hasattr(f, "params"):  # deconvolution dataclass params
+                import dataclasses as _dc
+
+                params.update(_dc.asdict(f.params))
+            filters[uuid] = {
+                "name": cfg.name,
+                "description": cfg.description,
+                "domain": int(cfg.domain),
+                "hyperlink": cfg.hyperlink,
+                "active": f.active,
+                "params": params,
+                "time_ms": round(pipeline.timings.get(uuid, 0.0) * 1e3, 2),
+                "progress": pipeline.progress.get(uuid),
+            }
+
+        return {
+            "file": ex.file_path,
+            "image": image_b64,
+            "image_shape": list(img_shape),
+            "pixel": ex.pixel_selected,
+            "busy": not self.worker._idle.is_set(),
+            "config": {
+                "fft_window": pipeline.config.fft_window,
+                "fft_window_type": pipeline.config.fft_window_type.value,
+                "scale_factor": pipeline.config.scale_factor,
+                "fft_log_plot": log_plot,
+                "avg_in_fourier_space": pipeline.config.avg_in_fourier_space,
+            },
+            "timings_ms": {
+                k: round(v * 1e3, 2) for k, v in pipeline.timings.items()
+            },
+            "housekeeping": vars(ex.housekeeping),
+            "filters": filters,
+            "rois": {
+                u: {"name": n, "polygon": p}
+                for u, (n, p) in ex.rois.items()
+            },
+            "readouts": {
+                "dr_db": round(dynamic_range_db(plot.signal_fft), 1),
+                "ptp": round(peak_to_peak(plot.signal), 2),
+            },
+            "selection": {
+                "reference": ex.reference_selection,
+                "sample": ex.sample_selection,
+                "thickness": ex.sample_thickness,
+                "available_references": plot.available_references,
+                "available_samples": plot.available_samples,
+            },
+            "plots": {
+                "time": _series(plot.time),
+                "signal": _series(plot.signal),
+                "filtered_time": _series(plot.filtered_time),
+                "filtered_signal": _series(plot.filtered_signal),
+                "avg_signal": _series(plot.avg_signal),
+                "frequencies": _series(plot.frequencies),
+                "signal_fft": _series(
+                    fft_plot_series(plot.signal_fft, log_plot=log_plot)
+                ),
+                "filtered_signal_fft": _series(
+                    fft_plot_series(
+                        plot.filtered_signal_fft, plot.signal_fft, log_plot
+                    )
+                ),
+                "phase_fft": _series(plot.phase_fft),
+                "refractive_index": _series(plot.refractive_index),
+                "absorption": _series(plot.absorption_coefficient),
+                "extinction": _series(plot.extinction_coefficient),
+                "roi_signals": {
+                    u: {"name": n, "y": _series(y)}
+                    for u, (n, y) in plot.roi_signal.items()
+                },
+                "water_lines": list(WATER_LINES_THZ),
+            },
+        }
+
+    # ---------------------------------------------------------- commands
+    ALLOWED = {
+        "open_file", "open_ref", "open_psf", "save_file", "save_rois",
+        "set_fft_window_low", "set_fft_window_high", "set_fft_window_type",
+        "set_fft_log_plot", "set_avg_in_fourier_space", "set_downscaling",
+        "set_selected_pixel", "update_filter", "update_filters",
+        "set_filter_active", "add_roi", "update_roi", "delete_roi",
+        "set_reference", "set_sample", "set_material_thickness",
+        "update_material_calculation",
+    }
+
+    def command(self, method: str, args: list, kwargs: dict):
+        if method == "set_filter_param":
+            uuid, key, value = args
+            f = self.worker.explorer.pipeline.filters[uuid]
+            if hasattr(f, "params") and hasattr(f.params, key):
+                setattr(f.params, key, value)
+            elif hasattr(f, key):
+                setattr(f, key, value)
+            return
+        if method == "set_fft_window_type":
+            from thz_image_explorer_tpu.ops.windows import WindowType
+
+            args = [WindowType(args[0])]
+        if method == "abort":
+            self.worker.abort()
+            return
+        if method not in self.ALLOWED:
+            raise ValueError(f"unknown command {method}")
+        self.worker.send(method, *args, **kwargs)
+
+
+def make_handler(app: WebApp):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/api/state"):
+                try:
+                    self._json(app.state())
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if not self.path.startswith("/api/command"):
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                app.command(
+                    payload.get("method", ""),
+                    payload.get("args", []),
+                    payload.get("kwargs", {}),
+                )
+                self._json({"ok": True})
+            except Exception as e:  # noqa: BLE001
+                self._json({"ok": False, "error": str(e)}, 400)
+
+    return Handler
+
+
+def serve(port: int = 8080, scan: str | None = None, open_worker=None):
+    app = WebApp(open_worker)
+    if scan:
+        app.worker.send("open_file", scan)
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(app))
+    print(f"THz Image Explorer (TPU) serving on http://127.0.0.1:{port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.worker.close()
+
+
+PAGE = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>THz Image Explorer — TPU</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 0; background:#14161a; color:#e6e6e6; display:flex; }
+ #left { width: 460px; padding: 10px; }
+ #center { flex: 1; padding: 10px; }
+ #right { width: 330px; padding: 10px; }
+ canvas { background: #1e2128; border: 1px solid #333; }
+ .panel { background:#1b1e24; border:1px solid #2a2e36; border-radius:6px; padding:8px; margin-bottom:10px; }
+ h3 { margin: 4px 0 8px; font-size: 14px; color:#9ecbff; }
+ label { font-size: 12px; }
+ input[type=range] { width: 130px; vertical-align: middle; }
+ button { background:#2a6; color:#fff; border:0; border-radius:4px; padding:3px 10px; cursor:pointer; margin:2px; }
+ button.off { background:#555; }
+ .ms { color:#8f8; font-size:11px; float:right; }
+ .readout { font-size: 12px; color:#ffce87; margin-right: 12px; }
+ select, input[type=number] { background:#23262d; color:#eee; border:1px solid #444; width:90px; }
+</style></head><body>
+<div id="left">
+ <div class="panel"><h3>Scan</h3>
+  <div id="fileinfo" style="font-size:12px">no scan loaded</div>
+  <input id="path" style="width:300px" placeholder="/path/to/scan.thzimg">
+  <button onclick="cmd('open_file',[el('path').value])">Load</button>
+  <button onclick="cmd('open_ref',[el('path').value])">Load Ref</button>
+  <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button>
+ </div>
+ <div class="panel"><h3>Intensity image <span style="font-size:11px;color:#999">(click: pixel · shift-click: ROI)</span></h3>
+  <canvas id="img" width="440" height="440"></canvas>
+  <div style="font-size:12px" id="roilist"></div>
+ </div>
+ <div class="panel"><h3>Optical properties</h3>
+  ref <select id="refsel" onchange="cmd('set_reference',[this.value])"></select>
+  sample <select id="sampsel" onchange="cmd('set_sample',[this.value])"></select>
+  d(mm) <input id="thick" type="number" step="0.1" value="1.0"
+    onchange="cmd('set_material_thickness',[parseFloat(this.value)])">
+  <canvas id="optical" width="430" height="160"></canvas>
+ </div>
+</div>
+<div id="center">
+ <div class="panel"><h3>Pulse</h3><canvas id="pulse" width="820" height="260"></canvas></div>
+ <div class="panel"><h3>Spectrum
+   <label><input type="checkbox" id="logplot" onchange="cmd('set_fft_log_plot',[this.checked])">log</label>
+   <span class="readout" id="dr"></span><span class="readout" id="ptp"></span></h3>
+  <canvas id="fft" width="820" height="260"></canvas></div>
+ <div class="panel"><h3>Stage timings</h3><div id="timings" style="font-size:12px"></div></div>
+</div>
+<div id="right">
+ <div class="panel"><h3>FFT settings</h3>
+  window <select id="wtype" onchange="cmd('set_fft_window_type',[this.value])">
+   <option value="adapted_blackman">Adapted Blackman</option><option value="blackman">Blackman</option>
+   <option value="hanning">Hanning</option><option value="hamming">Hamming</option>
+   <option value="flat_top">Flat Top</option></select><br>
+  low <input type="range" id="wlo" min="0" max="20" step="0.1" value="1"
+    onchange="cmd('set_fft_window_low',[parseFloat(this.value)])"><span id="wlov"></span><br>
+  high <input type="range" id="whi" min="0" max="20" step="0.1" value="7"
+    onchange="cmd('set_fft_window_high',[parseFloat(this.value)])"><span id="whiv"></span><br>
+  downscale <input type="number" id="dscale" min="1" max="10" value="1"
+    onchange="cmd('set_downscaling',[parseInt(this.value)])">
+  <label><input type="checkbox" id="avgf"
+    onchange="cmd('set_avg_in_fourier_space',[this.checked])">avg in Fourier</label><br>
+  <button onclick="cmd('update_filters',[])">Calculate All</button>
+  <button class="off" onclick="cmd('abort',[])">Abort</button>
+ </div>
+ <div class="panel"><h3>Filters</h3><div id="filters"></div></div>
+</div>
+<script>
+const el = id => document.getElementById(id);
+let S = null, roiDraft = [], imgScale = 1;
+async function cmd(method, args) {
+  await fetch('/api/command', {method:'POST', body: JSON.stringify({method, args})});
+  setTimeout(refresh, 150);
+}
+function drawSeries(ctx, xs, series, colors, overlayLines) {
+  const W = ctx.canvas.width, H = ctx.canvas.height;
+  ctx.clearRect(0,0,W,H);
+  let xmin=Infinity,xmax=-Infinity,ymin=Infinity,ymax=-Infinity;
+  for (const s of series) if (s && s.y && s.y.length) {
+    const sx = s.x || xs;
+    for (let i=0;i<s.y.length;i++){ const v=s.y[i]; if(v==null) continue;
+      const x=sx[Math.min(i,sx.length-1)];
+      if(x<xmin)xmin=x; if(x>xmax)xmax=x; if(v<ymin)ymin=v; if(v>ymax)ymax=v; }
+  }
+  if (!(isFinite(xmin)&&isFinite(ymin))) return;
+  if (ymax===ymin) ymax=ymin+1;
+  const px = x => (x-xmin)/(xmax-xmin)*(W-20)+10;
+  const py = y => H-10-(y-ymin)/(ymax-ymin)*(H-20);
+  if (overlayLines) { ctx.strokeStyle='#247'; ctx.lineWidth=1;
+    for (const f of overlayLines) if (f>=xmin&&f<=xmax) { ctx.beginPath(); ctx.moveTo(px(f),10); ctx.lineTo(px(f),H-10); ctx.stroke(); } }
+  series.forEach((s,si)=>{ if(!s||!s.y) return; const sx=s.x||xs;
+    ctx.strokeStyle=colors[si%colors.length]; ctx.lineWidth=1.3; ctx.beginPath();
+    let started=false;
+    for(let i=0;i<s.y.length;i++){ const v=s.y[i]; if(v==null){started=false;continue;}
+      const X=px(sx[Math.min(i,sx.length-1)]), Y=py(v);
+      if(!started){ctx.moveTo(X,Y);started=true;} else ctx.lineTo(X,Y); }
+    ctx.stroke(); });
+}
+function render() {
+  if (!S) return;
+  el('fileinfo').textContent = (S.file||'no scan loaded') + (S.busy ? '  ⏳' : '');
+  // image
+  if (S.image) {
+    const c = el('img'), ctx = c.getContext('2d'), im = new Image();
+    im.onload = () => {
+      const sc = Math.min(c.width/im.width, c.height/im.height);
+      imgScale = sc;
+      ctx.clearRect(0,0,c.width,c.height);
+      ctx.imageSmoothingEnabled = false;
+      ctx.drawImage(im, 0, 0, im.width*sc, im.height*sc);
+      // selected pixel marker: display coords (x -> col, y flipped row)
+      const H = S.image_shape[1];
+      const dx = S.pixel[0]*sc, dy = (H-1-S.pixel[1])*sc;
+      ctx.strokeStyle='#fff'; ctx.strokeRect(dx-3, dy-3, 6, 6);
+      // ROI draft
+      if (roiDraft.length) { ctx.strokeStyle='#ff0'; ctx.beginPath();
+        roiDraft.forEach((p,i)=>{const X=p[0]*sc,Y=(H-1-p[1])*sc; if(i)ctx.lineTo(X,Y); else ctx.moveTo(X,Y);});
+        ctx.stroke(); }
+    };
+    im.src = 'data:image/png;base64,' + S.image;
+  }
+  const colors = ['#e66','#6ae','#6e8','#ea6','#c6e'];
+  drawSeries(el('pulse').getContext('2d'), S.plots.time,
+    [{y:S.plots.signal},{x:S.plots.filtered_time,y:S.plots.filtered_signal},{y:S.plots.avg_signal},
+     ...Object.values(S.plots.roi_signals).map(r=>({y:r.y}))], colors);
+  drawSeries(el('fft').getContext('2d'), S.plots.frequencies,
+    [{y:S.plots.signal_fft},{y:S.plots.filtered_signal_fft}], colors, S.plots.water_lines);
+  drawSeries(el('optical').getContext('2d'), S.plots.frequencies,
+    [{y:S.plots.refractive_index},{y:S.plots.absorption},{y:S.plots.extinction}], colors);
+  el('dr').textContent = 'DR: ' + S.readouts.dr_db + ' dB';
+  el('ptp').textContent = 'ptp: ' + S.readouts.ptp + ' nA';
+  el('wlov').textContent = S.config.fft_window[0].toFixed(1);
+  el('whiv').textContent = S.config.fft_window[1].toFixed(1);
+  el('timings').innerHTML = Object.entries(S.timings_ms)
+    .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
+  // filters panel
+  el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
+    const params = Object.entries(f.params).filter(([k])=>k!=='active')
+      .map(([k,v])=>`<label>${k} <input type="number" step="0.1" value="${v}"
+        onchange="setParam('${u}','${k}',this.value)"></label>`).join(' ');
+    return `<div style="margin-bottom:8px"><b title="${f.description}">${f.name}</b>
+      <span class="ms">${f.time_ms} ms</span><br>
+      <button class="${f.active?'':'off'}" onclick="cmd('set_filter_active',['${u}',${!f.active}])">
+        ${f.active?'on':'off'}</button>
+      <button onclick="cmd('update_filter',['${u}'],)">Apply</button> ${params}</div>`;
+  }).join('');
+  el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
+    `${r.name} <button class="off" onclick="cmd('delete_roi',['${u}'])">x</button>`).join(' ');
+  for (const sel of ['refsel','sampsel']) {
+    const opts = (sel==='refsel'?S.selection.available_references:S.selection.available_samples);
+    const cur = sel==='refsel'?S.selection.reference:S.selection.sample;
+    el(sel).innerHTML = '<option></option>' + opts.map(o=>
+      `<option ${o===cur?'selected':''}>${o}</option>`).join('');
+  }
+}
+async function setParam(uuid, key, value) {
+  await fetch('/api/command', {method:'POST',
+    body: JSON.stringify({method:'set_filter_param', args:[uuid, key, parseFloat(value)]})});
+}
+el('img').addEventListener('click', ev => {
+  if (!S || !S.image_shape[0]) return;
+  const r = ev.target.getBoundingClientRect();
+  const H = S.image_shape[1];
+  const x = Math.floor((ev.clientX-r.left)/imgScale);
+  const y = H-1-Math.floor((ev.clientY-r.top)/imgScale);
+  if (ev.shiftKey) {
+    // polygon ROI: auto-close within 5% of first vertex (matrix_plot.rs)
+    if (roiDraft.length > 2) {
+      const [fx, fy] = roiDraft[0];
+      const tol = 0.05*Math.max(S.image_shape[0], S.image_shape[1]);
+      if (Math.hypot(fx-x, fy-y) < tol) {
+        const uuid = 'roi-' + Date.now();
+        cmd('add_roi', [uuid, 'ROI ' + Object.keys(S.rois).length, roiDraft]);
+        roiDraft = [];
+        return;
+      }
+    }
+    roiDraft.push([x, y]); render();
+  } else {
+    roiDraft = [];
+    cmd('set_selected_pixel', [x, y]);
+  }
+});
+async function refresh() {
+  try { S = await (await fetch('/api/state')).json(); render(); } catch(e) {}
+}
+setInterval(refresh, 1000);
+refresh();
+</script></body></html>
+"""
