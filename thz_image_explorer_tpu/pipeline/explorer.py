@@ -218,6 +218,25 @@ class Explorer:
         md.set_rois({u: nc for u, nc in self.rois.items() if nc[1] is not None})
         thzio.update_metadata(path, md)
 
+    def save_vtu(self, path: str):
+        """SaveVTU (``data_thread.rs:769-786``): export the current 3-D
+        voxel instances."""
+        from thz_image_explorer_tpu.io.vtk import export_to_vtk
+        from thz_image_explorer_tpu.ops.voxel import extract_instances
+
+        out = self.pipeline.output
+        inp = self.pipeline.input
+        if out is None or inp is None:
+            return
+        t = np.asarray(out.time)
+        positions, rgba, *_ = extract_instances(
+            out.data,
+            time_span=float(t[-1] - t[0]),
+            scaling=out.scaling,
+            original_dims=(inp.width, inp.height, inp.n_time),
+        )
+        export_to_vtk(positions, rgba, path)
+
     def open_psf(self, path: str):
         """OpenPSF (``data_thread.rs:797-812``)."""
         self.pipeline.psf = load_psf(path)

@@ -171,7 +171,7 @@ class WebApp:
 
     # ---------------------------------------------------------- commands
     ALLOWED = {
-        "open_file", "open_ref", "open_psf", "save_file", "save_rois",
+        "open_file", "open_ref", "open_psf", "save_file", "save_rois", "save_vtu",
         "set_fft_window_low", "set_fft_window_high", "set_fft_window_type",
         "set_fft_log_plot", "set_avg_in_fourier_space", "set_downscaling",
         "set_selected_pixel", "update_filter", "update_filters",
