@@ -141,7 +141,9 @@ def test_deconvolve_cancellation():
 
     def cancelled():
         calls["n"] += 1
-        return calls["n"] > 1  # cancel after the first band
+        return calls["n"] > 1  # cancel after the first chunk
 
-    out = deconvolve_cube(jnp.asarray(cube), geo, cancelled=cancelled)
+    out = deconvolve_cube(
+        jnp.asarray(cube), geo, cancelled=cancelled, chunk_size=1
+    )
     assert out is None

@@ -26,9 +26,12 @@ def test_pallas_rl_matches_xla_direct():
     psf_m = psf[::-1, ::-1]
     n_iter = jnp.asarray(4, jnp.int32)
 
+    k = jnp.asarray(psf)
+    kf = jnp.asarray(psf_m)
     expected = _richardson_lucy(
-        jnp.asarray(padded), jnp.asarray(psf), jnp.asarray(psf_m), n_iter,
-        _correlate_same,
+        jnp.asarray(padded), n_iter,
+        lambda a: _correlate_same(a, k),
+        lambda a: _correlate_same(a, kf),
     )
     got = richardson_lucy_pallas(
         jnp.asarray(padded), jnp.asarray(psf), jnp.asarray(psf_m), n_iter,

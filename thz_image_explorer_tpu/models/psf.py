@@ -185,22 +185,23 @@ def gaussian(x: np.ndarray, x0: float, w: float) -> np.ndarray:
     ).astype(np.float32)
 
 
-def create_psf_2d(
+def create_psf_axes(
     psf_x: np.ndarray,
     psf_y: np.ndarray,
     x: np.ndarray,
     y: np.ndarray,
     dx: float,
     dy: float,
-) -> np.ndarray:
-    """Separable 2-D PSF on the pixel grid (``filters/psf.rs:228-313``).
+) -> tuple[np.ndarray, np.ndarray]:
+    """The two 1-D axis profiles whose outer product is the 2-D PSF
+    (``filters/psf.rs:228-313`` — the reference's PSF is exactly separable).
 
     Reproduces the reference's construction exactly, including its
     idiosyncratic grid: the output spans ``±floor(max(axis_mm))`` *integer*
     steps of size ``dx`` (an int-floor of a millimetre value used as a step
     count), with per-axis max-normalization and zero-padding before linear
-    interpolation. The result is generally small (tens of pixels) and not
-    sum-normalized.
+    interpolation. The separability is what lets the deconvolution run
+    Richardson-Lucy as row/column banded matmuls on the MXU.
     """
     psf_x = np.asarray(psf_x, np.float64).copy()
     psf_y = np.asarray(psf_y, np.float64).copy()
@@ -246,4 +247,18 @@ def create_psf_2d(
 
     interp_x = np.interp(xx, x, psf_x)
     interp_y = np.interp(yy, y, psf_y)
-    return np.outer(interp_x, interp_y).astype(np.float32)
+    return interp_x.astype(np.float32), interp_y.astype(np.float32)
+
+
+def create_psf_2d(
+    psf_x: np.ndarray,
+    psf_y: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    dx: float,
+    dy: float,
+) -> np.ndarray:
+    """Dense 2-D PSF — the outer product of :func:`create_psf_axes`
+    (``filters/psf.rs:228-313``); not sum-normalized."""
+    px, py = create_psf_axes(psf_x, psf_y, x, y, dx, dy)
+    return np.outer(px, py).astype(np.float32)

@@ -9,24 +9,40 @@ bands.
 
 Mapping to TPU:
 
-* the rayon band-parallel loop becomes a host loop over bands dispatching
-  ONE compiled band program (uniform static shapes across bands), so the
-  device pipeline stays full while the host retains per-band progress and
-  cancellation — the reference's ``par_for_each_cancellable_reduce``
-  contract (``deconvolution.rs:891-1013``);
-* per-trace FIR filtering becomes one batched rfft of the whole cube
-  (reused across ALL bands) times each band's tap spectrum —
-  ``convolve1d``'s pow2-padded FFT convolution (``deconvolution.rs:266-317``)
-  without re-transforming the data per band;
+* the rayon band-parallel loop becomes a ``lax.scan`` over stacked per-band
+  data inside a handful of chunked dispatches: ALL band inputs (tap
+  spectra, PSF canvases, pad widths, iteration counts) are transferred once
+  as stacked device arrays, each chunk is one compiled program whose scan
+  reuses one band's worth of intermediates, and the host checks progress /
+  cancellation between chunks — the reference's
+  ``par_for_each_cancellable_reduce`` contract (``deconvolution.rs:891-1013``)
+  without 25 independent dispatches each holding cube-sized temporaries;
+* per-trace FIR filtering — ``convolve1d``'s pow2-padded f64 FFT
+  convolution with centre extraction (``deconvolution.rs:266-317``) — is an
+  exact banded matrix product ``filtered = data @ F.T`` with
+  ``F[t, j] = taps[t - j + shift]``: the zero-padded linear convolution's
+  central window, computed on the MXU with no FFT at all (XLA's TPU FFT
+  runs far below matmul throughput at these batch shapes — see
+  ``ops/mxufft.py``);
 * band geometry (PSF canvas size, reflect-pad widths, iteration counts) is
-  host-computed static data; *per-band values* (pad width, iteration count)
-  stay traced so every band runs the same compiled program;
+  host-computed static data; *per-band values* (taps, axis profiles, pad
+  width, iteration count) stay traced so every band runs the same compiled
+  program;
 * Richardson-Lucy iterations use ``lax.fori_loop`` with a traced trip
-  count; small-kernel bands use the MXU via ``lax.conv`` correlation
-  (matching the reference's direct path, which computes correlation), large
-  kernels use true FFT convolution (matching ``convolve2d``'s FFT path,
-  which computes convolution — the two genuinely differ for asymmetric
-  PSFs, and we reproduce each).
+  count. The reference's PSF is exactly separable
+  (``filters/psf.rs:228-313`` builds it as an outer product), so each RL
+  convolution is two banded matmuls: ``corr(u, psf) = R @ u @ C.T`` with
+  ``R[i, k] = px[k - i + cr]``, ``C[j, k] = py[k - j + cc]`` — and the
+  mirrored-PSF correlation is simply ``R.T @ rel @ C`` (odd canvases make
+  the mirror matrices exact transposes). Cost is independent of PSF size,
+  so no FFT fallback is needed even for huge beams.
+* The reference's two convolution paths — direct (which computes
+  *correlation*, no kernel flip) for small kernels and true FFT
+  *convolution* for large ones (``deconvolution.rs:472-545``) — genuinely
+  differ for asymmetric PSFs. Both semantics come out of the same matmul
+  program: a band that would have taken the FFT path gets its axis profiles
+  pre-flipped on the host, which turns the correlation into exactly the
+  reference's convolution.
 
 Reflective padding with a *traced* pad width inside a static canvas is done
 by index arithmetic, so changing band geometry never recompiles.
@@ -42,7 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from thz_image_explorer_tpu.models.psf import PSF, create_psf_2d, gaussian
+from thz_image_explorer_tpu.models.psf import PSF, create_psf_axes, gaussian
 from thz_image_explorer_tpu.ops.firdesign import NTAPS, create_filter_bank
 
 MIN_IMAGE_SIZE = 16  # deconvolution.rs:802
@@ -68,10 +84,12 @@ class BandGeometry:
     taps: np.ndarray  # (B, ntaps) f64
     centers: np.ndarray  # (B,)
     psfs: np.ndarray  # (B, kr_max, kc_max) f32, centred in canvas
+    px: np.ndarray  # (B, kr_max) f32 — axis profiles; psfs[b] = outer(px, py)
+    py: np.ndarray  # (B, kc_max) f32
     pad_r: np.ndarray  # (B,) int32 — reflect pad along axis 0
     pad_c: np.ndarray  # (B,) int32
     n_iter: np.ndarray  # (B,) int32
-    use_fft_conv: np.ndarray  # (B,) bool — which conv path each band takes
+    use_fft_conv: np.ndarray  # (B,) bool — which conv *semantics* each band takes
 
 
 def _next_pow2(n: int) -> int:
@@ -124,7 +142,8 @@ def plan_bands(
     x0s = psf_model.x0_spline.eval_const_extrap(centers32)
     y0s = psf_model.y0_spline.eval_const_extrap(centers32)
 
-    psf_list: list[np.ndarray] = []
+    px_list: list[np.ndarray] = []
+    py_list: list[np.ndarray] = []
     n_iter = np.zeros(len(centers), np.int32)
     for i, fc in enumerate(centers32):
         # PSF spatial range (deconvolution.rs:920-951)
@@ -143,7 +162,9 @@ def plan_bands(
         y = np.arange(-ny, ny + 1, dtype=np.float32) * np.float32(dy)
         gx = gaussian(x, float(x0s[i]), float(wx[i]))
         gy = gaussian(y, float(y0s[i]), float(wy[i]))
-        psf_list.append(create_psf_2d(gx, gy, x, y, dx, dy))
+        axis_x, axis_y = create_psf_axes(gx, gy, x, y, dx, dy)
+        px_list.append(axis_x)
+        py_list.append(axis_y)
 
         # data-derived iteration count (deconvolution.rs:969-971)
         if w_max == w_min:
@@ -156,26 +177,33 @@ def plan_bands(
                 )
             )
 
-    kr = np.array([p.shape[0] for p in psf_list], np.int32)
-    kc = np.array([p.shape[1] for p in psf_list], np.int32)
+    kr = np.array([len(p) for p in px_list], np.int32)
+    kc = np.array([len(p) for p in py_list], np.int32)
     kr_max = int(kr.max())
     kc_max = int(kc.max())
     # canvas dims must stay odd so centred embedding preserves the centre
+    # (and makes the mirrored-kernel banded matrices exact transposes)
     if kr_max % 2 == 0:
         kr_max += 1
     if kc_max % 2 == 0:
         kc_max += 1
 
-    canvases = np.zeros((len(psf_list), kr_max, kc_max), np.float32)
-    for i, p in enumerate(psf_list):
-        r0 = (kr_max - p.shape[0]) // 2
-        c0 = (kc_max - p.shape[1]) // 2
-        canvases[i, r0 : r0 + p.shape[0], c0 : c0 + p.shape[1]] = p
+    px = np.zeros((len(px_list), kr_max), np.float32)
+    py = np.zeros((len(py_list), kc_max), np.float32)
+    for i, (ax, ay) in enumerate(zip(px_list, py_list)):
+        r0 = (kr_max - len(ax)) // 2
+        c0 = (kc_max - len(ay)) // 2
+        px[i, r0 : r0 + len(ax)] = ax
+        py[i, c0 : c0 + len(ay)] = ay
+
+    canvases = px[:, :, None] * py[:, None, :]  # psfs[b] = outer(px, py)
 
     return BandGeometry(
         taps=taps,
         centers=centers,
-        psfs=canvases,
+        psfs=canvases.astype(np.float32),
+        px=px,
+        py=py,
         pad_r=(kr // 2).astype(np.int32),
         pad_c=(kc // 2).astype(np.int32),
         n_iter=n_iter,
@@ -224,81 +252,76 @@ def _correlate_same(a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     )[0, 0]
 
 
-def _make_fft_conv(h2: int, w2: int, kr: int, kc: int):
-    """True linear convolution with 'same' crop for centred canvas kernels
-    (the reference's FFT path, ``deconvolution.rs:472-545``). Returns
-    ``(precompute, conv)``: the kernel spectrum is computed once per band
-    and reused across all RL iterations."""
-    p = _next_pow2(h2 + kr - 1)
-    q = _next_pow2(w2 + kc - 1)
-    r0 = (kr - 1) // 2
-    c0 = (kc - 1) // 2
-
-    def precompute(k):
-        return jnp.fft.rfft2(k, (p, q))
-
-    def conv(a, fk):
-        fa = jnp.fft.rfft2(a, (p, q))
-        full = jnp.fft.irfft2(fa * fk, (p, q))
-        return jax.lax.dynamic_slice(full, (r0, c0), (h2, w2))
-
-    return precompute, conv
-
-
-def _richardson_lucy(padded, psf, psf_mirror, n_iter, conv):
+def _richardson_lucy(padded, n_iter, corr_k, corr_kflip):
     """RL iterations on the (canvas-)padded image
-    (``deconvolution.rs:620-712``). ``n_iter`` is traced."""
+    (``deconvolution.rs:620-712``). ``n_iter`` is traced;
+    ``corr_k``/``corr_kflip`` correlate with the band kernel and its
+    mirror."""
 
     def body(_i, u):
-        ustarp = conv(u, psf)
+        ustarp = corr_k(u)
         rel = padded / (ustarp + _EPS)
-        correction = conv(rel, psf_mirror)
+        correction = corr_kflip(rel)
         return u * correction
 
     return jax.lax.fori_loop(0, n_iter, body, padded)
 
 
+def _banded_matrix(vec, size: int, klen: int):
+    """Dense (size, size) correlation matrix ``M[i, k] = vec[k - i + c]``
+    with ``c = klen // 2`` and zeros outside the band — applying a
+    zero-boundary 'same' 1-D correlation as an MXU matmul. ``vec`` is
+    traced; the index/mask structure is static."""
+    c = klen // 2
+    ii = jnp.arange(size)
+    idx = ii[None, :] - ii[:, None] + c  # [i, k] -> vec index
+    valid = (idx >= 0) & (idx < klen)
+    return jnp.where(valid, vec[jnp.clip(idx, 0, klen - 1)], 0.0)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _band_contribution(
-    spec,  # (X, Y, Lf) complex64 — rfft of the cube, shared across bands
-    taps_spec,  # (Lf,) complex64 — this band's tap spectrum
-    psf,  # (kr_max, kc_max) f32 canvas
+    data,  # (X, Y, T) f32 — the input cube, shared across bands
+    taps,  # (ntaps,) f32 — this band's FIR taps
+    px,  # (kr_max,) f32 — PSF x-axis profile, pre-flipped for FFT-semantics bands
+    py,  # (kc_max,) f32
     n_iter,  # () int32
     pad_r,  # () int32
     pad_c,  # () int32
     *,
-    n_time: int,
-    fft_len: int,
     shift: int,
     pad_r_max: int,
     pad_c_max: int,
-    fft_conv: bool,
-    use_pallas: bool = False,
 ):
     """One band: FIR-filter the cube, RL-deconvolve its intensity image,
-    apply per-pixel gains (``deconvolution.rs:891-1013``)."""
-    filtered = jnp.fft.irfft(spec * taps_spec, n=fft_len, axis=-1)[
-        ..., shift : shift + n_time
-    ].astype(jnp.float32)
+    apply per-pixel gains (``deconvolution.rs:891-1013``). Everything is
+    MXU matmuls; see the module docstring for the mapping."""
+    n_time = data.shape[-1]
+    ntaps = taps.shape[0]
+    # FIR along t: filtered[t] = sum_j data[j] * taps[t - j + shift], the
+    # central window of the zero-padded linear convolution — exactly
+    # convolve1d's FFT result (``deconvolution.rs:266-317``) without FFTs.
+    ti = jnp.arange(n_time)
+    fidx = ti[:, None] - ti[None, :] + shift  # F[t, j] -> taps index
+    fvalid = (fidx >= 0) & (fidx < ntaps)
+    F = jnp.where(fvalid, taps[jnp.clip(fidx, 0, ntaps - 1)], 0.0)
+    filtered = jnp.einsum("xyj,tj->xyt", data, F, precision=_HI)
     img = jnp.sum(filtered * filtered, axis=-1)
 
     padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
-    psf_mirror = psf[::-1, ::-1]
-    if fft_conv:
-        precompute, conv = _make_fft_conv(
-            *padded.shape, psf.shape[0], psf.shape[1]
-        )
-        psf, psf_mirror = precompute(psf), precompute(psf_mirror)
-        u = _richardson_lucy(padded, psf, psf_mirror, n_iter, conv)
-    elif use_pallas:
-        from thz_image_explorer_tpu.ops.pallas_rl import richardson_lucy_pallas
+    h2, w2 = padded.shape
+    R = _banded_matrix(px, h2, px.shape[0])
+    C = _banded_matrix(py, w2, py.shape[0])
 
-        u = richardson_lucy_pallas(
-            padded, psf, psf_mirror, n_iter,
-            h2=padded.shape[0], w2=padded.shape[1],
-            kr=psf.shape[0], kc=psf.shape[1],
-        )
-    else:
-        u = _richardson_lucy(padded, psf, psf_mirror, n_iter, _correlate_same)
+    mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
+    u = _richardson_lucy(
+        padded,
+        n_iter,
+        lambda a: mm(mm(R, a), C.T),  # corr(a, outer(px, py))
+        lambda a: mm(mm(R.T, a), C),  # corr(a, mirrored psf)
+    )
     u = u[
         pad_r_max : pad_r_max + img.shape[0],
         pad_c_max : pad_c_max + img.shape[1],
@@ -310,38 +333,24 @@ def _band_contribution(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "n_time", "fft_len", "shift", "pad_r_max", "pad_c_max", "fft_conv",
-        "use_pallas",
-    ),
+    static_argnames=("shift", "pad_r_max", "pad_c_max"),
     donate_argnums=(0,),
 )
-def _band_step(acc, spec, taps_spec, psf, n_iter, pad_r, pad_c, **static):
-    return acc + _band_contribution(
-        spec, taps_spec, psf, n_iter, pad_r, pad_c, **static
+def _bands_chunk(acc, data, taps, pxs, pys, n_iter, pad_r, pad_c, valid, **static):
+    """One dispatch: scan over a chunk of stacked bands, accumulating their
+    contributions into ``acc`` (donated). The scan reuses a single band's
+    worth of intermediates, so device memory stays bounded regardless of
+    how many bands are queued."""
+
+    def body(a, xs):
+        ts, px, py, ni, pr, pc, vl = xs
+        contrib = _band_contribution(data, ts, px, py, ni, pr, pc, **static)
+        return a + jnp.where(vl, contrib, 0.0), None
+
+    acc, _ = jax.lax.scan(
+        body, acc, (taps, pxs, pys, n_iter, pad_r, pad_c, valid)
     )
-
-
-@partial(jax.jit, static_argnames=("fft_len",))
-def _cube_spectrum(data, fft_len: int):
-    return jnp.fft.rfft(data, n=fft_len, axis=-1)
-
-
-def _pallas_available(h2: int, w2: int, kr: int, kc: int) -> bool:
-    """Use the VMEM-resident pallas RL kernel on TPU when the working set
-    qualifies (see ops.pallas_rl)."""
-    import os
-
-    if os.environ.get("THZ_DISABLE_PALLAS"):
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except RuntimeError:
-        return False
-    from thz_image_explorer_tpu.ops.pallas_rl import qualifies
-
-    return qualifies(h2, w2, kr, kc)
+    return acc
 
 
 def deconvolve_cube(
@@ -349,52 +358,70 @@ def deconvolve_cube(
     geometry: BandGeometry,
     progress: Callable[[float], None] = lambda _f: None,
     cancelled: Callable[[], bool] = lambda: False,
+    chunk_size: int = 5,
 ) -> Optional[jnp.ndarray]:
     """Run the full banked deconvolution; returns the band-summed cube or
     None when cancelled.
 
-    Host loop over bands dispatches a single compiled band program; JAX's
-    async dispatch keeps the device busy while the host checks
-    cancellation — the TPU equivalent of the reference's cancellable
-    band-parallel reduce.
+    All band inputs are transferred to the device once, stacked; bands then
+    run as ``ceil(B / chunk_size)`` scan dispatches. Between chunks the host
+    reports progress and checks cancellation — the TPU equivalent of the
+    reference's cancellable band-parallel reduce, with chunked dispatch
+    bounding both cancel latency and in-flight device memory.
     """
     n_bands, ntaps = geometry.taps.shape
-    n_time = data.shape[-1]
-    fft_len = _next_pow2(n_time + ntaps - 1)
     shift = (ntaps - 1) // 2
     pad_r_max = int(geometry.pad_r.max())
     pad_c_max = int(geometry.pad_c.max())
 
-    spec = _cube_spectrum(data, fft_len)
-    taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1).astype(np.complex64)
+    # Fold each band's convolution *semantics* into its kernel: bands the
+    # reference would FFT-convolve get pre-flipped axis profiles, so the
+    # correlation matmuls compute true convolution for them.
+    flip = geometry.use_fft_conv[:, None]
+    pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
+    pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
+    taps32 = geometry.taps.astype(np.float32)
 
-    h2 = data.shape[0] + 2 * pad_r_max
-    w2 = data.shape[1] + 2 * pad_c_max
-    kr, kc = geometry.psfs.shape[1], geometry.psfs.shape[2]
-    use_pallas = _pallas_available(h2, w2, kr, kc)
+    # pad band count to a multiple of chunk_size with inert (valid=0) bands
+    # so every chunk runs the same compiled program
+    chunk = max(1, min(chunk_size, n_bands))
+    n_padded = ((n_bands + chunk - 1) // chunk) * chunk
+
+    def pad(a):
+        if n_padded == a.shape[0]:
+            return a
+        return np.concatenate(
+            [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
+        )
+
+    valid = pad(np.ones(n_bands, np.float32))
+    stacks = [pad(a) for a in (taps32, pxs, pys, geometry.n_iter,
+                               geometry.pad_r, geometry.pad_c)] + [valid]
+
+    # ALL host->device transfers happen up front, before heavy compute is
+    # queued (transfers racing a deep device queue are fragile on remote
+    # tunnelled backends)
+    chunks = []
+    for c0 in range(0, n_padded, chunk):
+        s = slice(c0, c0 + chunk)
+        chunks.append(
+            tuple(jnp.asarray(np.ascontiguousarray(a[s])) for a in stacks)
+        )
 
     from thz_image_explorer_tpu.data import device_zeros
 
     acc = device_zeros(shape=data.shape, dtype=np.float32)
-    for b in range(n_bands):
+    for i, ch in enumerate(chunks):
         if cancelled():
             return None
-        progress(b / n_bands)
-        acc = _band_step(
+        progress(i * chunk / n_padded)
+        acc = _bands_chunk(
             acc,
-            spec,
-            jnp.asarray(taps_spec[b]),
-            jnp.asarray(geometry.psfs[b]),
-            jnp.asarray(geometry.n_iter[b]),
-            jnp.asarray(geometry.pad_r[b]),
-            jnp.asarray(geometry.pad_c[b]),
-            n_time=n_time,
-            fft_len=fft_len,
+            data,
+            *ch,
             shift=shift,
             pad_r_max=pad_r_max,
             pad_c_max=pad_c_max,
-            fft_conv=bool(geometry.use_fft_conv[b]),
-            use_pallas=use_pallas,
         )
     progress(1.0)
     return acc
