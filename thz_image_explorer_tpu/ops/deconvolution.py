@@ -90,6 +90,11 @@ class BandGeometry:
     pad_c: np.ndarray  # (B,) int32
     n_iter: np.ndarray  # (B,) int32
     use_fft_conv: np.ndarray  # (B,) bool — which conv *semantics* each band takes
+    # device-resident chunk stacks, keyed by chunk size (host->device
+    # transfers of band data happen once per geometry, not per run)
+    _device_chunks: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
 
 def _next_pow2(n: int) -> int:
@@ -279,43 +284,77 @@ def _banded_matrix(vec, size: int, klen: int):
     return jnp.where(valid, vec[jnp.clip(idx, 0, klen - 1)], 0.0)
 
 
-_HI = jax.lax.Precision.HIGHEST
+# bf16x3 ("f32 emulation") matmuls: ~1e-5 relative error, 2x the HIGHEST
+# throughput on v5e — well inside the framework's f32 parity tolerances.
+_PREC = jax.lax.Precision.HIGH
+
+# FIR output-block width: each block of the filtered trace is one matmul
+# against a (block + ntaps - 1, block) tap matrix shared by all blocks.
+FIR_BLOCK = 256
+
+
+def _fir_block_matrix(taps: np.ndarray, shift: int, block: int) -> np.ndarray:
+    """Host-precomputed FIR block matrix ``G[m, t] = taps[t + ntaps-1 - m]``
+    (zeros outside) applying the centred zero-padded linear convolution
+    ``filtered[t] = sum_j x[j] * taps[t - j + shift]`` — exactly
+    ``convolve1d``'s FFT result (``deconvolution.rs:266-317``) — as a
+    matmul over sliding input windows. Identical for every output block,
+    so its size is independent of the trace length."""
+    ntaps = len(taps)
+    width = block + ntaps - 1
+    m = np.arange(width)[:, None]
+    t = np.arange(block)[None, :]
+    idx = t + ntaps - 1 - m
+    valid = (idx >= 0) & (idx < ntaps)
+    return np.where(
+        valid, np.asarray(taps, np.float32)[np.clip(idx, 0, ntaps - 1)], 0.0
+    ).astype(np.float32)
+
+
+def _window_input(data, ntaps: int, shift: int, block: int):
+    """Sliding FIR input windows, built ONCE per chunk and shared by every
+    band: ``xw[n, i, :] = padded_trace[i*block : i*block + width]``."""
+    x, y, n_time = data.shape
+    width = block + ntaps - 1
+    nb = -(-n_time // block)  # ceil
+    t_pad = nb * block
+    left = ntaps - 1 - shift
+    flat = data.reshape(-1, n_time)
+    xp = jnp.pad(flat, ((0, 0), (left, shift + (t_pad - n_time))))
+    return jnp.stack(
+        [xp[:, i * block : i * block + width] for i in range(nb)], axis=1
+    )
 
 
 def _band_contribution(
-    data,  # (X, Y, T) f32 — the input cube, shared across bands
-    taps,  # (ntaps,) f32 — this band's FIR taps
+    xw,  # (X*Y, nb, width) f32 — sliding FIR input windows (shared)
+    g_blk,  # (width, block) f32 — this band's FIR block matrix
     px,  # (kr_max,) f32 — PSF x-axis profile, pre-flipped for FFT-semantics bands
     py,  # (kc_max,) f32
     n_iter,  # () int32
     pad_r,  # () int32
     pad_c,  # () int32
     *,
-    shift: int,
+    shape: tuple[int, int, int],
     pad_r_max: int,
     pad_c_max: int,
 ):
     """One band: FIR-filter the cube, RL-deconvolve its intensity image,
     apply per-pixel gains (``deconvolution.rs:891-1013``). Everything is
     MXU matmuls; see the module docstring for the mapping."""
-    n_time = data.shape[-1]
-    ntaps = taps.shape[0]
-    # FIR along t: filtered[t] = sum_j data[j] * taps[t - j + shift], the
-    # central window of the zero-padded linear convolution — exactly
-    # convolve1d's FFT result (``deconvolution.rs:266-317``) without FFTs.
-    ti = jnp.arange(n_time)
-    fidx = ti[:, None] - ti[None, :] + shift  # F[t, j] -> taps index
-    fvalid = (fidx >= 0) & (fidx < ntaps)
-    F = jnp.where(fvalid, taps[jnp.clip(fidx, 0, ntaps - 1)], 0.0)
-    filtered = jnp.einsum("xyj,tj->xyt", data, F, precision=_HI)
-    img = jnp.sum(filtered * filtered, axis=-1)
+    x, y, n_time = shape
+    t_pad = xw.shape[1] * g_blk.shape[1]
+    filtered = jnp.einsum("nbm,mt->nbt", xw, g_blk, precision=_PREC)
+    filtered = filtered.reshape(-1, t_pad)[:, :n_time]
+    img = jnp.sum(filtered * filtered, axis=-1).reshape(x, y)
+    filtered = filtered.reshape(x, y, n_time)
 
     padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
     h2, w2 = padded.shape
     R = _banded_matrix(px, h2, px.shape[0])
     C = _banded_matrix(py, w2, py.shape[0])
 
-    mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
+    mm = lambda a, b: jnp.matmul(a, b, precision=_PREC)
     u = _richardson_lucy(
         padded,
         n_iter,
@@ -333,22 +372,28 @@ def _band_contribution(
 
 @partial(
     jax.jit,
-    static_argnames=("shift", "pad_r_max", "pad_c_max"),
+    static_argnames=("ntaps", "shift", "pad_r_max", "pad_c_max"),
     donate_argnums=(0,),
 )
-def _bands_chunk(acc, data, taps, pxs, pys, n_iter, pad_r, pad_c, valid, **static):
+def _bands_chunk(acc, data, g_blks, pxs, pys, n_iter, pad_r, pad_c, valid,
+                 *, ntaps, shift, pad_r_max, pad_c_max):
     """One dispatch: scan over a chunk of stacked bands, accumulating their
-    contributions into ``acc`` (donated). The scan reuses a single band's
-    worth of intermediates, so device memory stays bounded regardless of
-    how many bands are queued."""
+    contributions into ``acc`` (donated). The FIR input windows are built
+    once and shared; the scan reuses a single band's worth of
+    intermediates, so device memory stays bounded regardless of how many
+    bands are queued."""
+    xw = _window_input(data, ntaps, shift, g_blks.shape[-1])
 
     def body(a, xs):
-        ts, px, py, ni, pr, pc, vl = xs
-        contrib = _band_contribution(data, ts, px, py, ni, pr, pc, **static)
+        g_blk, px, py, ni, pr, pc, vl = xs
+        contrib = _band_contribution(
+            xw, g_blk, px, py, ni, pr, pc,
+            shape=data.shape, pad_r_max=pad_r_max, pad_c_max=pad_c_max,
+        )
         return a + jnp.where(vl, contrib, 0.0), None
 
     acc, _ = jax.lax.scan(
-        body, acc, (taps, pxs, pys, n_iter, pad_r, pad_c, valid)
+        body, acc, (g_blks, pxs, pys, n_iter, pad_r, pad_c, valid)
     )
     return acc
 
@@ -373,40 +418,46 @@ def deconvolve_cube(
     shift = (ntaps - 1) // 2
     pad_r_max = int(geometry.pad_r.max())
     pad_c_max = int(geometry.pad_c.max())
-
-    # Fold each band's convolution *semantics* into its kernel: bands the
-    # reference would FFT-convolve get pre-flipped axis profiles, so the
-    # correlation matmuls compute true convolution for them.
-    flip = geometry.use_fft_conv[:, None]
-    pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
-    pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
-    taps32 = geometry.taps.astype(np.float32)
-
-    # pad band count to a multiple of chunk_size with inert (valid=0) bands
-    # so every chunk runs the same compiled program
     chunk = max(1, min(chunk_size, n_bands))
-    n_padded = ((n_bands + chunk - 1) // chunk) * chunk
 
-    def pad(a):
-        if n_padded == a.shape[0]:
-            return a
-        return np.concatenate(
-            [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
+    chunks = geometry._device_chunks.get(chunk)
+    if chunks is None:
+        # Fold each band's convolution *semantics* into its kernel: bands
+        # the reference would FFT-convolve get pre-flipped axis profiles,
+        # so the correlation matmuls compute true convolution for them.
+        flip = geometry.use_fft_conv[:, None]
+        pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
+        pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
+        g_blks = np.stack(
+            [_fir_block_matrix(t, shift, FIR_BLOCK) for t in geometry.taps]
         )
 
-    valid = pad(np.ones(n_bands, np.float32))
-    stacks = [pad(a) for a in (taps32, pxs, pys, geometry.n_iter,
-                               geometry.pad_r, geometry.pad_c)] + [valid]
+        # pad band count to a multiple of chunk_size with inert (valid=0)
+        # bands so every chunk runs the same compiled program
+        n_padded = ((n_bands + chunk - 1) // chunk) * chunk
 
-    # ALL host->device transfers happen up front, before heavy compute is
-    # queued (transfers racing a deep device queue are fragile on remote
-    # tunnelled backends)
-    chunks = []
-    for c0 in range(0, n_padded, chunk):
-        s = slice(c0, c0 + chunk)
-        chunks.append(
-            tuple(jnp.asarray(np.ascontiguousarray(a[s])) for a in stacks)
-        )
+        def pad(a):
+            if n_padded == a.shape[0]:
+                return a
+            return np.concatenate(
+                [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
+            )
+
+        valid = pad(np.ones(n_bands, np.float32))
+        stacks = [pad(a) for a in (g_blks, pxs, pys, geometry.n_iter,
+                                   geometry.pad_r, geometry.pad_c)] + [valid]
+
+        # ALL host->device transfers happen up front, before heavy compute
+        # is queued (transfers racing a deep device queue are fragile on
+        # remote tunnelled backends), and are cached on the geometry so
+        # re-running the filter re-sends nothing
+        chunks = []
+        for c0 in range(0, n_padded, chunk):
+            s = slice(c0, c0 + chunk)
+            chunks.append(
+                tuple(jnp.asarray(np.ascontiguousarray(a[s])) for a in stacks)
+            )
+        geometry._device_chunks[chunk] = chunks
 
     from thz_image_explorer_tpu.data import device_zeros
 
@@ -414,11 +465,12 @@ def deconvolve_cube(
     for i, ch in enumerate(chunks):
         if cancelled():
             return None
-        progress(i * chunk / n_padded)
+        progress(i / len(chunks))
         acc = _bands_chunk(
             acc,
             data,
             *ch,
+            ntaps=ntaps,
             shift=shift,
             pad_r_max=pad_r_max,
             pad_c_max=pad_c_max,
