@@ -1,4 +1,4 @@
-"""MXU matmul FFT vs numpy's FFT (the f64-planned oracle)."""
+"""MXU DFT-matmul FFT vs numpy's FFT (the f64-planned oracle)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -6,16 +6,18 @@ import pytest
 
 from thz_image_explorer_tpu.ops import mxufft
 
+ATOL = 5e-5  # HIGH (bf16x3) matmul precision
 
-@pytest.mark.parametrize("n", [32, 256, 1024, 2048, 4096])
+
+@pytest.mark.parametrize("n", [32, 100, 256, 1024, 2048, 4096])
 def test_rfft_matches_numpy(n):
     rng = np.random.default_rng(n)
     x = rng.normal(size=(3, 5, n)).astype(np.float32)
     got = np.asarray(mxufft.rfft_ri(jnp.asarray(x)))
     exp = np.fft.rfft(x.astype(np.float64), axis=-1)
     scale = np.abs(exp).max()
-    np.testing.assert_allclose(got[0] / scale, exp.real / scale, atol=2e-6)
-    np.testing.assert_allclose(got[1] / scale, exp.imag / scale, atol=2e-6)
+    np.testing.assert_allclose(got[0] / scale, exp.real / scale, atol=ATOL)
+    np.testing.assert_allclose(got[1] / scale, exp.imag / scale, atol=ATOL)
 
 
 @pytest.mark.parametrize("n", [256, 1024, 2048])
@@ -26,41 +28,45 @@ def test_rfft_zero_padding(n):
     got = np.asarray(mxufft.rfft_ri(jnp.asarray(x), n=n))
     exp = np.fft.rfft(x.astype(np.float64), n=n, axis=-1)
     scale = np.abs(exp).max()
-    np.testing.assert_allclose(got[0] / scale, exp.real / scale, atol=2e-6)
-    np.testing.assert_allclose(got[1] / scale, exp.imag / scale, atol=2e-6)
+    np.testing.assert_allclose(got[0] / scale, exp.real / scale, atol=ATOL)
+    np.testing.assert_allclose(got[1] / scale, exp.imag / scale, atol=ATOL)
 
 
-@pytest.mark.parametrize("n", [32, 1024, 2048])
+@pytest.mark.parametrize("n", [32, 101, 1024, 2048])
 def test_irfft_roundtrip(n):
     rng = np.random.default_rng(n + 1)
     x = rng.normal(size=(2, 7, n)).astype(np.float32)
     ri = mxufft.rfft_ri(jnp.asarray(x))
     back = np.asarray(mxufft.irfft_ri(ri, n))
-    np.testing.assert_allclose(back, x, atol=1e-4)
+    np.testing.assert_allclose(back, x, atol=5e-4)
 
 
-def test_irfft_matches_numpy():
-    n = 2048
+@pytest.mark.parametrize("n", [100, 2048])
+def test_irfft_matches_numpy(n):
     rng = np.random.default_rng(5)
     m = n // 2 + 1
     spec = (rng.normal(size=(3, m)) + 1j * rng.normal(size=(3, m))).astype(
         np.complex64
     )
+    if n % 2 == 0:
+        spec[:, 0] = spec[:, 0].real  # hermitian endpoints
+        spec[:, -1] = spec[:, -1].real
+    else:
+        spec[:, 0] = spec[:, 0].real
     ri = jnp.asarray(np.stack([spec.real, spec.imag]).astype(np.float32))
     got = np.asarray(mxufft.irfft_ri(ri, n))
     exp = np.fft.irfft(spec.astype(np.complex128), n=n, axis=-1)
     scale = np.abs(exp).max()
-    np.testing.assert_allclose(got / scale, exp / scale, atol=2e-6)
+    np.testing.assert_allclose(got / scale, exp / scale, atol=ATOL)
 
 
-def test_non_pow2_fallback():
+def test_large_n_falls_back_to_native():
     rng = np.random.default_rng(2)
-    x = rng.normal(size=(4, 100)).astype(np.float32)
+    n = mxufft.MAX_MATMUL_N * 2
+    x = rng.normal(size=(2, n)).astype(np.float32)
     got = np.asarray(mxufft.rfft_ri(jnp.asarray(x)))
     exp = np.fft.rfft(x, axis=-1)
-    np.testing.assert_allclose(got[0], exp.real, atol=1e-3)
-    np.testing.assert_allclose(got[1], exp.imag, atol=1e-3)
-    back = np.asarray(
-        mxufft.irfft_ri(jnp.asarray(np.stack([exp.real, exp.imag])), 100)
-    )
+    scale = np.abs(exp).max()
+    np.testing.assert_allclose(got[0] / scale, exp.real / scale, atol=1e-5)
+    back = np.asarray(mxufft.irfft_ri(jnp.asarray(got), n))
     np.testing.assert_allclose(back, x, atol=1e-4)

@@ -23,7 +23,23 @@ import jax
 import jax.numpy as jnp
 
 from thz_image_explorer_tpu.data import ScanCube
+from thz_image_explorer_tpu.ops import mxufft
 from thz_image_explorer_tpu.ops.windows import WindowType, window_array
+
+
+def _rfft(x: jnp.ndarray) -> jnp.ndarray:
+    """Batched r2c along the last axis: MXU DFT matmuls on TPU (~10x the
+    native FFT's throughput at these batch shapes — see ops/mxufft),
+    XLA's FFT elsewhere."""
+    if mxufft.use_matmul_fft():
+        return mxufft.rfft_c64(x)
+    return jnp.fft.rfft(x, axis=-1)
+
+
+def _irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    if mxufft.use_matmul_fft():
+        return mxufft.irfft_c64(spec, n)
+    return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
 
 
 def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -58,7 +74,7 @@ def forward_fft(
     """
     w = window_array(cube.time, window_type, window_low, window_high)
     data = cube.data * w.astype(cube.data.dtype)
-    spec = jnp.fft.rfft(data, axis=-1).astype(jnp.complex64)
+    spec = _rfft(data).astype(jnp.complex64)
     amplitudes = jnp.abs(spec)
     phases = unwrap(jnp.angle(spec))
     return cube.replace(
@@ -93,9 +109,9 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
     avg_data = cube.avg_data
     if avg_in_fourier_space:
         spectrum = avg_signal_fft * jnp.exp(1j * avg_phase_fft)
-        avg_data = jnp.fft.irfft(spectrum, n=n_time).astype(jnp.float32)
+        avg_data = _irfft(spectrum, n_time)
 
-    data = jnp.fft.irfft(cube.fft, n=n_time, axis=-1).astype(jnp.float32)
+    data = _irfft(cube.fft, n_time)
 
     return cube.replace(
         data=data,
@@ -115,4 +131,4 @@ def polar_irfft(amplitude: jnp.ndarray, phase: jnp.ndarray, n_time: int) -> jnp.
     does implicitly.
     """
     spectrum = amplitude * jnp.exp(1j * phase)
-    return jnp.fft.irfft(spectrum, n=n_time, axis=-1).astype(jnp.float32)
+    return _irfft(spectrum, n_time)
