@@ -217,13 +217,9 @@ def main():
 
     # persistent compilation cache: the first process on a machine pays the
     # (remote) XLA compiles, every later run reuses them
-    import jax
+    from thz_image_explorer_tpu.utils.jaxcache import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compile_cache()
 
     t, data = _make_data()
     tpu_s, pipelined_s, cube = bench_tpu(t, data)

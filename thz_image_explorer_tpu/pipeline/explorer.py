@@ -25,8 +25,7 @@ import numpy as np
 from thz_image_explorer_tpu.data import ScanCube
 from thz_image_explorer_tpu.io import dotthz as thzio
 from thz_image_explorer_tpu.io.psf_npz import load_psf
-from thz_image_explorer_tpu.ops.fourier import polar_irfft, unwrap
-from thz_image_explorer_tpu.ops.roi import masked_mean_trace, polygon_mask
+from thz_image_explorer_tpu.ops.roi import polygon_mask
 from thz_image_explorer_tpu.ops.optical import calculate_optical_properties
 from thz_image_explorer_tpu.ops.windows import WindowType, window_array
 from thz_image_explorer_tpu.pipeline.executor import Pipeline
@@ -36,13 +35,6 @@ log = logging.getLogger(__name__)
 _jit_window = jax.jit(window_array, static_argnames=("window_type",))
 
 SELECTED_PIXEL = "Selected Pixel"
-
-
-# Jitted accessors for publishing: pixel indices are traced so pixel
-# clicks never recompile, and nothing runs as eager per-op dispatch (slow,
-# and unsupported on some remote TPU backends).
-_pixel_trace = jax.jit(lambda arr, x, y: arr[x, y])
-_mean_pixels = jax.jit(lambda arr: jnp.mean(arr, axis=(0, 1)))
 
 
 @dataclasses.dataclass
@@ -127,6 +119,9 @@ class Explorer:
     """Synchronous command facade over the incremental pipeline."""
 
     def __init__(self):
+        from thz_image_explorer_tpu.utils.jaxcache import enable_compile_cache
+
+        enable_compile_cache()
         self.pipeline = Pipeline()
         self.plot = PlotData()
         self.metadata = thzio.DotthzMetadata()
@@ -274,25 +269,21 @@ class Explorer:
         (``data_thread.rs:837-840``)."""
         self.pipeline.config.scale_factor = scale
         self.pipeline.run_from(self.pipeline.scaling_index)
-        self.image = self.pipeline.current_image()
         self.publish()
 
     def _rerun_from_fft(self):
         """FFT-window commands re-run from the fft stage
         (``data_thread.rs:813-836``)."""
         self.pipeline.run_from(self.pipeline.fft_index)
-        self.image = self.pipeline.current_image()
         self.publish()
 
     # ------------------------------------------------------- filters
     def update_filter(self, uuid: str, *, force: bool = False):
         self.pipeline.update_filter(uuid, force=force)
-        self.image = self.pipeline.current_image()
         self.publish()
 
     def update_filters(self):
         self.pipeline.update_all()
-        self.image = self.pipeline.current_image()
         self.publish()
 
     def set_filter_active(self, uuid: str, active: bool):
@@ -343,123 +334,134 @@ class Explorer:
     def publish(self):
         """Pull the published plot slices from device state — the
         equivalent of the big ``data_lock`` write at
-        ``data_thread.rs:1336-1560``. Only 1-D traces leave the device."""
+        ``data_thread.rs:1336-1560``. Everything is gathered by ONE device
+        program and fetched in ONE transfer (the cube never leaves HBM);
+        see :mod:`thz_image_explorer_tpu.pipeline.publish`."""
+        from thz_image_explorer_tpu.pipeline.publish import gather_publish
+
         plot = PlotData()
         slots = self.pipeline.slots
         raw = slots[0]
         if raw is None:
             self.plot = plot
             return
-        px, py = self.pixel_selected
+        plot.time = np.asarray(raw.time)
 
-        def pix(cube: ScanCube):
-            return px // cube.scaling, py // cube.scaling
-
-        # raw time-domain trace from slot 0
-        rx, ry = pix(raw)
-        if rx < raw.width and ry < raw.height:
-            plot.time = np.asarray(raw.time)
-            plot.signal = np.asarray(_pixel_trace(raw.data, rx, ry))
-
-        # raw spectrum from the stage after fft (data_thread.rs:1363-1380)
         raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
-        if raw_fd is not None:
-            fx, fy = pix(raw_fd)
-            plot.frequencies = np.asarray(raw_fd.freq)
-            plot.signal_fft = np.asarray(_pixel_trace(raw_fd.amplitudes, fx, fy))
-            plot.phase_fft = np.asarray(_pixel_trace(raw_fd.phases, fx, fy))
-
         filtered = slots[-1]
-        if filtered is not None:
-            gx, gy = pix(filtered)
+        if raw_fd is not None and filtered is not None:
+            poly_rois = [
+                (u, name, poly)
+                for u, (name, poly) in self.rois.items()
+                if poly is not None
+            ]
+            masks = self._roi_mask_stack(poly_rois, filtered)
+            host = gather_publish(
+                raw,
+                raw_fd,
+                filtered,
+                masks,
+                tuple(self.pixel_selected),
+                self.pipeline.config.avg_in_fourier_space,
+            )
+            plot.signal = host["signal"]
+            plot.frequencies = np.asarray(raw_fd.freq)
+            plot.signal_fft = host["signal_fft"]
+            plot.phase_fft = host["phase_fft"]
             plot.filtered_time = np.asarray(filtered.time)
-            plot.filtered_signal = np.asarray(_pixel_trace(filtered.data, gx, gy))
+            plot.filtered_signal = host["filtered_signal"]
             plot.filtered_frequencies = np.asarray(filtered.freq)
-            plot.filtered_signal_fft = np.asarray(
-                _pixel_trace(filtered.amplitudes, gx, gy)
-            )
-            plot.filtered_phase_fft = np.asarray(
-                _pixel_trace(filtered.phases, gx, gy)
-            )
-            if self.pipeline.config.avg_in_fourier_space:
-                plot.avg_signal = np.asarray(filtered.avg_data)
-            else:
-                plot.avg_signal = np.asarray(_mean_pixels(filtered.data))
-            plot.avg_signal_fft = np.asarray(filtered.avg_signal_fft)
-            plot.avg_phase_fft = np.asarray(filtered.avg_phase_fft)
+            plot.filtered_signal_fft = host["filtered_signal_fft"]
+            plot.filtered_phase_fft = host["filtered_phase_fft"]
+            plot.avg_signal = host["avg_signal"]
+            plot.avg_signal_fft = host["avg_signal_fft"]
+            plot.avg_phase_fft = host["avg_phase_fft"]
+            self.image = host["image"]
 
-            self._publish_rois(plot, filtered)
-            self._publish_optical(plot, filtered)
+            roi_spectra = {}
+            for i, (uuid, name, _poly) in enumerate(poly_rois):
+                roi_spectra[uuid] = (
+                    host["roi_amp"][i],
+                    host["roi_ph"][i],
+                    host["roi_trace"][i],
+                )
+                plot.roi_signal[uuid] = (name, host["roi_trace"][i])
+                plot.roi_signal_fft[uuid] = (name, host["roi_amp"][i])
+                plot.roi_phase[uuid] = (name, host["roi_ph"][i])
+            # pseudo-ROIs from loaded reference pulses (host-resident)
+            for uuid, (name, poly) in self.rois.items():
+                if poly is not None:
+                    continue
+                data = self._datasets.get(uuid)
+                if data is None:
+                    continue
+                trace, amplitudes, phases = data
+                roi_spectra[uuid] = (amplitudes, phases, trace)
+                plot.roi_signal[uuid] = (name, trace)
+                plot.roi_signal_fft[uuid] = (name, amplitudes)
+                plot.roi_phase[uuid] = (name, phases)
+
+            self._publish_optical(plot, filtered, roi_spectra, host)
 
         plot.available_references = [name for name, _ in self._roi_names()]
         plot.available_samples = plot.available_references + [SELECTED_PIXEL]
         self.plot = plot
 
+    def _roi_mask_stack(self, poly_rois, filtered: ScanCube) -> np.ndarray:
+        """Host-cached (R, Xf, Yf) f32 mask stack for the polygon ROIs on
+        the final slot's (possibly downscaled) grid."""
+        shape = (filtered.data.shape[0], filtered.data.shape[1])
+        key = (
+            tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
+            shape,
+            filtered.scaling,
+        )
+        cached = getattr(self, "_mask_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if poly_rois:
+            stack = np.stack(
+                [
+                    np.asarray(
+                        polygon_mask(poly, shape, filtered.scaling), np.float32
+                    )
+                    for _u, _n, poly in poly_rois
+                ]
+            )
+        else:
+            stack = np.zeros((0,) + shape, np.float32)
+        self._mask_cache = (key, stack)
+        return stack
+
     def _roi_names(self):
         return [(name, u) for u, (name, _poly) in self.rois.items()]
 
-    def _roi_spectra(self, cube: ScanCube, uuid: str):
-        """ROI-averaged (amplitudes, phases, time-trace) for one ROI."""
-        name, polygon = self.rois[uuid]
-        if polygon is None:
-            data = self._datasets.get(uuid)
-            if data is None:
-                return None
-            trace, amplitudes, phases = data
-            return amplitudes, phases, trace
-        mask = jnp.asarray(
-            polygon_mask(polygon, (cube.data.shape[0], cube.data.shape[1]), cube.scaling)
-        )
-        amp = np.asarray(masked_mean_trace(cube.amplitudes, mask))
-        ph = np.asarray(masked_mean_trace(cube.phases, mask))
-        if self.pipeline.config.avg_in_fourier_space:
-            trace = np.asarray(
-                polar_irfft(jnp.asarray(amp), jnp.asarray(ph), cube.n_time)
-            )
-        else:
-            trace = np.asarray(masked_mean_trace(cube.data, mask))
-        return amp, ph, trace
-
-    def _publish_rois(self, plot: PlotData, filtered: ScanCube):
-        for uuid, (name, _poly) in self.rois.items():
-            spectra = self._roi_spectra(filtered, uuid)
-            if spectra is None:
-                continue
-            amp, ph, trace = spectra
-            plot.roi_signal[uuid] = (name, trace)
-            plot.roi_signal_fft[uuid] = (name, amp)
-            plot.roi_phase[uuid] = (name, ph)
-
-    def _publish_optical(self, plot: PlotData, filtered: ScanCube):
+    def _publish_optical(self, plot: PlotData, filtered: ScanCube, roi_spectra, host):
         """Optical properties for the selected reference/sample
-        (``data_thread.rs:1489-1559``)."""
+        (``data_thread.rs:1489-1559``). Inputs are the already-fetched host
+        spectra; the (tiny) computation runs as one jitted call."""
         ref_uuid = self._uuid_for(self.reference_selection)
-        if ref_uuid is None:
+        if ref_uuid is None or ref_uuid not in roi_spectra:
             return
-        ref = self._roi_spectra(filtered, ref_uuid)
-        if ref is None:
-            return
-        ref_amp, ref_ph, _ = ref
+        ref_amp, ref_ph, _ = roi_spectra[ref_uuid]
         if self.sample_selection == SELECTED_PIXEL:
-            sx = self.pixel_selected[0] // filtered.scaling
-            sy = self.pixel_selected[1] // filtered.scaling
-            samp_amp = np.asarray(_pixel_trace(filtered.amplitudes, sx, sy))
-            samp_ph = np.asarray(_pixel_trace(filtered.phases, sx, sy))
+            samp_amp = host["filtered_signal_fft"]
+            samp_ph = host["filtered_phase_fft"]
         else:
             samp_uuid = self._uuid_for(self.sample_selection)
-            if samp_uuid is None:
+            if samp_uuid is None or samp_uuid not in roi_spectra:
                 return
-            samp = self._roi_spectra(filtered, samp_uuid)
-            if samp is None:
-                return
-            samp_amp, samp_ph, _ = samp
-        n, alpha, kappa = calculate_optical_properties(
-            jnp.asarray(samp_amp),
-            jnp.asarray(samp_ph),
-            jnp.asarray(ref_amp),
-            jnp.asarray(ref_ph),
-            jnp.asarray(np.asarray(filtered.freq)),
-            self.sample_thickness,
+            samp_amp, samp_ph, _ = roi_spectra[samp_uuid]
+        n_bins = min(len(samp_amp), len(ref_amp))
+        n, alpha, kappa = jax.device_get(
+            calculate_optical_properties(
+                jnp.asarray(samp_amp[:n_bins]),
+                jnp.asarray(samp_ph[:n_bins]),
+                jnp.asarray(ref_amp[:n_bins]),
+                jnp.asarray(ref_ph[:n_bins]),
+                jnp.asarray(np.asarray(filtered.freq)[:n_bins]),
+                np.float32(self.sample_thickness),
+            )
         )
         plot.refractive_index = np.asarray(n)
         plot.absorption_coefficient = np.asarray(alpha)
