@@ -420,7 +420,22 @@ def deconvolve_cube(
     pad_c_max = int(geometry.pad_c.max())
     chunk = max(1, min(chunk_size, n_bands))
 
-    chunks = geometry._device_chunks.get(chunk)
+    # Multi-chip: when the cube is pixel-sharded over a mesh, band inputs
+    # replicate onto the same mesh and XLA's SPMD partitioner runs the
+    # chunk program sharded (the FIR and gains are per-pixel local; only
+    # the small RL images incur collectives).
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    data_sharding = getattr(data, "sharding", None)
+    if isinstance(data_sharding, NamedSharding):
+        rep = NamedSharding(data_sharding.mesh, PartitionSpec())
+        transfer = lambda a: jax.device_put(np.ascontiguousarray(a), rep)
+        cache_key = (chunk, id(data_sharding.mesh))
+    else:
+        transfer = lambda a: jnp.asarray(np.ascontiguousarray(a))
+        cache_key = (chunk, None)
+
+    chunks = geometry._device_chunks.get(cache_key)
     if chunks is None:
         # Fold each band's convolution *semantics* into its kernel: bands
         # the reference would FFT-convolve get pre-flipped axis profiles,
@@ -455,13 +470,14 @@ def deconvolve_cube(
         for c0 in range(0, n_padded, chunk):
             s = slice(c0, c0 + chunk)
             chunks.append(
-                tuple(jnp.asarray(np.ascontiguousarray(a[s])) for a in stacks)
+                tuple(transfer(a[s]) for a in stacks)
             )
-        geometry._device_chunks[chunk] = chunks
+        geometry._device_chunks[cache_key] = chunks
 
-    from thz_image_explorer_tpu.data import device_zeros
-
-    acc = device_zeros(shape=data.shape, dtype=np.float32)
+    # accumulator explicitly inherits the cube's placement: zeros_like has
+    # no value dependence on its input, so without out_shardings XLA would
+    # put the result on the default device even for sharded inputs
+    acc = jax.jit(jnp.zeros_like, out_shardings=getattr(data, "sharding", None))(data)
     for i, ch in enumerate(chunks):
         if cancelled():
             return None
