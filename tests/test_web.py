@@ -1,0 +1,91 @@
+"""Web frontend surface: state snapshot, command routing, voxel endpoint.
+
+Drives the WebApp directly (no HTTP) over a synchronous worker — the same
+objects the HTTP handlers call into."""
+
+import json
+
+import numpy as np
+import pytest
+
+from make_sample import synthetic_scan, write_scan_thz
+
+
+@pytest.fixture
+def app(tmp_path):
+    from thz_image_explorer_tpu.web import WebApp
+
+    t, cube = synthetic_scan(width=24, height=20, n_time=128)
+    path = tmp_path / "scan.thzimg"
+    write_scan_thz(str(path), t, cube, dx=1.0, dy=1.0)
+    write_scan_thz(str(tmp_path / "scan2.thzimg"), t, cube, dx=1.0, dy=1.0)
+
+    app = WebApp()
+    app.worker.send("open_file", str(path))
+    app.worker.join_idle()
+    return app
+
+
+def test_state_snapshot_is_json_complete(app):
+    s = app.state()
+    json.dumps(s)  # fully serializable
+    assert s["file"].endswith("scan.thzimg")
+    assert s["image_shape"] == [24, 20]
+    assert len(s["siblings"]) == 2
+    assert "signal" in s["plots"] and len(s["plots"]["signal"]) > 0
+    assert "avg_signal_fft" in s["plots"]
+    assert "roi_ffts" in s["plots"]
+    assert s["metadata"]["md"].get("dx [mm]") == "1.0"
+    assert "dr_db" in s["readouts"]
+
+
+def test_view_and_metadata_commands(app):
+    app.command("set_view", ["cut_low", 15], {})
+    app.command("set_view", ["bw", True], {})
+    assert app.view["cut_low"] == 15.0 and app.view["bw"] is True
+
+    app.command("set_metadata_attr", ["Operator", "bench"], {})
+    app.command("set_metadata_field", ["user", "someone"], {})
+    s = app.state()
+    assert s["metadata"]["md"]["Operator"] == "bench"
+    assert s["metadata"]["fields"]["user"] == "someone"
+    app.command("delete_metadata_attr", ["Operator"], {})
+    assert "Operator" not in app.state()["metadata"]["md"]
+
+    # persisted metadata round-trip
+    app.command("update_metadata", [], {})
+    app.worker.join_idle()
+    from thz_image_explorer_tpu.io.dotthz import load_metadata
+
+    md = load_metadata(app.worker.explorer.file_path)
+    assert md.user == "someone"
+
+
+def test_sibling_navigation(app):
+    first = app.worker.explorer.file_path
+    app.command("open_sibling", [1], {})
+    app.worker.join_idle()
+    assert app.worker.explorer.file_path != first
+    app.command("open_sibling", [1], {})
+    app.worker.join_idle()
+    assert app.worker.explorer.file_path == first  # wraps around
+
+
+def test_voxels_endpoint(app):
+    v = app.voxels(threshold=0.2)
+    assert v["n"] > 0
+    import base64
+
+    pos = np.frombuffer(base64.b64decode(v["positions"]), np.float32)
+    rgba = np.frombuffer(base64.b64decode(v["rgba"]), np.uint8)
+    assert pos.shape[0] == v["n"] * 3
+    assert rgba.shape[0] == v["n"] * 4
+    assert np.isfinite(pos).all()
+
+
+def test_filter_param_command(app):
+    ex = app.worker.explorer
+    uuid = "frequency_band_pass"
+    f = ex.pipeline.filters[uuid]
+    app.command("set_filter_param", [uuid, "low", 0.4], {})
+    assert f.low == 0.4

@@ -236,6 +236,30 @@ class Explorer:
         """OpenPSF (``data_thread.rs:797-812``)."""
         self.pipeline.psf = load_psf(path)
 
+    def update_metadata(self):
+        """UpdateMetaData: rewrite the open file's metadata in place
+        (``io.rs:363-380``)."""
+        if self.file_path is None:
+            return
+        thzio.update_metadata(self.file_path, self.metadata)
+
+    def sibling_files(self) -> list[str]:
+        """Files with the open file's extension in its directory, sorted —
+        the left panel's arrow-key navigation table (``io.rs:285-308``)."""
+        if self.file_path is None:
+            return []
+        from thz_image_explorer_tpu.io.files import find_files_with_same_extension
+
+        return find_files_with_same_extension(self.file_path)
+
+    def open_sibling(self, delta: int):
+        """Arrow-key prev/next navigation (``left_panel.rs:165-275``)."""
+        sibs = self.sibling_files()
+        if not sibs or self.file_path not in sibs:
+            return
+        idx = (sibs.index(self.file_path) + delta) % len(sibs)
+        self.open_file(sibs[idx])
+
     def apply_psf(self, psf):
         """ApplyPSF from the PSF tool (``data_thread.rs:787-796``)."""
         self.pipeline.psf = psf

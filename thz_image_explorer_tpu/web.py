@@ -18,6 +18,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os as _os
 import struct
 import threading
 import zlib
@@ -71,6 +72,12 @@ class WebApp:
     def __init__(self, worker: ExplorerWorker | None = None):
         self.worker = worker or ExplorerWorker()
         self._lock = threading.Lock()
+        # colorbar / display state (matrix_plot.rs:68-314): clipping
+        # percentages, draggable midpoint, BW toggle
+        self.view = {"cut_low": 0.0, "cut_high": 100.0, "midpoint": 50.0, "bw": False}
+        from thz_image_explorer_tpu.utils.logbuffer import install_log_buffer
+
+        self.logbuf = install_log_buffer()
 
     # ------------------------------------------------------------- state
     def state(self) -> dict:
@@ -82,7 +89,12 @@ class WebApp:
         image_b64 = None
         img_shape = (0, 0)
         if ex.image is not None and ex.image.size:
-            rgba = intensity_image_rgba(ex.image)
+            rgba = intensity_image_rgba(
+                ex.image,
+                cut_off=(self.view["cut_low"], self.view["cut_high"]),
+                midpoint=self.view["midpoint"],
+                bw=self.view["bw"],
+            )
             image_b64 = base64.b64encode(encode_png(rgba)).decode()
             img_shape = ex.image.shape
 
@@ -126,6 +138,19 @@ class WebApp:
                 k: round(v * 1e3, 2) for k, v in pipeline.timings.items()
             },
             "housekeeping": vars(ex.housekeeping),
+            "view": dict(self.view),
+            "metadata": {
+                "fields": {
+                    k: getattr(ex.metadata, k)
+                    for k in ("user", "email", "orcid", "institution",
+                              "description", "version", "mode", "instrument",
+                              "time", "date")
+                },
+                "md": dict(ex.metadata.md),
+            },
+            "siblings": [_os.path.basename(s) for s in ex.sibling_files()],
+            "log": self.logbuf.tail(40),
+            "last_warning": self.logbuf.last_warning,
             "filters": filters,
             "rois": {
                 u: {"name": n, "polygon": p}
@@ -158,12 +183,25 @@ class WebApp:
                     )
                 ),
                 "phase_fft": _series(plot.phase_fft),
+                "filtered_phase_fft": _series(plot.filtered_phase_fft),
+                "avg_signal_fft": _series(
+                    fft_plot_series(plot.avg_signal_fft, plot.signal_fft, log_plot)
+                ),
                 "refractive_index": _series(plot.refractive_index),
                 "absorption": _series(plot.absorption_coefficient),
                 "extinction": _series(plot.extinction_coefficient),
                 "roi_signals": {
                     u: {"name": n, "y": _series(y)}
                     for u, (n, y) in plot.roi_signal.items()
+                },
+                "roi_ffts": {
+                    u: {
+                        "name": n,
+                        "y": _series(
+                            fft_plot_series(y, plot.signal_fft, log_plot)
+                        ),
+                    }
+                    for u, (n, y) in plot.roi_signal_fft.items()
                 },
                 "water_lines": list(WATER_LINES_THZ),
             },
@@ -177,17 +215,35 @@ class WebApp:
         "set_selected_pixel", "update_filter", "update_filters",
         "set_filter_active", "add_roi", "update_roi", "delete_roi",
         "set_reference", "set_sample", "set_material_thickness",
-        "update_material_calculation",
+        "update_material_calculation", "open_sibling", "update_metadata",
     }
 
     def command(self, method: str, args: list, kwargs: dict):
+        ex = self.worker.explorer
         if method == "set_filter_param":
             uuid, key, value = args
-            f = self.worker.explorer.pipeline.filters[uuid]
+            f = ex.pipeline.filters[uuid]
             if hasattr(f, "params") and hasattr(f.params, key):
                 setattr(f.params, key, value)
             elif hasattr(f, key):
                 setattr(f, key, value)
+            return
+        if method == "set_view":
+            key, value = args
+            if key in self.view:
+                self.view[key] = bool(value) if key == "bw" else float(value)
+            return
+        if method == "set_metadata_field":
+            key, value = args
+            if hasattr(ex.metadata, key) and key != "md":
+                setattr(ex.metadata, key, str(value))
+            return
+        if method == "set_metadata_attr":
+            key, value = args
+            ex.metadata.md[str(key)] = str(value)
+            return
+        if method == "delete_metadata_attr":
+            ex.metadata.md.pop(str(args[0]), None)
             return
         if method == "set_fft_window_type":
             from thz_image_explorer_tpu.ops.windows import WindowType
@@ -199,6 +255,47 @@ class WebApp:
         if method not in self.ALLOWED:
             raise ValueError(f"unknown command {method}")
         self.worker.send(method, *args, **kwargs)
+
+    # --------------------------------------------------------- 3D voxels
+    def voxels(self, contrast=2.0, sigma=3.0, radius=9, threshold=0.1,
+               max_points=120_000) -> dict:
+        """Voxel instances of the current filtered cube for the browser 3-D
+        view (``threed_plot.rs:132-270``); positions/colors packed as
+        base64 for compact transfer, subsampled to ``max_points``."""
+        from thz_image_explorer_tpu.ops.voxel import extract_instances
+
+        ex = self.worker.explorer
+        out = ex.pipeline.output
+        inp = ex.pipeline.input
+        if out is None or inp is None:
+            return {"n": 0}
+        t = np.asarray(out.time)
+        positions, rgba, cw, ch, cd, thr = extract_instances(
+            out.data,
+            time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
+            scaling=out.scaling,
+            original_dims=(inp.width, inp.height, inp.n_time),
+            opacity_threshold=float(threshold),
+            contrast=float(contrast),
+            kernel_sigma=float(sigma),
+            kernel_radius=int(radius),
+        )
+        n = len(positions)
+        if n > max_points:
+            idx = np.random.default_rng(0).choice(n, max_points, replace=False)
+            positions, rgba = positions[idx], rgba[idx]
+            n = max_points
+        return {
+            "n": int(n),
+            "threshold": float(thr),
+            "extent": [float(cw), float(ch), float(cd)],
+            "positions": base64.b64encode(
+                positions.astype(np.float32).tobytes()
+            ).decode(),
+            "rgba": base64.b64encode(
+                (np.clip(rgba, 0, 1) * 255).astype(np.uint8).tobytes()
+            ).decode(),
+        }
 
 
 def make_handler(app: WebApp):
@@ -225,6 +322,22 @@ def make_handler(app: WebApp):
             elif self.path.startswith("/api/state"):
                 try:
                     self._json(app.state())
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
+            elif self.path.startswith("/api/voxels"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                g = lambda k, d: float(q.get(k, [d])[0])
+                try:
+                    self._json(
+                        app.voxels(
+                            contrast=g("contrast", 2.0),
+                            sigma=g("sigma", 3.0),
+                            radius=int(g("radius", 9)),
+                            threshold=g("threshold", 0.1),
+                        )
+                    )
                 except Exception as e:  # noqa: BLE001
                     self._json({"error": str(e)}, 500)
             else:
@@ -280,18 +393,40 @@ PAGE = r"""<!DOCTYPE html>
  .ms { color:#8f8; font-size:11px; float:right; }
  .readout { font-size: 12px; color:#ffce87; margin-right: 12px; }
  select, input[type=number] { background:#23262d; color:#eee; border:1px solid #444; width:90px; }
+ input[type=text] { background:#23262d; color:#eee; border:1px solid #444; }
+ #warnbar { position:fixed; bottom:0; left:0; right:0; background:#5a2; color:#fff;
+   font-size:12px; padding:2px 10px; display:none; }
+ details summary { cursor:pointer; font-size:13px; color:#9ecbff; }
+ .mdrow { font-size:11px; }
+ .tab { display:inline-block; padding:2px 10px; cursor:pointer; color:#999; }
+ .tab.active { color:#9ecbff; border-bottom:2px solid #9ecbff; }
 </style></head><body>
 <div id="left">
  <div class="panel"><h3>Scan</h3>
   <div id="fileinfo" style="font-size:12px">no scan loaded</div>
-  <input id="path" style="width:300px" placeholder="/path/to/scan.thzimg">
+  <input id="path" style="width:240px" placeholder="/path/to/scan.thzimg">
   <button onclick="cmd('open_file',[el('path').value])">Load</button>
   <button onclick="cmd('open_ref',[el('path').value])">Load Ref</button>
-  <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button>
+  <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button><br>
+  <button class="off" onclick="cmd('open_sibling',[-1])">◀ prev</button>
+  <button class="off" onclick="cmd('open_sibling',[1])">next ▶</button>
+  <span id="siblings" style="font-size:11px;color:#999"></span>
+  <div id="housekeeping" style="font-size:11px;color:#8bd"></div>
  </div>
  <div class="panel"><h3>Intensity image <span style="font-size:11px;color:#999">(click: pixel · shift-click: ROI)</span></h3>
   <canvas id="img" width="440" height="440"></canvas>
+  <div style="font-size:12px">
+   clip <input type="range" id="cutlo" min="0" max="100" value="0"
+     onchange="cmd('set_view',['cut_low',parseFloat(this.value)])">
+   <input type="range" id="cuthi" min="0" max="100" value="100"
+     onchange="cmd('set_view',['cut_high',parseFloat(this.value)])">
+   mid <input type="range" id="midpt" min="1" max="99" value="50"
+     onchange="cmd('set_view',['midpoint',parseFloat(this.value)])">
+   <label><input type="checkbox" id="bw"
+     onchange="cmd('set_view',['bw',this.checked])">BW</label>
+  </div>
   <div style="font-size:12px" id="roilist"></div>
+  <button class="off" onclick="cmd('save_rois',[S.file])">Save ROIs</button>
  </div>
  <div class="panel"><h3>Optical properties</h3>
   ref <select id="refsel" onchange="cmd('set_reference',[this.value])"></select>
@@ -299,15 +434,40 @@ PAGE = r"""<!DOCTYPE html>
   d(mm) <input id="thick" type="number" step="0.1" value="1.0"
     onchange="cmd('set_material_thickness',[parseFloat(this.value)])">
   <canvas id="optical" width="430" height="160"></canvas>
+  <div style="font-size:11px;color:#999" id="optreadout"></div>
  </div>
+ <div class="panel"><details><summary>Metadata editor</summary>
+  <div id="mdfields"></div>
+  <div id="mdattrs"></div>
+  <input type="text" id="mdkey" placeholder="key" style="width:90px">
+  <input type="text" id="mdval" placeholder="value" style="width:120px">
+  <button onclick="cmd('set_metadata_attr',[el('mdkey').value, el('mdval').value])">Add</button>
+  <button onclick="cmd('update_metadata',[])">Save to file</button>
+ </details></div>
 </div>
 <div id="center">
  <div class="panel"><h3>Pulse</h3><canvas id="pulse" width="820" height="260"></canvas></div>
  <div class="panel"><h3>Spectrum
    <label><input type="checkbox" id="logplot" onchange="cmd('set_fft_log_plot',[this.checked])">log</label>
+   <label><input type="checkbox" id="phases" onchange="render()">phases</label>
    <span class="readout" id="dr"></span><span class="readout" id="ptp"></span></h3>
   <canvas id="fft" width="820" height="260"></canvas></div>
+ <div class="panel"><h3>3D voxel view
+   <button onclick="loadVoxels()">Update</button>
+   <button class="off" onclick="autoRotate=!autoRotate">⟳</button>
+   <button class="off" onclick="cmd('save_vtu',[(S.file||'scan')+'.vtu'])">Export VTU</button></h3>
+  <canvas id="vox" width="560" height="380"></canvas>
+  <div style="font-size:12px">
+   opacity thr <input type="range" id="vthr" min="0.01" max="0.9" step="0.01" value="0.1">
+   contrast <input type="range" id="vcon" min="0.5" max="8" step="0.1" value="2">
+   σ <input type="range" id="vsig" min="0.5" max="10" step="0.5" value="3">
+   radius <input type="range" id="vrad" min="1" max="15" step="1" value="9">
+   <span id="voxinfo" style="color:#999"></span>
+  </div>
+ </div>
  <div class="panel"><h3>Stage timings</h3><div id="timings" style="font-size:12px"></div></div>
+ <div class="panel"><details><summary>Log</summary><pre id="logpane"
+   style="font-size:11px;max-height:180px;overflow:auto;color:#aaa"></pre></details></div>
 </div>
 <div id="right">
  <div class="panel"><h3>FFT settings</h3>
@@ -328,6 +488,7 @@ PAGE = r"""<!DOCTYPE html>
  </div>
  <div class="panel"><h3>Filters</h3><div id="filters"></div></div>
 </div>
+<div id="warnbar"></div>
 <script>
 const el = id => document.getElementById(id);
 let S = null, roiDraft = [], imgScale = 1;
@@ -382,20 +543,41 @@ function render() {
     };
     im.src = 'data:image/png;base64,' + S.image;
   }
-  const colors = ['#e66','#6ae','#6e8','#ea6','#c6e'];
+  const colors = ['#e66','#6ae','#6e8','#ea6','#c6e','#6ee','#ee6'];
   drawSeries(el('pulse').getContext('2d'), S.plots.time,
     [{y:S.plots.signal},{x:S.plots.filtered_time,y:S.plots.filtered_signal},{y:S.plots.avg_signal},
      ...Object.values(S.plots.roi_signals).map(r=>({y:r.y}))], colors);
-  drawSeries(el('fft').getContext('2d'), S.plots.frequencies,
-    [{y:S.plots.signal_fft},{y:S.plots.filtered_signal_fft}], colors, S.plots.water_lines);
+  const fftSeries = el('phases').checked
+    ? [{y:S.plots.phase_fft},{y:S.plots.filtered_phase_fft}]
+    : [{y:S.plots.signal_fft},{y:S.plots.filtered_signal_fft},{y:S.plots.avg_signal_fft},
+       ...Object.values(S.plots.roi_ffts).map(r=>({y:r.y}))];
+  drawSeries(el('fft').getContext('2d'), S.plots.frequencies, fftSeries, colors, S.plots.water_lines);
   drawSeries(el('optical').getContext('2d'), S.plots.frequencies,
     [{y:S.plots.refractive_index},{y:S.plots.absorption},{y:S.plots.extinction}], colors);
+  const nmax = Math.max(...(S.plots.refractive_index||[0]).filter(v=>v!=null&&isFinite(v)), 0);
+  const amax = Math.max(...(S.plots.absorption||[0]).filter(v=>v!=null&&isFinite(v)), 0);
+  el('optreadout').textContent = nmax ? `max n: ${nmax.toFixed(3)}  max α: ${amax.toFixed(1)} /cm` : '';
   el('dr').textContent = 'DR: ' + S.readouts.dr_db + ' dB';
   el('ptp').textContent = 'ptp: ' + S.readouts.ptp + ' nA';
   el('wlov').textContent = S.config.fft_window[0].toFixed(1);
   el('whiv').textContent = S.config.fft_window[1].toFixed(1);
   el('timings').innerHTML = Object.entries(S.timings_ms)
     .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
+  el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
+  const hk = S.housekeeping;
+  el('housekeeping').textContent =
+    `dx ${hk.dx} dy ${hk.dy} · t0 ${Number(hk.t_begin).toFixed(1)} ps · range ${Number(hk.range).toFixed(1)} ps · T_S ${hk.sample_temperature} K · p0 ${hk.ambient_pressure} hPa`;
+  el('logpane').textContent = (S.log||[]).join('\n');
+  const wb = el('warnbar');
+  if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
+  else wb.style.display='none';
+  el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
+    `<div class="mdrow">${k} <input type="text" value="${String(v).replace(/"/g,'&quot;')}" style="width:200px"
+      onchange="cmd('set_metadata_field',['${k}',this.value])"></div>`).join('');
+  el('mdattrs').innerHTML = Object.entries(S.metadata.md).map(([k,v])=>
+    `<div class="mdrow">${k}: <input type="text" value="${String(v).replace(/"/g,'&quot;')}" style="width:160px"
+      onchange="cmd('set_metadata_attr',['${k}',this.value])">
+      <button class="off" onclick="cmd('delete_metadata_attr',['${k}'])">x</button></div>`).join('');
   // filters panel
   el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
@@ -449,5 +631,52 @@ async function refresh() {
 }
 setInterval(refresh, 1000);
 refresh();
+
+// ------------------------- 3D voxel view (threed_plot.rs equivalent) ----
+let vox = null, rotX = -1.0, rotZ = 0.6, autoRotate = true;
+async function loadVoxels() {
+  const q = `threshold=${el('vthr').value}&contrast=${el('vcon').value}` +
+            `&sigma=${el('vsig').value}&radius=${el('vrad').value}`;
+  const r = await (await fetch('/api/voxels?' + q)).json();
+  if (!r.n) { vox = null; el('voxinfo').textContent = 'no voxels'; return; }
+  const pos = new Float32Array(Uint8Array.from(atob(r.positions), c=>c.charCodeAt(0)).buffer);
+  const col = Uint8Array.from(atob(r.rgba), c=>c.charCodeAt(0));
+  vox = {n: r.n, pos, col};
+  el('voxinfo').textContent = r.n + ' voxels, thr ' + r.threshold.toFixed(3);
+}
+function drawVoxels() {
+  const c = el('vox'), ctx = c.getContext('2d');
+  ctx.fillStyle = '#171a20'; ctx.fillRect(0, 0, c.width, c.height);
+  if (!vox) return;
+  if (autoRotate) rotZ += 0.01;
+  const cx=Math.cos(rotX), sx=Math.sin(rotX), cz=Math.cos(rotZ), sz=Math.sin(rotZ);
+  // extent for scale
+  let m = 1;
+  for (let i = 0; i < vox.n*3; i++) { const a = Math.abs(vox.pos[i]); if (a > m) m = a; }
+  const sc = Math.min(c.width, c.height) / (2.2*m);
+  const order = [];
+  for (let i = 0; i < vox.n; i++) {
+    const x = vox.pos[3*i], y = vox.pos[3*i+1], z = vox.pos[3*i+2];
+    const x1 = x*cz - y*sz, y1 = x*sz + y*cz;           // rotate about z
+    const y2 = y1*cx - z*sx, z2 = y1*sx + z*cx;         // rotate about x
+    order.push([z2, x1, y2, i]);
+  }
+  order.sort((a, b) => a[0] - b[0]);
+  for (const [z2, x1, y2, i] of order) {
+    const a = vox.col[4*i+3] / 255;
+    ctx.fillStyle = `rgba(${vox.col[4*i]},${vox.col[4*i+1]},${vox.col[4*i+2]},${Math.min(1, a+0.15)})`;
+    ctx.fillRect(c.width/2 + x1*sc, c.height/2 - y2*sc, 2, 2);
+  }
+}
+setInterval(drawVoxels, 66);
+let dragging = false, lastXY = null;
+el('vox').addEventListener('mousedown', e => { dragging = true; autoRotate = false; lastXY=[e.clientX,e.clientY]; });
+window.addEventListener('mouseup', () => dragging = false);
+window.addEventListener('mousemove', e => {
+  if (!dragging) return;
+  rotZ += (e.clientX - lastXY[0]) * 0.01;
+  rotX += (e.clientY - lastXY[1]) * 0.01;
+  lastXY = [e.clientX, e.clientY];
+});
 </script></body></html>
 """
