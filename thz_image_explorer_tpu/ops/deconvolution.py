@@ -288,42 +288,17 @@ def _banded_matrix(vec, size: int, klen: int):
 # throughput on v5e — well inside the framework's f32 parity tolerances.
 _PREC = jax.lax.Precision.HIGH
 
-# FIR output-block width: each block of the filtered trace is one matmul
-# against a (block + ntaps - 1, block) tap matrix shared by all blocks.
-FIR_BLOCK = 256
-
-
-def _fir_block_matrix(taps: np.ndarray, shift: int, block: int) -> np.ndarray:
-    """Host-precomputed FIR block matrix ``G[m, t] = taps[t + ntaps-1 - m]``
-    (zeros outside) applying the centred zero-padded linear convolution
-    ``filtered[t] = sum_j x[j] * taps[t - j + shift]`` — exactly
-    ``convolve1d``'s FFT result (``deconvolution.rs:266-317``) — as a
-    matmul over sliding input windows. Identical for every output block,
-    so its size is independent of the trace length."""
-    ntaps = len(taps)
-    width = block + ntaps - 1
-    m = np.arange(width)[:, None]
-    t = np.arange(block)[None, :]
-    idx = t + ntaps - 1 - m
-    valid = (idx >= 0) & (idx < ntaps)
-    return np.where(
-        valid, np.asarray(taps, np.float32)[np.clip(idx, 0, ntaps - 1)], 0.0
-    ).astype(np.float32)
+from thz_image_explorer_tpu.ops.firapply import (  # noqa: E402
+    FIR_BLOCK,
+    fir_block_matrix as _fir_block_matrix,
+    window_input as _window_flat,
+)
 
 
 def _window_input(data, ntaps: int, shift: int, block: int):
     """Sliding FIR input windows, built ONCE per chunk and shared by every
-    band: ``xw[n, i, :] = padded_trace[i*block : i*block + width]``."""
-    x, y, n_time = data.shape
-    width = block + ntaps - 1
-    nb = -(-n_time // block)  # ceil
-    t_pad = nb * block
-    left = ntaps - 1 - shift
-    flat = data.reshape(-1, n_time)
-    xp = jnp.pad(flat, ((0, 0), (left, shift + (t_pad - n_time))))
-    return jnp.stack(
-        [xp[:, i * block : i * block + width] for i in range(nb)], axis=1
-    )
+    band (``ops/firapply.window_input`` over the flattened pixel grid)."""
+    return _window_flat(data.reshape(-1, data.shape[-1]), ntaps, shift, block)
 
 
 def _band_contribution(

@@ -100,44 +100,16 @@ def fit_mean_beam(
 # ----------------------------------------------------------------------
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
-@partial(jax.jit, static_argnames=("n_time", "fft_len", "start"))
-def _filter_all_bands(traces, taps_flip_spec, *, n_time, fft_len, start):
-    """Correlate every trace with every band's taps in one shot.
+def filter_traces_all_bands(traces: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """(P, T) traces x (B, L) taps -> (B, P, T) filtered traces.
 
     The reference's ``convolve`` is a zero-boundary 'same' *correlation*
-    (``fitting.rs:266-284``); correlation(s, f) == convolution(s, flip(f))
-    shifted, so one rfft of the traces times the flipped-tap spectra gives
-    all bands at once: (P, T) x (B, L) -> (B, P, T).
+    (``fitting.rs:266-284``); it runs as one MXU block-banded matmul
+    program (``ops/firapply``) — no FFTs on the device path.
     """
-    spec = jnp.fft.rfft(traces, n=fft_len, axis=-1)  # (P, Lf)
-    prod = spec[None, :, :] * taps_flip_spec[:, None, :]  # (B, P, Lf)
-    full = jnp.fft.irfft(prod, n=fft_len, axis=-1)
-    return full[..., start : start + n_time]
+    from thz_image_explorer_tpu.ops.firapply import fir_correlate_bands
 
-
-def filter_traces_all_bands(traces: np.ndarray, taps: np.ndarray) -> np.ndarray:
-    """(P, T) traces x (B, L) taps -> (B, P, T) filtered traces."""
-    p, t = traces.shape
-    b, l = taps.shape
-    fft_len = _next_pow2(t + l - 1)
-    mid = l // 2
-    start = l - 1 - mid
-    taps_flip_spec = np.fft.rfft(taps[:, ::-1], n=fft_len, axis=-1)
-    out = _filter_all_bands(
-        jnp.asarray(traces, jnp.float32),
-        jnp.asarray(taps_flip_spec.astype(np.complex64)),
-        n_time=t,
-        fft_len=fft_len,
-        start=start,
-    )
-    return np.asarray(out, np.float64)
+    return fir_correlate_bands(traces, taps)
 
 
 @dataclasses.dataclass

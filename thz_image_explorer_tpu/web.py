@@ -256,6 +256,154 @@ class WebApp:
             raise ValueError(f"unknown command {method}")
         self.worker.send(method, *args, **kwargs)
 
+    # ---------------------------------------------------------- PSF tool
+    @property
+    def psf_tool(self):
+        if not hasattr(self, "_psf_tool"):
+            from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
+
+            self._psf_tool = PsfToolApp()
+        return self._psf_tool
+
+    def psf_state(self) -> dict:
+        import dataclasses as _dc
+
+        tool = self.psf_tool
+        running = tool._thread is not None and tool._thread.is_alive()
+        out = {
+            "x_path": tool.x_path,
+            "y_path": tool.y_path,
+            "filter_params": _dc.asdict(tool.filter_params),
+            "fit_params": _dc.asdict(tool.fit_params),
+            "running": running,
+            "progress": {k: list(v) for k, v in tool.progress.items()},
+            "error": tool.error,
+            "warnings": [],
+            "result": None,
+            "diagnostics": None,
+        }
+        r = tool.result
+        if r is not None:
+            out["warnings"] = list(r.warnings)
+            centers = np.asarray(r.center_frequencies, np.float64)
+            res = {"centers": _series(centers)}
+            for axis_name, axis in (("x", r.x), ("y", r.y)):
+                if axis is None:
+                    continue
+                res[f"w{axis_name}"] = _series(
+                    np.abs(axis.beam_fits.popt_xs[:, 1])
+                    if axis_name == "x"
+                    else np.abs(axis.beam_fits.popt_ys[:, 1])
+                )
+                res[f"{axis_name}0"] = _series(
+                    axis.beam_fits.popt_xs[:, 0]
+                    if axis_name == "x"
+                    else axis.beam_fits.popt_ys[:, 0]
+                )
+            if r.curve_fits is not None:
+                lo = float(centers.min())
+                hi = float(centers.max())
+                grid = np.linspace(max(lo * 0.8, 1e-3), hi * 1.1, 120)
+                res["fit_freq"] = _series(grid)
+                res["fit_wx"] = _series(r.curve_fits.wx_fit.evaluate(grid))
+                res["fit_wy"] = _series(r.curve_fits.wy_fit.evaluate(grid))
+                res["fit_x0"] = _series(
+                    r.curve_fits.x0_fit.evaluate_const_extrap(grid)
+                )
+                res["fit_y0"] = _series(
+                    r.curve_fits.y0_fit.evaluate_const_extrap(grid)
+                )
+            out["result"] = res
+        if tool.diagnostics is not None:
+            out["diagnostics"] = tool.diagnostics.summary()
+        return out
+
+    def psf_command(self, method: str, args: list):
+        tool = self.psf_tool
+        if method == "set_path":
+            axis, path = args
+            setattr(tool, f"{axis}_path", path or None)
+        elif method == "set_filter_param":
+            key, value = args
+            cur = getattr(tool.filter_params, key)
+            setattr(
+                tool.filter_params,
+                key,
+                type(cur)(value) if not isinstance(cur, str) else str(value),
+            )
+        elif method == "set_fit_param":
+            key, value = args
+            cur = getattr(tool.fit_params, key)
+            setattr(tool.fit_params, key, type(cur)(value))
+        elif method == "run":
+            tool.start_computation()
+        elif method == "cancel":
+            tool.cancel()
+        elif method == "export":
+            ok = tool.export_npz(args[0])
+            if not ok:
+                raise ValueError("no curve fits to export")
+        elif method == "apply":
+            psf = tool.runtime_psf()
+            if psf is None:
+                raise ValueError("no PSF computed")
+            self.worker.send("apply_psf", psf)
+        else:
+            raise ValueError(f"unknown psf command {method}")
+
+    def psf_image_png(self, frequency: float) -> dict:
+        from thz_image_explorer_tpu.ops.voxel import jet_colormap
+        from thz_image_explorer_tpu.psf_tool.visualize import psf_image
+
+        tool = self.psf_tool
+        if tool.result is None or tool.result.curve_fits is None:
+            return {"image": None}
+        intensity, extent = psf_image(tool.result.curve_fits, frequency)
+        rgb = jet_colormap(intensity)
+        rgba = np.concatenate(
+            [rgb, np.ones(rgb.shape[:-1] + (1,))], axis=-1
+        )
+        png = encode_png((rgba * 255).astype(np.uint8))
+        return {
+            "image": base64.b64encode(png).decode(),
+            "extent": [round(float(e), 3) for e in extent],
+        }
+
+    def psf_band(self, axis: str, band: int) -> dict:
+        """Individual-fit view data: knife-edge intensity points plus the
+        fitted erf curve for one band (``individual_fits_window.rs``)."""
+        from thz_image_explorer_tpu.psf_tool.fitting import (
+            compute_intensity,
+            erf_model,
+        )
+
+        tool = self.psf_tool
+        r = tool.result
+        ax = getattr(r, axis, None) if r is not None else None
+        if ax is None:
+            return {"n_bands": 0}
+        fits = ax.beam_fits
+        band = int(np.clip(band, 0, fits.popt_xs.shape[0] - 1))
+        traces = fits.filtered_traces_x[band]
+        positions = np.asarray(fits.x_positions, np.float64)
+        intensity = compute_intensity(traces)
+        rng = intensity.max() - intensity.min()
+        norm = (intensity - intensity.min()) / (rng if rng else 1.0)
+        popt = fits.popt_xs[band] if axis == "x" else fits.popt_ys[band]
+        grid = np.linspace(positions.min(), positions.max(), 200)
+        curve = erf_model(grid, popt[0], popt[1])
+        return {
+            "n_bands": int(fits.popt_xs.shape[0]),
+            "band": band,
+            "center_thz": float(r.center_frequencies[band]),
+            "positions": _series(positions),
+            "intensity": _series(norm),
+            "fit_x": _series(grid),
+            "fit_y": _series(curve),
+            "x0": float(popt[0]),
+            "w": float(abs(popt[1])),
+        }
+
     # --------------------------------------------------------- 3D voxels
     def voxels(self, contrast=2.0, sigma=3.0, radius=9, threshold=0.1,
                max_points=120_000) -> dict:
@@ -319,6 +467,39 @@ def make_handler(app: WebApp):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path.startswith("/psf"):
+                body = PSF_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/api/psf_state"):
+                try:
+                    self._json(app.psf_state())
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
+            elif self.path.startswith("/api/psf_image"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._json(app.psf_image_png(float(q.get("f", [1.0])[0])))
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
+            elif self.path.startswith("/api/psf_band"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._json(
+                        app.psf_band(
+                            q.get("axis", ["x"])[0],
+                            int(q.get("band", [0])[0]),
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
             elif self.path.startswith("/api/state"):
                 try:
                     self._json(app.state())
@@ -344,17 +525,22 @@ def make_handler(app: WebApp):
                 self.send_error(404)
 
         def do_POST(self):
-            if not self.path.startswith("/api/command"):
-                self.send_error(404)
-                return
             length = int(self.headers.get("Content-Length", 0))
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                app.command(
-                    payload.get("method", ""),
-                    payload.get("args", []),
-                    payload.get("kwargs", {}),
-                )
+                if self.path.startswith("/api/psf_command"):
+                    app.psf_command(
+                        payload.get("method", ""), payload.get("args", [])
+                    )
+                elif self.path.startswith("/api/command"):
+                    app.command(
+                        payload.get("method", ""),
+                        payload.get("args", []),
+                        payload.get("kwargs", {}),
+                    )
+                else:
+                    self.send_error(404)
+                    return
                 self._json({"ok": True})
             except Exception as e:  # noqa: BLE001
                 self._json({"ok": False, "error": str(e)}, 400)
@@ -678,5 +864,143 @@ window.addEventListener('mousemove', e => {
   rotX += (e.clientY - lastXY[1]) * 0.01;
   lastXY = [e.clientX, e.clientY];
 });
+</script></body></html>
+"""
+
+
+PSF_PAGE = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>PSF Tool — THz Image Explorer TPU</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 0; background:#14161a; color:#e6e6e6; display:flex; }
+ #left { width: 380px; padding: 10px; }
+ #main { flex: 1; padding: 10px; }
+ canvas { background: #1e2128; border: 1px solid #333; }
+ .panel { background:#1b1e24; border:1px solid #2a2e36; border-radius:6px; padding:8px; margin-bottom:10px; }
+ h3 { margin: 4px 0 8px; font-size: 14px; color:#9ecbff; }
+ label { font-size: 12px; display:inline-block; min-width: 110px; }
+ button { background:#2a6; color:#fff; border:0; border-radius:4px; padding:3px 10px; cursor:pointer; margin:2px; }
+ button.off { background:#555; }
+ select, input[type=number], input[type=text] { background:#23262d; color:#eee; border:1px solid #444; }
+ input[type=number] { width: 70px; }
+ .warn { color:#fa6; font-size:12px; }
+ pre { font-size:11px; color:#aaa; white-space: pre-wrap; }
+ a { color:#9ecbff; }
+</style></head><body>
+<div id="left">
+ <div class="panel"><h3>Knife-edge measurements</h3>
+  <label>X scan (.thz)</label><input type="text" id="xpath" style="width:220px"
+    onchange="pcmd('set_path',['x',this.value])"><br>
+  <label>Y scan (.thz)</label><input type="text" id="ypath" style="width:220px"
+    onchange="pcmd('set_path',['y',this.value])"><br>
+ </div>
+ <div class="panel"><h3>Filter bank</h3>
+  <label>n_filters</label><input type="number" id="nf" value="20" onchange="pcmd('set_filter_param',['n_filters',parseInt(this.value)])"><br>
+  <label>start freq (THz)</label><input type="number" id="sf" step="0.05" value="0.15" onchange="pcmd('set_filter_param',['start_freq',parseFloat(this.value)])"><br>
+  <label>end freq (THz)</label><input type="number" id="ef" step="0.05" value="5.0" onchange="pcmd('set_filter_param',['end_freq',parseFloat(this.value)])"><br>
+  <label>low cut</label><input type="number" id="lc" step="0.05" value="0.1" onchange="pcmd('set_filter_param',['low_cut',parseFloat(this.value)])"><br>
+  <label>high cut</label><input type="number" id="hc" step="0.1" value="10.0" onchange="pcmd('set_filter_param',['high_cut',parseFloat(this.value)])"><br>
+  <label>transition width</label><input type="number" id="ww" step="0.05" value="0.5" onchange="pcmd('set_filter_param',['win_width',parseFloat(this.value)])"><br>
+  <label>spacing</label><select id="sp" onchange="pcmd('set_filter_param',['frequency_spacing',this.value])">
+    <option value="log">log</option><option value="linear">linear</option></select>
+ </div>
+ <div class="panel"><h3>Beam fit</h3>
+  <label>w_max (mm)</label><input type="number" id="wm" step="1" value="30" onchange="pcmd('set_fit_param',['w_max',parseFloat(this.value)])"><br>
+  <label><input type="checkbox" id="mono" checked
+    onchange="pcmd('set_fit_param',['use_monotonicity_constraint',this.checked])">monotonic bounds</label>
+ </div>
+ <div class="panel">
+  <button onclick="pcmd('run',[])">Compute</button>
+  <button class="off" onclick="pcmd('cancel',[])">Cancel</button>
+  <div id="progress" style="font-size:12px;color:#8f8"></div>
+  <div id="warnings" class="warn"></div>
+  <div id="error" class="warn"></div>
+ </div>
+ <div class="panel"><h3>Export / Apply</h3>
+  <input type="text" id="outpath" style="width:220px" placeholder="/path/psf.npz">
+  <button onclick="pcmd('export',[el('outpath').value])">Export .npz</button><br>
+  <button onclick="pcmd('apply',[])">Use for deconvolution</button>
+  <a href="/" style="font-size:12px">← back to explorer</a>
+ </div>
+</div>
+<div id="main">
+ <div class="panel"><h3>Beam widths vs frequency</h3><canvas id="widths" width="760" height="240"></canvas></div>
+ <div class="panel"><h3>Beam centers vs frequency</h3><canvas id="centers" width="760" height="170"></canvas></div>
+ <div class="panel"><h3>Individual band fit
+   axis <select id="bandaxis"><option>x</option><option>y</option></select>
+   band <input type="number" id="bandidx" value="0" min="0" style="width:60px">
+   <button class="off" onclick="loadBand()">Show</button>
+   <span id="bandinfo" style="font-size:12px;color:#999"></span></h3>
+  <canvas id="bandfit" width="760" height="200"></canvas></div>
+ <div class="panel"><h3>PSF preview
+   f(THz) <input type="range" id="pf" min="0.2" max="5" step="0.1" value="1.0" onchange="loadPsfImage()">
+   <span id="pfv"></span><span id="pext" style="font-size:11px;color:#999"></span></h3>
+  <img id="psfimg" width="256" height="256" style="border:1px solid #333"></div>
+ <div class="panel"><h3>Diagnostics</h3><pre id="diag"></pre></div>
+</div>
+<script>
+const el = id => document.getElementById(id);
+let P = null;
+async function pcmd(method, args) {
+  const r = await fetch('/api/psf_command', {method:'POST', body: JSON.stringify({method, args})});
+  const j = await r.json();
+  if (!j.ok) el('error').textContent = j.error || '';
+  setTimeout(refresh, 200);
+}
+function drawXY(ctx, seriesList, colors) {
+  const W = ctx.canvas.width, H = ctx.canvas.height;
+  ctx.clearRect(0,0,W,H);
+  let xmin=Infinity,xmax=-Infinity,ymin=Infinity,ymax=-Infinity;
+  for (const s of seriesList) if (s && s.x && s.y)
+    for (let i=0;i<s.y.length;i++){ const x=s.x[i], v=s.y[i]; if(v==null||x==null) continue;
+      if(x<xmin)xmin=x; if(x>xmax)xmax=x; if(v<ymin)ymin=v; if(v>ymax)ymax=v; }
+  if (!isFinite(xmin)) return;
+  if (ymax===ymin) ymax=ymin+1;
+  const px = x => (x-xmin)/(xmax-xmin)*(W-30)+20;
+  const py = y => H-15-(y-ymin)/(ymax-ymin)*(H-30);
+  seriesList.forEach((s,si)=>{ if(!s||!s.y) return;
+    ctx.strokeStyle = ctx.fillStyle = colors[si%colors.length];
+    if (s.points) { for(let i=0;i<s.y.length;i++){ if(s.y[i]==null) continue;
+        ctx.fillRect(px(s.x[i])-2, py(s.y[i])-2, 4, 4); } }
+    else { ctx.lineWidth=1.3; ctx.beginPath(); let st=false;
+      for(let i=0;i<s.y.length;i++){ const v=s.y[i]; if(v==null){st=false;continue;}
+        if(!st){ctx.moveTo(px(s.x[i]),py(v));st=true;} else ctx.lineTo(px(s.x[i]),py(v)); }
+      ctx.stroke(); } });
+}
+function render() {
+  if (!P) return;
+  el('progress').textContent = P.running
+    ? 'computing… ' + Object.entries(P.progress).map(([a,[c,t]])=>`${a}: ${c}/${t}`).join('  ')
+    : (P.result ? 'done' : '');
+  el('warnings').textContent = (P.warnings||[]).join('\n');
+  el('error').textContent = P.error || '';
+  el('diag').textContent = P.diagnostics || '';
+  const r = P.result, colors = ['#e66','#6ae','#f99','#9cf'];
+  if (r) {
+    drawXY(el('widths').getContext('2d'), [
+      {x:r.centers, y:r.wx, points:true}, {x:r.centers, y:r.wy, points:true},
+      {x:r.fit_freq, y:r.fit_wx}, {x:r.fit_freq, y:r.fit_wy}], colors);
+    drawXY(el('centers').getContext('2d'), [
+      {x:r.centers, y:r.x0, points:true}, {x:r.centers, y:r.y0, points:true},
+      {x:r.fit_freq, y:r.fit_x0}, {x:r.fit_freq, y:r.fit_y0}], colors);
+  }
+}
+async function loadPsfImage() {
+  el('pfv').textContent = el('pf').value + ' THz';
+  const j = await (await fetch('/api/psf_image?f=' + el('pf').value)).json();
+  if (j.image) { el('psfimg').src = 'data:image/png;base64,' + j.image;
+    el('pext').textContent = '  extent(mm): ' + j.extent.join(', '); }
+}
+async function loadBand() {
+  const j = await (await fetch(`/api/psf_band?axis=${el('bandaxis').value}&band=${el('bandidx').value}`)).json();
+  if (!j.n_bands) return;
+  el('bandinfo').textContent = ` ${j.center_thz.toFixed(2)} THz  x0=${j.x0.toFixed(2)}  w=${j.w.toFixed(2)} mm  (${j.n_bands} bands)`;
+  drawXY(el('bandfit').getContext('2d'), [
+    {x:j.positions, y:j.intensity, points:true}, {x:j.fit_x, y:j.fit_y}], ['#e66','#6ae']);
+}
+async function refresh() {
+  try { P = await (await fetch('/api/psf_state')).json(); render(); } catch(e) {}
+}
+setInterval(refresh, 1000);
+refresh();
 </script></body></html>
 """
