@@ -172,6 +172,50 @@ def bench_cpu_torch(t, data):
     return float(np.median(times))
 
 
+def bench_large():
+    """Scaling data point: pipelined update throughput on the largest
+    comfortable single-chip cube (the 1000x1000x4096 ceiling config is a
+    multi-chip mesh workload — see tests/test_parallel.py and
+    __graft_entry__.dryrun_multichip for the sharded path)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig,
+        StepParams,
+        interactive_update,
+    )
+
+    W, H, T = 512, 512, 1024
+    rng = np.random.default_rng(1)
+    t = (np.arange(T) * DT).astype(np.float32)
+    data = rng.normal(size=(W, H, T)).astype(np.float32)
+    cube = make_cube(jnp.asarray(t), jnp.asarray(data), dx=0.5, dy=0.5)
+    params = StepParams.defaults()
+    cfg = StepConfig(
+        fd_active=True, notch_active=True,
+        td_before_active=True, td_after_active=True,
+    )
+    _sum = jax.jit(jnp.sum)
+    out = interactive_update(cube, params, cfg)
+    float(_sum(out[1]))
+    t0 = time.perf_counter()
+    n = 4
+    for i in range(n):
+        params = dataclasses.replace(params, fd_low=np.float32(0.2 + 0.001 * i))
+        out = interactive_update(cube, params, cfg)
+    float(_sum(out[1]))
+    per = (time.perf_counter() - t0) / n
+    return {
+        "cube": f"{W}x{H}x{T}",
+        "update_ms": round(per * 1e3, 1),
+        "traces_per_sec": round(W * H / per, 1),
+    }
+
+
 def bench_deconv(cube):
     import jax
 
@@ -242,6 +286,10 @@ def main():
         if d is not None:
             extra["deconv_ms"] = round(d * 1e3, 2)
             extra["deconv_workload"] = "25 Kaiser bands x <=500 RL iters (defaults)"
+        try:
+            extra["large_cube"] = bench_large()
+        except Exception as e:
+            extra["large_cube_error"] = str(e)[:120]
 
     result = {
         "metric": "full-image update latency p50 (window+FFT+FD filter+notch+iFFT+intensity, 200x200x1024)",
