@@ -301,7 +301,7 @@ def _window_input(data, ntaps: int, shift: int, block: int):
     return _window_flat(data.reshape(-1, data.shape[-1]), ntaps, shift, block)
 
 
-def _band_contribution(
+def _band_gains(
     xw,  # (X*Y, nb, width) f32 — sliding FIR input windows (shared)
     g_blk,  # (width, block) f32 — this band's FIR block matrix
     px,  # (kr_max,) f32 — PSF x-axis profile, pre-flipped for FFT-semantics bands
@@ -315,14 +315,15 @@ def _band_contribution(
     pad_c_max: int,
 ):
     """One band: FIR-filter the cube, RL-deconvolve its intensity image,
-    apply per-pixel gains (``deconvolution.rs:891-1013``). Everything is
-    MXU matmuls; see the module docstring for the mapping."""
+    return the per-pixel gain map (``deconvolution.rs:891-1004``).
+    Everything is MXU matmuls; see the module docstring for the mapping.
+    The filtered traces are consumed by the image reduction only — the
+    final band sum is reconstructed spectrally in one pass afterwards."""
     x, y, n_time = shape
     t_pad = xw.shape[1] * g_blk.shape[1]
     filtered = jnp.einsum("nbm,mt->nbt", xw, g_blk, precision=_PREC)
     filtered = filtered.reshape(-1, t_pad)[:, :n_time]
     img = jnp.sum(filtered * filtered, axis=-1).reshape(x, y)
-    filtered = filtered.reshape(x, y, n_time)
 
     padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
     h2, w2 = padded.shape
@@ -341,36 +342,60 @@ def _band_contribution(
         pad_c_max : pad_c_max + img.shape[1],
     ]
     deconvolved = jnp.maximum(u, 0.0)
-    gains = jnp.sqrt(deconvolved / img)  # 0/0 -> NaN, as in the reference
-    return filtered * gains[:, :, None]
+    return jnp.sqrt(deconvolved / img)  # 0/0 -> NaN, as in the reference
 
 
 @partial(
     jax.jit,
     static_argnames=("ntaps", "shift", "pad_r_max", "pad_c_max"),
-    donate_argnums=(0,),
 )
-def _bands_chunk(acc, data, g_blks, pxs, pys, n_iter, pad_r, pad_c, valid,
+def _gains_chunk(data, g_blks, pxs, pys, n_iter, pad_r, pad_c,
                  *, ntaps, shift, pad_r_max, pad_c_max):
-    """One dispatch: scan over a chunk of stacked bands, accumulating their
-    contributions into ``acc`` (donated). The FIR input windows are built
-    once and shared; the scan reuses a single band's worth of
-    intermediates, so device memory stays bounded regardless of how many
-    bands are queued."""
+    """One dispatch: scan over a chunk of stacked bands, emitting each
+    band's gain map. The FIR input windows are built once and shared; the
+    scan reuses a single band's worth of intermediates, so device memory
+    stays bounded regardless of how many bands are queued."""
     xw = _window_input(data, ntaps, shift, g_blks.shape[-1])
 
-    def body(a, xs):
-        g_blk, px, py, ni, pr, pc, vl = xs
-        contrib = _band_contribution(
+    def body(_c, xs):
+        g_blk, px, py, ni, pr, pc = xs
+        gains = _band_gains(
             xw, g_blk, px, py, ni, pr, pc,
             shape=data.shape, pad_r_max=pad_r_max, pad_c_max=pad_c_max,
         )
-        return a + jnp.where(vl, contrib, 0.0), None
+        return _c, gains
 
-    acc, _ = jax.lax.scan(
-        body, acc, (g_blks, pxs, pys, n_iter, pad_r, pad_c, valid)
+    _, gains = jax.lax.scan(
+        body, None, (g_blks, pxs, pys, n_iter, pad_r, pad_c)
     )
-    return acc
+    return gains  # (chunk, X, Y)
+
+
+@partial(jax.jit, static_argnames=("fft_len", "shift", "n_time", "n_bands"))
+def _spectral_band_sum(data, taps_ri, *gain_stacks, fft_len, shift, n_time, n_bands):
+    """Final reconstruction in ONE pass: since each band's gain is a
+    per-trace scalar, ``sum_b g_b * irfft(spec * T_b)`` equals
+    ``irfft(spec * sum_b g_b * T_b)`` — one weighted spectrum and one
+    inverse transform instead of B cube-sized multiply-accumulates
+    (exactly the linearity of ``deconvolution.rs:986-1013``'s band sum).
+    All FFTs are MXU DFT matmuls (ops/mxufft)."""
+    from thz_image_explorer_tpu.ops import mxufft
+
+    gains = (
+        gain_stacks[0]
+        if len(gain_stacks) == 1
+        else jnp.concatenate(gain_stacks, axis=0)
+    )[:n_bands]
+    x, y = data.shape[0], data.shape[1]
+    flat = data.reshape(-1, n_time)
+    spec = mxufft.rfft_ri(flat, n=fft_len)  # (2, N, Lf)
+    g = gains.reshape(gains.shape[0], -1)  # (B, N)
+    wr = jnp.einsum("bn,bf->nf", g, taps_ri[0][:n_bands], precision=_PREC)
+    wi = jnp.einsum("bn,bf->nf", g, taps_ri[1][:n_bands], precision=_PREC)
+    sr = spec[0] * wr - spec[1] * wi
+    si = spec[0] * wi + spec[1] * wr
+    out = mxufft.irfft_ri(jnp.stack([sr, si]), fft_len)
+    return out[:, shift : shift + n_time].reshape(x, y, n_time)
 
 
 def deconvolve_cube(
@@ -383,14 +408,18 @@ def deconvolve_cube(
     """Run the full banked deconvolution; returns the band-summed cube or
     None when cancelled.
 
-    All band inputs are transferred to the device once, stacked; bands then
-    run as ``ceil(B / chunk_size)`` scan dispatches. Between chunks the host
-    reports progress and checks cancellation — the TPU equivalent of the
-    reference's cancellable band-parallel reduce, with chunked dispatch
-    bounding both cancel latency and in-flight device memory.
+    Two phases. Phase 1: band inputs are transferred to the device once,
+    stacked, and ``ceil(B / chunk_size)`` scan dispatches emit each band's
+    RL gain map; between chunks the host reports progress and checks
+    cancellation — the TPU equivalent of the reference's cancellable
+    band-parallel reduce, with chunked dispatch bounding both cancel
+    latency and in-flight device memory. Phase 2: one spectral pass
+    reconstructs ``sum_b g_b * filtered_b`` (``_spectral_band_sum``)
+    instead of B cube-sized multiply-accumulates.
     """
     n_bands, ntaps = geometry.taps.shape
     shift = (ntaps - 1) // 2
+    fft_len = _next_pow2(data.shape[-1] + ntaps - 1)
     pad_r_max = int(geometry.pad_r.max())
     pad_c_max = int(geometry.pad_c.max())
     chunk = max(1, min(chunk_size, n_bands))
@@ -422,8 +451,8 @@ def deconvolve_cube(
             [_fir_block_matrix(t, shift, FIR_BLOCK) for t in geometry.taps]
         )
 
-        # pad band count to a multiple of chunk_size with inert (valid=0)
-        # bands so every chunk runs the same compiled program
+        # pad band count to a multiple of chunk_size with inert bands (their
+        # gains are discarded) so every chunk runs the same compiled program
         n_padded = ((n_bands + chunk - 1) // chunk) * chunk
 
         def pad(a):
@@ -433,9 +462,13 @@ def deconvolve_cube(
                 [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
             )
 
-        valid = pad(np.ones(n_bands, np.float32))
         stacks = [pad(a) for a in (g_blks, pxs, pys, geometry.n_iter,
-                                   geometry.pad_r, geometry.pad_c)] + [valid]
+                                   geometry.pad_r, geometry.pad_c)]
+        # the bands' tap spectra for the final spectral sum, as f32 pairs
+        taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1)
+        taps_ri = np.stack(
+            [taps_spec.real, taps_spec.imag]
+        ).astype(np.float32)
 
         # ALL host->device transfers happen up front, before heavy compute
         # is queued (transfers racing a deep device queue are fragile on
@@ -447,24 +480,34 @@ def deconvolve_cube(
             chunks.append(
                 tuple(transfer(a[s]) for a in stacks)
             )
+        chunks = (chunks, transfer(taps_ri))
         geometry._device_chunks[cache_key] = chunks
 
-    # accumulator explicitly inherits the cube's placement: zeros_like has
-    # no value dependence on its input, so without out_shardings XLA would
-    # put the result on the default device even for sharded inputs
-    acc = jax.jit(jnp.zeros_like, out_shardings=getattr(data, "sharding", None))(data)
-    for i, ch in enumerate(chunks):
+    chunk_list, taps_ri_dev = chunks
+    gain_stacks = []
+    for i, ch in enumerate(chunk_list):
         if cancelled():
             return None
-        progress(i / len(chunks))
-        acc = _bands_chunk(
-            acc,
-            data,
-            *ch,
-            ntaps=ntaps,
-            shift=shift,
-            pad_r_max=pad_r_max,
-            pad_c_max=pad_c_max,
+        progress(i / (len(chunk_list) + 1))
+        gain_stacks.append(
+            _gains_chunk(
+                data,
+                *ch,
+                ntaps=ntaps,
+                shift=shift,
+                pad_r_max=pad_r_max,
+                pad_c_max=pad_c_max,
+            )
         )
+    progress(len(chunk_list) / (len(chunk_list) + 1))
+    out = _spectral_band_sum(
+        data,
+        taps_ri_dev,
+        *gain_stacks,
+        fft_len=fft_len,
+        shift=shift,
+        n_time=data.shape[-1],
+        n_bands=n_bands,
+    )
     progress(1.0)
-    return acc
+    return out
