@@ -505,6 +505,17 @@ def make_handler(app: WebApp):
                     self._json(app.state())
                 except Exception as e:  # noqa: BLE001
                     self._json({"error": str(e)}, 500)
+            elif self.path.startswith("/api/update_check"):
+                try:
+                    from thz_image_explorer_tpu import __version__
+                    from thz_image_explorer_tpu.utils.update import (
+                        check_for_updates,
+                    )
+
+                    newer = check_for_updates()
+                    self._json({"current": __version__, "newer": newer})
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 500)
             elif self.path.startswith("/api/voxels"):
                 from urllib.parse import parse_qs, urlparse
 
@@ -586,6 +597,10 @@ PAGE = r"""<!DOCTYPE html>
  .mdrow { font-size:11px; }
  .tab { display:inline-block; padding:2px 10px; cursor:pointer; color:#999; }
  .tab.active { color:#9ecbff; border-bottom:2px solid #9ecbff; }
+ body.light { background:#f2f2f4; color:#222; }
+ body.light .panel { background:#fff; border-color:#ccc; }
+ body.light canvas { background:#fafafa; border-color:#bbb; }
+ body.light h3 { color:#2460a8; }
 </style></head><body>
 <div id="left">
  <div class="panel"><h3>Scan</h3>
@@ -673,6 +688,12 @@ PAGE = r"""<!DOCTYPE html>
   <button class="off" onclick="cmd('abort',[])">Abort</button>
  </div>
  <div class="panel"><h3>Filters</h3><div id="filters"></div></div>
+ <div class="panel"><h3>Settings</h3>
+  <button class="off" onclick="document.body.classList.toggle('light')">Theme</button>
+  <a href="/psf"><button class="off">PSF Tool</button></a>
+  <button class="off" onclick="checkUpdates()">Check updates</button>
+  <span id="updinfo" style="font-size:11px;color:#999"></span>
+ </div>
 </div>
 <div id="warnbar"></div>
 <script>
@@ -817,6 +838,11 @@ async function refresh() {
 }
 setInterval(refresh, 1000);
 refresh();
+async function checkUpdates() {
+  const j = await (await fetch('/api/update_check')).json();
+  el('updinfo').textContent = j.error ? 'check failed' :
+    (j.newer ? ('update available: ' + j.newer) : ('up to date (v' + j.current + ')'));
+}
 
 // ------------------------- 3D voxel view (threed_plot.rs equivalent) ----
 let vox = null, rotX = -1.0, rotZ = 0.6, autoRotate = true;
