@@ -26,7 +26,6 @@ from thz_image_explorer_tpu.data import ScanCube
 from thz_image_explorer_tpu.io import dotthz as thzio
 from thz_image_explorer_tpu.io.psf_npz import load_psf
 from thz_image_explorer_tpu.ops.roi import polygon_mask
-from thz_image_explorer_tpu.ops.optical import calculate_optical_properties
 from thz_image_explorer_tpu.ops.windows import WindowType, window_array
 from thz_image_explorer_tpu.pipeline.executor import Pipeline
 
@@ -380,6 +379,7 @@ class Explorer:
                 if poly is not None
             ]
             masks = self._roi_mask_stack(poly_rois, filtered)
+            optical = self._optical_request(poly_rois, filtered)
             host = gather_publish(
                 raw,
                 raw_fd,
@@ -387,6 +387,7 @@ class Explorer:
                 masks,
                 tuple(self.pixel_selected),
                 self.pipeline.config.avg_in_fourier_space,
+                optical=optical,
             )
             plot.signal = host["signal"]
             plot.frequencies = np.asarray(raw_fd.freq)
@@ -425,15 +426,64 @@ class Explorer:
                 plot.roi_signal_fft[uuid] = (name, amplitudes)
                 plot.roi_phase[uuid] = (name, phases)
 
-            self._publish_optical(plot, filtered, roi_spectra, host)
+            if "refractive_index" in host:
+                plot.refractive_index = host["refractive_index"]
+                plot.absorption_coefficient = host["absorption_coefficient"]
+                plot.extinction_coefficient = host["extinction_coefficient"]
 
         plot.available_references = [name for name, _ in self._roi_names()]
         plot.available_samples = plot.available_references + [SELECTED_PIXEL]
         self.plot = plot
 
-    def _roi_mask_stack(self, poly_rois, filtered: ScanCube) -> np.ndarray:
-        """Host-cached (R, Xf, Yf) f32 mask stack for the polygon ROIs on
-        the final slot's (possibly downscaled) grid."""
+    def _optical_request(self, poly_rois, filtered: ScanCube):
+        """Build the gather program's optical-selection payload
+        (``data_thread.rs:1489-1559``): the reference/sample each resolve
+        to a ROI index, the selected pixel, or a host pseudo-ROI (loaded
+        reference pulse) amp/phase pair."""
+        ref_uuid = self._uuid_for(self.reference_selection)
+        if ref_uuid is None:
+            return None
+        nf = filtered.amplitudes.shape[-1]
+        roi_index = {u: i for i, (u, _n, _p) in enumerate(poly_rois)}
+
+        def resolve(uuid):
+            if uuid in roi_index:
+                return "roi", roi_index[uuid], None
+            data = self._datasets.get(uuid)
+            if data is None or len(data[1]) != nf:
+                return None  # pseudo spectra on a different axis: skip
+            _trace, amp, ph = data
+            return "pseudo", 0, np.stack([amp, ph]).astype(np.float32)
+
+        ref = resolve(ref_uuid)
+        if ref is None:
+            return None
+        opt = {
+            "ref_mode": ref[0],
+            "ref_idx": ref[1],
+            "thickness": self.sample_thickness,
+        }
+        if ref[2] is not None:
+            opt["ref_pseudo"] = ref[2]
+        if self.sample_selection == SELECTED_PIXEL:
+            opt["samp_mode"] = "pixel"
+        else:
+            samp_uuid = self._uuid_for(self.sample_selection)
+            if samp_uuid is None:
+                return None
+            samp = resolve(samp_uuid)
+            if samp is None:
+                return None
+            opt["samp_mode"] = samp[0]
+            opt["samp_idx"] = samp[1]
+            if samp[2] is not None:
+                opt["samp_pseudo"] = samp[2]
+        return opt
+
+    def _roi_mask_stack(self, poly_rois, filtered: ScanCube):
+        """Device-cached (R, Xf, Yf) f32 mask stack for the polygon ROIs on
+        the final slot's (possibly downscaled) grid — transferred once per
+        ROI-set/grid change, not per publish."""
         shape = (filtered.data.shape[0], filtered.data.shape[1])
         key = (
             tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
@@ -454,42 +504,12 @@ class Explorer:
             )
         else:
             stack = np.zeros((0,) + shape, np.float32)
-        self._mask_cache = (key, stack)
-        return stack
+        dev = jnp.asarray(stack)
+        self._mask_cache = (key, dev)
+        return dev
 
     def _roi_names(self):
         return [(name, u) for u, (name, _poly) in self.rois.items()]
-
-    def _publish_optical(self, plot: PlotData, filtered: ScanCube, roi_spectra, host):
-        """Optical properties for the selected reference/sample
-        (``data_thread.rs:1489-1559``). Inputs are the already-fetched host
-        spectra; the (tiny) computation runs as one jitted call."""
-        ref_uuid = self._uuid_for(self.reference_selection)
-        if ref_uuid is None or ref_uuid not in roi_spectra:
-            return
-        ref_amp, ref_ph, _ = roi_spectra[ref_uuid]
-        if self.sample_selection == SELECTED_PIXEL:
-            samp_amp = host["filtered_signal_fft"]
-            samp_ph = host["filtered_phase_fft"]
-        else:
-            samp_uuid = self._uuid_for(self.sample_selection)
-            if samp_uuid is None or samp_uuid not in roi_spectra:
-                return
-            samp_amp, samp_ph, _ = roi_spectra[samp_uuid]
-        n_bins = min(len(samp_amp), len(ref_amp))
-        n, alpha, kappa = jax.device_get(
-            calculate_optical_properties(
-                jnp.asarray(samp_amp[:n_bins]),
-                jnp.asarray(samp_ph[:n_bins]),
-                jnp.asarray(ref_amp[:n_bins]),
-                jnp.asarray(ref_ph[:n_bins]),
-                jnp.asarray(np.asarray(filtered.freq)[:n_bins]),
-                np.float32(self.sample_thickness),
-            )
-        )
-        plot.refractive_index = np.asarray(n)
-        plot.absorption_coefficient = np.asarray(alpha)
-        plot.extinction_coefficient = np.asarray(kappa)
 
     def _uuid_for(self, name: str) -> Optional[str]:
         for u, (n, _poly) in self.rois.items():

@@ -26,6 +26,7 @@ from thz_image_explorer_tpu.ops.intensity import (
     upscaled_intensity_image,
 )
 from thz_image_explorer_tpu.ops.mxufft import irfft_ri
+from thz_image_explorer_tpu.ops.optical import calculate_optical_properties
 
 
 def _masked_means(arr, masks, weights):
@@ -34,7 +35,10 @@ def _masked_means(arr, masks, weights):
     return sums / weights[:, None]
 
 
-@partial(jax.jit, static_argnames=("avg_fourier", "scaling"))
+@partial(
+    jax.jit,
+    static_argnames=("avg_fourier", "scaling", "ref_mode", "samp_mode"),
+)
 def _publish_program(
     raw_data,  # (X0, Y0, T0) — slot 0
     rf_amp,  # raw spectrum slot (fft_index + 1)
@@ -45,13 +49,21 @@ def _publish_program(
     f_avg_data,
     f_avg_amp,
     f_avg_ph,
+    f_freq,
     masks,  # (R, Xf, Yf) f32 ROI masks on the final slot's grid
     rxy,  # (2,) int32 pixel index per slot (pre-divided by its scaling)
     fxy,
     gxy,
+    ref_idx,  # () int32 — ROI index of the optical reference (if ref_mode=roi)
+    samp_idx,
+    ref_pseudo,  # (2, F) f32 amp/phase of a pseudo-ROI reference (else zeros)
+    samp_pseudo,
+    thickness,  # () f32
     *,
     avg_fourier: bool,
     scaling: int,
+    ref_mode: str,  # none | roi | pseudo
+    samp_mode: str,  # roi | pixel | pseudo
 ):
     n_time = f_data.shape[-1]
     weights = jnp.maximum(masks.sum(axis=(1, 2)), 1e-12)
@@ -74,13 +86,16 @@ def _publish_program(
     else:
         image = intensity_image(f_data)
 
-    return dict(
+    pix_amp = f_amp[gxy[0], gxy[1]]
+    pix_ph = f_ph[gxy[0], gxy[1]]
+
+    out = dict(
         signal=raw_data[rxy[0], rxy[1]],
         signal_fft=rf_amp[fxy[0], fxy[1]],
         phase_fft=rf_ph[fxy[0], fxy[1]],
         filtered_signal=f_data[gxy[0], gxy[1]],
-        filtered_signal_fft=f_amp[gxy[0], gxy[1]],
-        filtered_phase_fft=f_ph[gxy[0], gxy[1]],
+        filtered_signal_fft=pix_amp,
+        filtered_phase_fft=pix_ph,
         avg_signal=avg_signal,
         avg_signal_fft=f_avg_amp,
         avg_phase_fft=f_avg_ph,
@@ -90,12 +105,46 @@ def _publish_program(
         image=image,
     )
 
+    # optical properties in the same dispatch (data_thread.rs:1489-1559)
+    if ref_mode != "none":
+        if ref_mode == "roi":
+            ref_amp, ref_ph = roi_amp[ref_idx], roi_ph[ref_idx]
+        else:
+            ref_amp, ref_ph = ref_pseudo[0], ref_pseudo[1]
+        if samp_mode == "roi":
+            samp_amp, samp_ph = roi_amp[samp_idx], roi_ph[samp_idx]
+        elif samp_mode == "pixel":
+            samp_amp, samp_ph = pix_amp, pix_ph
+        else:
+            samp_amp, samp_ph = samp_pseudo[0], samp_pseudo[1]
+        n, alpha, kappa = calculate_optical_properties(
+            samp_amp, samp_ph, ref_amp, ref_ph, f_freq, thickness
+        )
+        out.update(
+            refractive_index=n,
+            absorption_coefficient=alpha,
+            extinction_coefficient=kappa,
+        )
+    return out
 
-def gather_publish(raw, raw_fd, filtered, masks, pixel, avg_fourier: bool):
+
+def gather_publish(
+    raw,
+    raw_fd,
+    filtered,
+    masks,
+    pixel,
+    avg_fourier: bool,
+    optical=None,
+):
     """Run the publish program and fetch everything in one transfer.
 
-    ``masks`` is a host (R, Xf, Yf) f32 stack (R may be 0); ``pixel`` the
-    un-scaled selected pixel. Returns a dict of host numpy arrays.
+    ``masks`` is a (R, Xf, Yf) f32 stack — host numpy or an already
+    device-resident array (R may be 0); ``pixel`` the un-scaled selected
+    pixel. ``optical`` (optional) is a dict with keys ``ref_mode``
+    (roi|pseudo), ``samp_mode`` (roi|pixel|pseudo), ``ref_idx``,
+    ``samp_idx``, ``ref_pseudo``, ``samp_pseudo`` ((2, F) f32 arrays) and
+    ``thickness``. Returns a dict of host numpy arrays.
     """
     import numpy as np
 
@@ -110,6 +159,9 @@ def gather_publish(raw, raw_fd, filtered, masks, pixel, avg_fourier: bool):
             np.int32,
         )
 
+    nf = filtered.amplitudes.shape[-1]
+    zeros2f = np.zeros((2, nf), np.float32)
+    opt = optical or {}
     out = _publish_program(
         raw.data,
         raw_fd.amplitudes,
@@ -120,11 +172,19 @@ def gather_publish(raw, raw_fd, filtered, masks, pixel, avg_fourier: bool):
         filtered.avg_data,
         filtered.avg_signal_fft,
         filtered.avg_phase_fft,
-        jnp.asarray(masks),
+        filtered.freq,
+        masks if hasattr(masks, "devices") else jnp.asarray(masks),
         idx(raw),
         idx(raw_fd),
         idx(filtered),
+        np.int32(opt.get("ref_idx", 0)),
+        np.int32(opt.get("samp_idx", 0)),
+        opt.get("ref_pseudo", zeros2f),
+        opt.get("samp_pseudo", zeros2f),
+        np.float32(opt.get("thickness", 1.0)),
         avg_fourier=avg_fourier,
         scaling=filtered.scaling,
+        ref_mode=opt.get("ref_mode", "none"),
+        samp_mode=opt.get("samp_mode", "pixel"),
     )
     return jax.device_get(out)
