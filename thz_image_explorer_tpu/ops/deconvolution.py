@@ -345,23 +345,29 @@ def _band_gains(
     return jnp.sqrt(deconvolved / img)  # 0/0 -> NaN, as in the reference
 
 
+@partial(jax.jit, static_argnames=("ntaps", "shift"))
+def _window_cube(data, *, ntaps, shift):
+    """FIR input windows for the whole cube, computed ONCE per run and
+    shared by every chunk dispatch."""
+    return _window_input(data, ntaps, shift, FIR_BLOCK)
+
+
 @partial(
     jax.jit,
-    static_argnames=("ntaps", "shift", "pad_r_max", "pad_c_max"),
+    static_argnames=("shape", "pad_r_max", "pad_c_max"),
 )
-def _gains_chunk(data, g_blks, pxs, pys, n_iter, pad_r, pad_c,
-                 *, ntaps, shift, pad_r_max, pad_c_max):
+def _gains_chunk(xw, g_blks, pxs, pys, n_iter, pad_r, pad_c,
+                 *, shape, pad_r_max, pad_c_max):
     """One dispatch: scan over a chunk of stacked bands, emitting each
-    band's gain map. The FIR input windows are built once and shared; the
-    scan reuses a single band's worth of intermediates, so device memory
-    stays bounded regardless of how many bands are queued."""
-    xw = _window_input(data, ntaps, shift, g_blks.shape[-1])
+    band's gain map. The scan reuses a single band's worth of
+    intermediates, so device memory stays bounded regardless of how many
+    bands are queued."""
 
     def body(_c, xs):
         g_blk, px, py, ni, pr, pc = xs
         gains = _band_gains(
             xw, g_blk, px, py, ni, pr, pc,
-            shape=data.shape, pad_r_max=pad_r_max, pad_c_max=pad_c_max,
+            shape=shape, pad_r_max=pad_r_max, pad_c_max=pad_c_max,
         )
         return _c, gains
 
@@ -434,7 +440,7 @@ def deconvolve_cube(
     if isinstance(data_sharding, NamedSharding):
         rep = NamedSharding(data_sharding.mesh, PartitionSpec())
         transfer = lambda a: jax.device_put(np.ascontiguousarray(a), rep)
-        cache_key = (chunk, id(data_sharding.mesh))
+        cache_key = (chunk, data_sharding.mesh)
     else:
         transfer = lambda a: jnp.asarray(np.ascontiguousarray(a))
         cache_key = (chunk, None)
@@ -448,7 +454,7 @@ def deconvolve_cube(
         pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
         pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
         g_blks = np.stack(
-            [_fir_block_matrix(t, shift, FIR_BLOCK) for t in geometry.taps]
+            [_fir_block_matrix(t, FIR_BLOCK) for t in geometry.taps]
         )
 
         # pad band count to a multiple of chunk_size with inert bands (their
@@ -484,6 +490,7 @@ def deconvolve_cube(
         geometry._device_chunks[cache_key] = chunks
 
     chunk_list, taps_ri_dev = chunks
+    xw = _window_cube(data, ntaps=ntaps, shift=shift)
     gain_stacks = []
     for i, ch in enumerate(chunk_list):
         if cancelled():
@@ -491,10 +498,9 @@ def deconvolve_cube(
         progress(i / (len(chunk_list) + 1))
         gain_stacks.append(
             _gains_chunk(
-                data,
+                xw,
                 *ch,
-                ntaps=ntaps,
-                shift=shift,
+                shape=data.shape,
                 pad_r_max=pad_r_max,
                 pad_c_max=pad_c_max,
             )

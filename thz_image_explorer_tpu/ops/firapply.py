@@ -23,11 +23,12 @@ _PREC = jax.lax.Precision.HIGH
 FIR_BLOCK = 256
 
 
-def fir_block_matrix(taps: np.ndarray, shift: int, block: int = FIR_BLOCK) -> np.ndarray:
+def fir_block_matrix(taps: np.ndarray, block: int = FIR_BLOCK) -> np.ndarray:
     """Host-precomputed block matrix ``G[m, t] = taps[t + ntaps-1 - m]``
-    (zeros outside) applying ``out[t] = sum_j x[j] * taps[t - j + shift]``
-    — the centred window of the zero-padded linear convolution — as a
-    matmul over sliding input windows."""
+    (zeros outside). The block matrix itself is shift-independent: the
+    centring shift of ``out[t] = sum_j x[j] * taps[t - j + shift]`` is
+    realized entirely by :func:`window_input`'s left pad — always pair the
+    two with the same shift."""
     ntaps = len(taps)
     width = block + ntaps - 1
     m = np.arange(width)[:, None]
@@ -74,7 +75,7 @@ def fir_correlate_bands(
     mid = l // 2
     shift = l - 1 - mid
     flipped = np.asarray(taps, np.float64)[:, ::-1]
-    g_blks = np.stack([fir_block_matrix(h, shift, block) for h in flipped])
+    g_blks = np.stack([fir_block_matrix(h, block) for h in flipped])
     xw = window_input(jnp.asarray(np.asarray(traces, np.float32)), l, shift, block)
     out = _apply_bands(xw, jnp.asarray(g_blks), n_time=t)
     return np.asarray(out, np.float64)

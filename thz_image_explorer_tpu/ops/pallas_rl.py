@@ -8,13 +8,17 @@ fits in VMEM, so this kernel runs *all* iterations on-chip: the image, the
 PSF and the running estimate stay in VMEM for the whole ``fori_loop``, and
 the correlations are statically unrolled shifted multiply-adds on the VPU.
 
-Numerics are identical to the direct-conv path of
+Numerics are identical to the direct-correlation semantics of
 :mod:`thz_image_explorer_tpu.ops.deconvolution` (zero-boundary 'same'
 correlation, no kernel flip); the band's dynamic geometry (pad widths,
 iteration count) stays traced exactly like the XLA path.
 
-Used automatically by ``deconvolve_cube`` when the shapes qualify; the XLA
-path remains as fallback (and as the oracle in tests).
+STATUS: an alternative kernel, not on the production dispatch path.
+``deconvolve_cube`` now runs RL as separable banded matmuls on the MXU
+(the reference's PSF is an exact outer product), which is faster, handles
+arbitrary kernel sizes, and needs no VMEM-fit qualification; this
+general-2D kernel is kept for non-separable PSFs and as a Pallas
+reference, exercised by ``tests/test_pallas_rl.py``.
 """
 
 from __future__ import annotations

@@ -107,15 +107,12 @@ def masked_mean_trace(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(count > 0, total / count.astype(total.dtype), 0.0)
 
 
-@partial(jax.jit, static_argnums=2)
-def roi_reductions(
-    cube_data: jnp.ndarray,
-    masks: jnp.ndarray,
-    n_rois: int,
-) -> jnp.ndarray:
-    """Batched ROI means for ``n_rois`` masks stacked as ``(R, X, Y)``."""
-    del n_rois
-    m = masks.astype(cube_data.dtype)
+@jax.jit
+def masked_mean_stack(arr: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Batched ROI means: ``(R, X, Y)`` masks x ``(X, Y, T)`` array ->
+    ``(R, T)``; empty masks yield zeros. The canonical masked-mean used by
+    the publish program and tests."""
+    m = masks.astype(arr.dtype)
     counts = jnp.sum(masks.astype(jnp.float32), axis=(1, 2))
-    totals = jnp.einsum("rxy,xyt->rt", m, cube_data)
+    totals = jnp.einsum("rxy,xyt->rt", m, arr)
     return jnp.where(counts[:, None] > 0, totals / counts[:, None], 0.0)

@@ -252,12 +252,18 @@ class Explorer:
         return find_files_with_same_extension(self.file_path)
 
     def open_sibling(self, delta: int):
-        """Arrow-key prev/next navigation (``left_panel.rs:165-275``)."""
+        """Arrow-key prev/next navigation with wrap-around
+        (``left_panel.rs:165-275``)."""
+        import os
+
         sibs = self.sibling_files()
-        if not sibs or self.file_path not in sibs:
+        if not sibs or self.file_path is None:
             return
-        idx = (sibs.index(self.file_path) + delta) % len(sibs)
-        self.open_file(sibs[idx])
+        try:
+            idx = sibs.index(os.path.abspath(self.file_path))
+        except ValueError:
+            return
+        self.open_file(sibs[(idx + delta) % len(sibs)])
 
     def apply_psf(self, psf):
         """ApplyPSF from the PSF tool (``data_thread.rs:787-796``)."""
@@ -372,64 +378,67 @@ class Explorer:
 
         raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
         filtered = slots[-1]
-        if raw_fd is not None and filtered is not None:
-            poly_rois = [
-                (u, name, poly)
-                for u, (name, poly) in self.rois.items()
-                if poly is not None
-            ]
-            masks = self._roi_mask_stack(poly_rois, filtered)
-            optical = self._optical_request(poly_rois, filtered)
-            host = gather_publish(
-                raw,
-                raw_fd,
-                filtered,
-                masks,
-                tuple(self.pixel_selected),
-                self.pipeline.config.avg_in_fourier_space,
-                optical=optical,
-            )
-            plot.signal = host["signal"]
-            plot.frequencies = np.asarray(raw_fd.freq)
-            plot.signal_fft = host["signal_fft"]
-            plot.phase_fft = host["phase_fft"]
-            plot.filtered_time = np.asarray(filtered.time)
-            plot.filtered_signal = host["filtered_signal"]
-            plot.filtered_frequencies = np.asarray(filtered.freq)
-            plot.filtered_signal_fft = host["filtered_signal_fft"]
-            plot.filtered_phase_fft = host["filtered_phase_fft"]
-            plot.avg_signal = host["avg_signal"]
-            plot.avg_signal_fft = host["avg_signal_fft"]
-            plot.avg_phase_fft = host["avg_phase_fft"]
-            self.image = host["image"]
+        if raw_fd is None or filtered is None:
+            # mid-failure fallback: still publish the raw trace so the GUI
+            # shows *something* (the reference publishes per-slot too)
+            px = min(self.pixel_selected[0], raw.width - 1)
+            py = min(self.pixel_selected[1], raw.height - 1)
+            plot.signal = np.asarray(raw.data[px, py])
+            plot.available_references = [n for n, _ in self._roi_names()]
+            plot.available_samples = plot.available_references + [SELECTED_PIXEL]
+            self.plot = plot
+            return
 
-            roi_spectra = {}
-            for i, (uuid, name, _poly) in enumerate(poly_rois):
-                roi_spectra[uuid] = (
-                    host["roi_amp"][i],
-                    host["roi_ph"][i],
-                    host["roi_trace"][i],
-                )
-                plot.roi_signal[uuid] = (name, host["roi_trace"][i])
-                plot.roi_signal_fft[uuid] = (name, host["roi_amp"][i])
-                plot.roi_phase[uuid] = (name, host["roi_ph"][i])
-            # pseudo-ROIs from loaded reference pulses (host-resident)
-            for uuid, (name, poly) in self.rois.items():
-                if poly is not None:
-                    continue
-                data = self._datasets.get(uuid)
-                if data is None:
-                    continue
-                trace, amplitudes, phases = data
-                roi_spectra[uuid] = (amplitudes, phases, trace)
-                plot.roi_signal[uuid] = (name, trace)
-                plot.roi_signal_fft[uuid] = (name, amplitudes)
-                plot.roi_phase[uuid] = (name, phases)
+        poly_rois = [
+            (u, name, poly)
+            for u, (name, poly) in self.rois.items()
+            if poly is not None
+        ]
+        masks = self._roi_mask_stack(poly_rois, filtered)
+        optical = self._optical_request(poly_rois, filtered)
+        host = gather_publish(
+            raw,
+            raw_fd,
+            filtered,
+            masks,
+            tuple(self.pixel_selected),
+            self.pipeline.config.avg_in_fourier_space,
+            optical=optical,
+        )
+        plot.signal = host["signal"]
+        plot.frequencies = np.asarray(raw_fd.freq)
+        plot.signal_fft = host["signal_fft"]
+        plot.phase_fft = host["phase_fft"]
+        plot.filtered_time = np.asarray(filtered.time)
+        plot.filtered_signal = host["filtered_signal"]
+        plot.filtered_frequencies = np.asarray(filtered.freq)
+        plot.filtered_signal_fft = host["filtered_signal_fft"]
+        plot.filtered_phase_fft = host["filtered_phase_fft"]
+        plot.avg_signal = host["avg_signal"]
+        plot.avg_signal_fft = host["avg_signal_fft"]
+        plot.avg_phase_fft = host["avg_phase_fft"]
+        self.image = host["image"]
 
-            if "refractive_index" in host:
-                plot.refractive_index = host["refractive_index"]
-                plot.absorption_coefficient = host["absorption_coefficient"]
-                plot.extinction_coefficient = host["extinction_coefficient"]
+        for i, (uuid, name, _poly) in enumerate(poly_rois):
+            plot.roi_signal[uuid] = (name, host["roi_trace"][i])
+            plot.roi_signal_fft[uuid] = (name, host["roi_amp"][i])
+            plot.roi_phase[uuid] = (name, host["roi_ph"][i])
+        # pseudo-ROIs from loaded reference pulses (host-resident)
+        for uuid, (name, poly) in self.rois.items():
+            if poly is not None:
+                continue
+            data = self._datasets.get(uuid)
+            if data is None:
+                continue
+            trace, amplitudes, phases = data
+            plot.roi_signal[uuid] = (name, trace)
+            plot.roi_signal_fft[uuid] = (name, amplitudes)
+            plot.roi_phase[uuid] = (name, phases)
+
+        if "refractive_index" in host:
+            plot.refractive_index = host["refractive_index"]
+            plot.absorption_coefficient = host["absorption_coefficient"]
+            plot.extinction_coefficient = host["extinction_coefficient"]
 
         plot.available_references = [name for name, _ in self._roi_names()]
         plot.available_samples = plot.available_references + [SELECTED_PIXEL]

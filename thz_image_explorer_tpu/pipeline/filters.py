@@ -192,14 +192,31 @@ class Deconvolution(FilterStage):
             if psf is None or not psf.is_loaded:
                 log.error("No PSF loaded; skipping deconvolution.")
                 return cube
-            geometry = dec.plan_bands(
-                self.params,
-                psf,
-                np.asarray(cube.time),
+            # Re-plan only when the inputs changed: the BandGeometry caches
+            # its device-resident band stacks, so a cache hit means a rerun
+            # re-transfers nothing.
+            import dataclasses as _dc
+
+            time_np = np.asarray(cube.time)
+            plan_key = (
+                _dc.astuple(self.params),
+                id(psf),
+                time_np.shape,
+                float(time_np[0]),
+                float(time_np[-1]),
                 (cube.width, cube.height),
                 cube.dx,
                 cube.dy,
             )
+            cached = getattr(self, "_plan_cache", None)
+            if cached is not None and cached[0] == plan_key:
+                geometry = cached[1]
+            else:
+                geometry = dec.plan_bands(
+                    self.params, psf, time_np,
+                    (cube.width, cube.height), cube.dx, cube.dy,
+                )
+                self._plan_cache = (plan_key, geometry)
             if geometry is None:
                 log.warning("Deconvolution preconditions not met; skipping.")
                 return cube

@@ -27,12 +27,7 @@ from thz_image_explorer_tpu.ops.intensity import (
 )
 from thz_image_explorer_tpu.ops.mxufft import irfft_ri
 from thz_image_explorer_tpu.ops.optical import calculate_optical_properties
-
-
-def _masked_means(arr, masks, weights):
-    """Per-ROI masked mean over pixels: (R, X, Y) x (X, Y, T) -> (R, T)."""
-    sums = jnp.einsum("rxy,xyt->rt", masks, arr)
-    return sums / weights[:, None]
+from thz_image_explorer_tpu.ops.roi import masked_mean_stack
 
 
 @partial(
@@ -66,10 +61,8 @@ def _publish_program(
     samp_mode: str,  # roi | pixel | pseudo
 ):
     n_time = f_data.shape[-1]
-    weights = jnp.maximum(masks.sum(axis=(1, 2)), 1e-12)
-
-    roi_amp = _masked_means(f_amp, masks, weights)
-    roi_ph = _masked_means(f_ph, masks, weights)
+    roi_amp = masked_mean_stack(f_amp, masks)
+    roi_ph = masked_mean_stack(f_ph, masks)
     if avg_fourier:
         # reconstruct ROI traces from polar means (math_tools.rs:496-529)
         spec_ri = jnp.stack(
@@ -78,7 +71,7 @@ def _publish_program(
         roi_trace = irfft_ri(spec_ri, n_time)
         avg_signal = f_avg_data
     else:
-        roi_trace = _masked_means(f_data, masks, weights)
+        roi_trace = masked_mean_stack(f_data, masks)
         avg_signal = jnp.mean(f_data, axis=(0, 1))
 
     if scaling > 1:

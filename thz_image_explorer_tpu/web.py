@@ -699,6 +699,9 @@ PAGE = r"""<!DOCTYPE html>
 <script>
 const el = id => document.getElementById(id);
 let S = null, roiDraft = [], imgScale = 1;
+const escH = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+  .replace(/>/g,'&gt;').replace(/"/g,'&quot;').replace(/'/g,'&#39;');
+const escJ = s => JSON.stringify(String(s)).slice(1,-1).replace(/'/g,"\\'");
 async function cmd(method, args) {
   await fetch('/api/command', {method:'POST', body: JSON.stringify({method, args})});
   setTimeout(refresh, 150);
@@ -779,12 +782,12 @@ function render() {
   if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
   else wb.style.display='none';
   el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
-    `<div class="mdrow">${k} <input type="text" value="${String(v).replace(/"/g,'&quot;')}" style="width:200px"
-      onchange="cmd('set_metadata_field',['${k}',this.value])"></div>`).join('');
+    `<div class="mdrow">${escH(k)} <input type="text" value="${escH(v)}" style="width:200px"
+      onchange="cmd('set_metadata_field',['${escJ(k)}',this.value])"></div>`).join('');
   el('mdattrs').innerHTML = Object.entries(S.metadata.md).map(([k,v])=>
-    `<div class="mdrow">${k}: <input type="text" value="${String(v).replace(/"/g,'&quot;')}" style="width:160px"
-      onchange="cmd('set_metadata_attr',['${k}',this.value])">
-      <button class="off" onclick="cmd('delete_metadata_attr',['${k}'])">x</button></div>`).join('');
+    `<div class="mdrow">${escH(k)}: <input type="text" value="${escH(v)}" style="width:160px"
+      onchange="cmd('set_metadata_attr',['${escJ(k)}',this.value])">
+      <button class="off" onclick="cmd('delete_metadata_attr',['${escJ(k)}'])">x</button></div>`).join('');
   // filters panel
   el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
@@ -797,7 +800,7 @@ function render() {
       <button onclick="cmd('update_filter',['${u}'],)">Apply</button> ${params}</div>`;
   }).join('');
   el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
-    `${r.name} <button class="off" onclick="cmd('delete_roi',['${u}'])">x</button>`).join(' ');
+    `${escH(r.name)} <button class="off" onclick="cmd('delete_roi',['${escJ(u)}'])">x</button>`).join(' ');
   for (const sel of ['refsel','sampsel']) {
     const opts = (sel==='refsel'?S.selection.available_references:S.selection.available_samples);
     const cur = sel==='refsel'?S.selection.reference:S.selection.sample;
