@@ -290,8 +290,12 @@ class Explorer:
         self._rerun_from_fft()
 
     def set_fft_resolution(self, df: float):
+        """SetFFTResolution stores the value and republishes
+        (``UpdateType::Plot``, ``data_thread.rs:829-832``; the reference
+        stores ``fft_df`` without consuming it elsewhere — kept as-is for
+        parity)."""
         self.pipeline.config.fft_df = df
-        self._rerun_from_fft()
+        self.publish()
 
     def set_downscaling(self, scale: int):
         """SetDownScaling re-runs from the scaling stage

@@ -168,6 +168,7 @@ class WebApp:
                 "available_samples": plot.available_samples,
             },
             "plots": {
+                "window_shape": self._window_shape(),
                 "time": _series(plot.time),
                 "signal": _series(plot.signal),
                 "filtered_time": _series(plot.filtered_time),
@@ -216,6 +217,7 @@ class WebApp:
         "set_filter_active", "add_roi", "update_roi", "delete_roi",
         "set_reference", "set_sample", "set_material_thickness",
         "update_material_calculation", "open_sibling", "update_metadata",
+        "set_fft_resolution",
     }
 
     def command(self, method: str, args: list, kwargs: dict):
@@ -255,6 +257,27 @@ class WebApp:
         if method not in self.ALLOWED:
             raise ValueError(f"unknown command {method}")
         self.worker.send(method, *args, **kwargs)
+
+    def _window_shape(self):
+        """The FFT window's live shape for the settings plot
+        (``right_panel.rs:214-299``)."""
+        ex = self.worker.explorer
+        inp = ex.pipeline.input
+        if inp is None:
+            return []
+        import jax.numpy as jnp
+
+        from thz_image_explorer_tpu.ops.windows import window_array
+        import jax as _jax
+
+        cfg = ex.pipeline.config
+        w = _jax.jit(window_array, static_argnames=("window_type",))(
+            inp.time,
+            cfg.fft_window_type,
+            np.float32(cfg.fft_window[0]),
+            np.float32(cfg.fft_window[1]),
+        )
+        return _series(np.asarray(w), limit=512)
 
     # ---------------------------------------------------------- PSF tool
     @property
@@ -682,8 +705,11 @@ PAGE = r"""<!DOCTYPE html>
     onchange="cmd('set_fft_window_high',[parseFloat(this.value)])"><span id="whiv"></span><br>
   downscale <input type="number" id="dscale" min="1" max="10" value="1"
     onchange="cmd('set_downscaling',[parseInt(this.value)])">
+  freq res (THz) <input type="number" id="fdf" min="0.0001" step="0.0001" value="1.0"
+    onchange="cmd('set_fft_resolution',[parseFloat(this.value)])">
   <label><input type="checkbox" id="avgf"
     onchange="cmd('set_avg_in_fourier_space',[this.checked])">avg in Fourier</label><br>
+  <canvas id="winplot" width="300" height="70"></canvas><br>
   <button onclick="cmd('update_filters',[])">Calculate All</button>
   <button class="off" onclick="cmd('abort',[])">Abort</button>
  </div>
@@ -771,6 +797,9 @@ function render() {
   el('ptp').textContent = 'ptp: ' + S.readouts.ptp + ' nA';
   el('wlov').textContent = S.config.fft_window[0].toFixed(1);
   el('whiv').textContent = S.config.fft_window[1].toFixed(1);
+  if (S.plots.window_shape && S.plots.window_shape.length)
+    drawSeries(el('winplot').getContext('2d'),
+      S.plots.window_shape.map((_,i)=>i), [{y:S.plots.window_shape}], ['#9ecbff']);
   el('timings').innerHTML = Object.entries(S.timings_ms)
     .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
   el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
@@ -791,13 +820,17 @@ function render() {
   // filters panel
   el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
-      .map(([k,v])=>`<label>${k} <input type="number" step="0.1" value="${v}"
-        onchange="setParam('${u}','${k}',this.value)"></label>`).join(' ');
-    return `<div style="margin-bottom:8px"><b title="${f.description}">${f.name}</b>
+      .map(([k,v])=>`<label>${escH(k)} <input type="number" step="0.1" value="${v}"
+        onchange="setParam('${escJ(u)}','${escJ(k)}',this.value)"></label>`).join(' ');
+    const doi = f.hyperlink && f.hyperlink.length
+      ? ` <a href="${escH(f.hyperlink[1])}" target="_blank" title="${escH(f.description)}">ℹ</a>` : '';
+    const prog = (f.progress!=null)
+      ? ` <span style="color:#8f8">${Math.round(f.progress*100)}%</span>` : '';
+    return `<div style="margin-bottom:8px"><b title="${escH(f.description)}">${escH(f.name)}</b>${doi}${prog}
       <span class="ms">${f.time_ms} ms</span><br>
-      <button class="${f.active?'':'off'}" onclick="cmd('set_filter_active',['${u}',${!f.active}])">
+      <button class="${f.active?'':'off'}" onclick="cmd('set_filter_active',['${escJ(u)}',${!f.active}])">
         ${f.active?'on':'off'}</button>
-      <button onclick="cmd('update_filter',['${u}'],)">Apply</button> ${params}</div>`;
+      <button onclick="cmd('update_filter',['${escJ(u)}'],)">Apply</button> ${params}</div>`;
   }).join('');
   el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
     `${escH(r.name)} <button class="off" onclick="cmd('delete_roi',['${escJ(u)}'])">x</button>`).join(' ');
