@@ -136,6 +136,13 @@ class Explorer:
         self.image: Optional[np.ndarray] = None
         self.file_path: Optional[str] = None
         self.housekeeping = HouseKeeping()
+        # 3-D voxel view parameters (threed_plot.rs / paper.md:100-111)
+        self.view3d = {
+            "contrast": 2.0,
+            "kernel_sigma": 3.0,
+            "kernel_radius": 9,
+            "opacity_threshold": 0.1,
+        }
 
     # ------------------------------------------------------------ files
     def open_file(self, path: str):
@@ -228,6 +235,10 @@ class Explorer:
             time_span=float(t[-1] - t[0]),
             scaling=out.scaling,
             original_dims=(inp.width, inp.height, inp.n_time),
+            opacity_threshold=self.view3d["opacity_threshold"],
+            contrast=self.view3d["contrast"],
+            kernel_sigma=self.view3d["kernel_sigma"],
+            kernel_radius=self.view3d["kernel_radius"],
         )
         export_to_vtk(positions, rgba, path)
 
@@ -241,6 +252,28 @@ class Explorer:
         if self.file_path is None:
             return
         thzio.update_metadata(self.file_path, self.metadata)
+
+    @staticmethod
+    def load_metadata(path: str):
+        """LoadMetaData: metadata preview without opening the scan (the
+        file-dialog preview, ``gui/application.rs:861-900``)."""
+        return thzio.load_metadata(path)
+
+    # ------------------------------------------------- 3D view settings
+    def set_3d_contrast(self, contrast: float):
+        """Set3DContrast (``data_thread.rs:849-852``)."""
+        self.view3d["contrast"] = float(contrast)
+
+    def set_kernel_sigma(self, sigma: float):
+        """SetKernelSigma (``data_thread.rs:845-848``)."""
+        self.view3d["kernel_sigma"] = float(sigma)
+
+    def set_kernel_radius(self, radius: int):
+        """SetKernelRadius (``data_thread.rs:841-844``)."""
+        self.view3d["kernel_radius"] = int(radius)
+
+    def set_opacity_threshold(self, threshold: float):
+        self.view3d["opacity_threshold"] = float(threshold)
 
     def sibling_files(self) -> list[str]:
         """Files with the open file's extension in its directory, sorted —

@@ -217,7 +217,8 @@ class WebApp:
         "set_filter_active", "add_roi", "update_roi", "delete_roi",
         "set_reference", "set_sample", "set_material_thickness",
         "update_material_calculation", "open_sibling", "update_metadata",
-        "set_fft_resolution",
+        "set_fft_resolution", "set_3d_contrast", "set_kernel_sigma",
+        "set_kernel_radius", "set_opacity_threshold",
     }
 
     def command(self, method: str, args: list, kwargs: dict):
@@ -440,6 +441,14 @@ class WebApp:
         inp = ex.pipeline.input
         if out is None or inp is None:
             return {"n": 0}
+        # keep the Explorer's 3D settings in sync so SaveVTU exports what
+        # the view shows (Set3DContrast/SetKernelSigma/SetKernelRadius)
+        ex.view3d.update(
+            contrast=float(contrast),
+            kernel_sigma=float(sigma),
+            kernel_radius=int(radius),
+            opacity_threshold=float(threshold),
+        )
         t = np.asarray(out.time)
         positions, rgba, cw, ch, cd, thr = extract_instances(
             out.data,
