@@ -112,12 +112,25 @@ class Pipeline:
         self.run_from(1)
 
     # ------------------------------------------------------------------
-    def run_from(self, start_idx: int, *, force_all: bool = False):
+    def run_from(
+        self, start_idx: int, *, force_all: bool = False,
+        block_timings: Optional[bool] = None,
+    ):
         """Re-execute ``chain[start_idx:]``.
 
         ``force_all`` bypasses the deconvolution-suppression rule (used by
         the explicit "Calculate All" command / Apply button path).
+
+        ``block_timings`` controls whether per-stage timings synchronize on
+        each stage's output (accurate ms, one device round-trip per stage —
+        expensive over remote-tunnelled devices) or record dispatch time
+        only. Defaults to ``force_all``: the interactive slider path stays
+        fully async, the explicit Calculate-All/Apply path reports true
+        per-stage times (the reference's per-filter ms display,
+        ``data_thread.rs:1107,1169-1184``).
         """
+        if block_timings is None:
+            block_timings = force_all
         run_deconvolution = True
         for i in range(max(start_idx, 1), len(self.chain)):
             name = self.chain[i]
@@ -156,7 +169,8 @@ class Pipeline:
                 else:
                     out = inp  # identity pass-through (cubes are immutable)
             if self.record_timings:
-                jax.block_until_ready(out.data)
+                if block_timings:
+                    jax.block_until_ready(out.data)
                 self.timings[name] = _time.perf_counter() - t_start
             if out.n_time != inp.n_time and name != "initial":
                 out = self._replan(out)

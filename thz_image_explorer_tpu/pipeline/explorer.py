@@ -411,7 +411,6 @@ class Explorer:
         if raw is None:
             self.plot = plot
             return
-        plot.time = np.asarray(raw.time)
 
         raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
         filtered = slots[-1]
@@ -420,6 +419,7 @@ class Explorer:
             # shows *something* (the reference publishes per-slot too)
             px = min(self.pixel_selected[0], raw.width - 1)
             py = min(self.pixel_selected[1], raw.height - 1)
+            plot.time = np.asarray(raw.time)
             plot.signal = np.asarray(raw.data[px, py])
             plot.available_references = [n for n, _ in self._roi_names()]
             plot.available_samples = plot.available_references + [SELECTED_PIXEL]
@@ -442,13 +442,14 @@ class Explorer:
             self.pipeline.config.avg_in_fourier_space,
             optical=optical,
         )
+        plot.time = host["time"]
         plot.signal = host["signal"]
-        plot.frequencies = np.asarray(raw_fd.freq)
+        plot.frequencies = host["frequencies"]
         plot.signal_fft = host["signal_fft"]
         plot.phase_fft = host["phase_fft"]
-        plot.filtered_time = np.asarray(filtered.time)
+        plot.filtered_time = host["filtered_time"]
         plot.filtered_signal = host["filtered_signal"]
-        plot.filtered_frequencies = np.asarray(filtered.freq)
+        plot.filtered_frequencies = host["filtered_frequencies"]
         plot.filtered_signal_fft = host["filtered_signal_fft"]
         plot.filtered_phase_fft = host["filtered_phase_fft"]
         plot.avg_signal = host["avg_signal"]

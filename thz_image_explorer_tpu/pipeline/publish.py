@@ -36,8 +36,11 @@ from thz_image_explorer_tpu.ops.roi import masked_mean_stack
 )
 def _publish_program(
     raw_data,  # (X0, Y0, T0) — slot 0
+    raw_time,
     rf_amp,  # raw spectrum slot (fft_index + 1)
     rf_ph,
+    rf_freq,
+    f_time,
     f_data,  # final slot
     f_amp,
     f_ph,
@@ -83,6 +86,10 @@ def _publish_program(
     pix_ph = f_ph[gxy[0], gxy[1]]
 
     out = dict(
+        time=raw_time,
+        frequencies=rf_freq,
+        filtered_time=f_time,
+        filtered_frequencies=f_freq,
         signal=raw_data[rxy[0], rxy[1]],
         signal_fft=rf_amp[fxy[0], fxy[1]],
         phase_fft=rf_ph[fxy[0], fxy[1]],
@@ -157,8 +164,11 @@ def gather_publish(
     opt = optical or {}
     out = _publish_program(
         raw.data,
+        raw.time,
         raw_fd.amplitudes,
         raw_fd.phases,
+        raw_fd.freq,
+        filtered.time,
         filtered.data,
         filtered.amplitudes,
         filtered.phases,
