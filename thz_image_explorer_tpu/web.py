@@ -733,7 +733,15 @@ PAGE = r"""<!DOCTYPE html>
 <div id="warnbar"></div>
 <script>
 const el = id => document.getElementById(id);
-let S = null, roiDraft = [], imgScale = 1;
+let S = null, roiDraft = [], imgScale = 1, hoverRoi = null;
+function pointInPoly(x, y, poly) {
+  let inside = false;
+  for (let i=0, j=poly.length-1; i<poly.length; j=i++) {
+    const [xi, yi] = poly[i], [xj, yj] = poly[j];
+    if ((yi>y)!==(yj>y) && x < (xj-xi)*(y-yi)/(yj-yi)+xi) inside = !inside;
+  }
+  return inside;
+}
 const escH = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
   .replace(/>/g,'&gt;').replace(/"/g,'&quot;').replace(/'/g,'&#39;');
 const escJ = s => JSON.stringify(String(s)).slice(1,-1).replace(/'/g,"\\'");
@@ -781,6 +789,23 @@ function render() {
       const H = S.image_shape[1];
       const dx = S.pixel[0]*sc, dy = (H-1-S.pixel[1])*sc;
       ctx.strokeStyle='#fff'; ctx.strokeRect(dx-3, dy-3, 6, 6);
+      // saved ROI outlines, hovered one highlighted (matrix_plot.rs:497-567)
+      const roiColors = ['#e66','#6ae','#6e8','#ea6','#c6e'];
+      Object.entries(S.rois).forEach(([u,r],ri)=>{
+        if (!r.polygon || r.polygon.length<3) return;
+        ctx.strokeStyle = roiColors[ri%roiColors.length];
+        ctx.lineWidth = (u===hoverRoi)? 2.5 : 1.2;
+        ctx.beginPath();
+        r.polygon.forEach((p,i)=>{const X=p[0]*sc,Y=(H-1-p[1])*sc; if(i)ctx.lineTo(X,Y); else ctx.moveTo(X,Y);});
+        ctx.closePath(); ctx.stroke();
+        if (u===hoverRoi) {
+          let cx=0, cy=0;
+          r.polygon.forEach(p=>{cx+=p[0]; cy+=p[1];});
+          cx/=r.polygon.length; cy/=r.polygon.length;
+          ctx.fillStyle='#fff'; ctx.font='11px sans-serif';
+          ctx.fillText(`${r.name} (${cx.toFixed(1)}, ${cy.toFixed(1)})`, cx*sc+6, (H-1-cy)*sc-6);
+        }
+      });
       // ROI draft
       if (roiDraft.length) { ctx.strokeStyle='#ff0'; ctx.beginPath();
         roiDraft.forEach((p,i)=>{const X=p[0]*sc,Y=(H-1-p[1])*sc; if(i)ctx.lineTo(X,Y); else ctx.moveTo(X,Y);});
@@ -854,6 +879,17 @@ async function setParam(uuid, key, value) {
   await fetch('/api/command', {method:'POST',
     body: JSON.stringify({method:'set_filter_param', args:[uuid, key, parseFloat(value)]})});
 }
+el('img').addEventListener('mousemove', ev => {
+  if (!S || !S.image_shape[0]) return;
+  const r = ev.target.getBoundingClientRect();
+  const H = S.image_shape[1];
+  const x = (ev.clientX-r.left)/imgScale;
+  const y = H-1-(ev.clientY-r.top)/imgScale;
+  let found = null;
+  for (const [u, roi] of Object.entries(S.rois))
+    if (roi.polygon && roi.polygon.length>2 && pointInPoly(x, y, roi.polygon)) { found = u; break; }
+  if (found !== hoverRoi) { hoverRoi = found; render(); }
+});
 el('img').addEventListener('click', ev => {
   if (!S || !S.image_shape[0]) return;
   const r = ev.target.getBoundingClientRect();
