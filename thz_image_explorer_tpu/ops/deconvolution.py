@@ -59,7 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from thz_image_explorer_tpu.models.psf import PSF, create_psf_axes, gaussian
-from thz_image_explorer_tpu.ops.firdesign import NTAPS, create_filter_bank
+from thz_image_explorer_tpu.ops.firdesign import create_filter_bank
 
 MIN_IMAGE_SIZE = 16  # deconvolution.rs:802
 DIRECT_CONV_MAX_ELEMS = 256  # convolve2d's direct-path threshold (:485)

@@ -30,7 +30,6 @@ import time as _time
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from thz_image_explorer_tpu.data import ScanCube, device_zeros, frequency_axis

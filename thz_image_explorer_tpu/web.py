@@ -16,7 +16,6 @@ Run: ``python -m thz_image_explorer_tpu serve [--port 8080] [scan.thzimg]``
 from __future__ import annotations
 
 import base64
-import io
 import json
 import os as _os
 import struct
@@ -266,8 +265,6 @@ class WebApp:
         inp = ex.pipeline.input
         if inp is None:
             return []
-        import jax.numpy as jnp
-
         from thz_image_explorer_tpu.ops.windows import window_array
         import jax as _jax
 
