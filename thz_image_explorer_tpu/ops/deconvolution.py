@@ -320,10 +320,18 @@ def _band_gains(
     The filtered traces are consumed by the image reduction only — the
     final band sum is reconstructed spectrally in one pass afterwards."""
     x, y, n_time = shape
-    t_pad = xw.shape[1] * g_blk.shape[1]
+    nb, block = xw.shape[1], g_blk.shape[1]
+    t_pad = nb * block
     filtered = jnp.einsum("nbm,mt->nbt", xw, g_blk, precision=_PREC)
-    filtered = filtered.reshape(-1, t_pad)[:, :n_time]
-    img = jnp.sum(filtered * filtered, axis=-1).reshape(x, y)
+    # energy reduce in the windowed layout (no reshape/crop copy); only the
+    # padded tail of the last block must be masked out
+    if t_pad == n_time:
+        img = jnp.sum(filtered * filtered, axis=(1, 2)).reshape(x, y)
+    else:
+        mask = (jnp.arange(t_pad) < n_time).reshape(nb, block)
+        img = jnp.sum(
+            jnp.where(mask[None], filtered, 0.0) ** 2, axis=(1, 2)
+        ).reshape(x, y)
 
     padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
     h2, w2 = padded.shape
