@@ -18,12 +18,23 @@ Mapping to TPU:
   ``par_for_each_cancellable_reduce`` contract (``deconvolution.rs:891-1013``)
   without 25 independent dispatches each holding cube-sized temporaries;
 * per-trace FIR filtering — ``convolve1d``'s pow2-padded f64 FFT
-  convolution with centre extraction (``deconvolution.rs:266-317``) — is an
-  exact banded matrix product ``filtered = data @ F.T`` with
-  ``F[t, j] = taps[t - j + shift]``: the zero-padded linear convolution's
-  central window, computed on the MXU with no FFT at all (XLA's TPU FFT
-  runs far below matmul throughput at these batch shapes — see
-  ``ops/mxufft.py``);
+  convolution with centre extraction (``deconvolution.rs:266-317``) — is
+  never materialised at all: the filtered traces are consumed only by the
+  per-band energy image ``img = sum_t filtered^2`` (the band *output* is
+  reconstructed spectrally by linearity, see ``_spectral_band_sum``), and
+  that energy is computed exactly as **Parseval energy of the full linear
+  convolution minus two triangular tail corrections**:
+  ``E_window = E_full - E_head - E_tail`` where
+  ``E_full = sum_f w_f |X_f|^2 |T_f|^2`` (one small matmul against a
+  host-precomputed weighted tap-power matrix) and the head/tail terms are
+  energies of the ``(ntaps-1)/2`` convolution samples outside the centre
+  window, each a small triangular banded matmul over only the first/last
+  ``(ntaps-1)/2`` samples of the trace. Round 1 computed the energy by
+  materialising the FIR outputs as block-banded matmuls (~1.5 TFLOP and
+  ~12 GB of window re-reads for 25 bands over a 200x200x1024 cube,
+  measured ~55 ms device); the energy identity needs ~0.6 TFLOP total and
+  no cube-sized intermediates (measured breakdown in
+  ``scripts/profile_deconv.py``);
 * band geometry (PSF canvas size, reflect-pad widths, iteration counts) is
   host-computed static data; *per-band values* (taps, axis profiles, pad
   width, iteration count) stay traced so every band runs the same compiled
@@ -222,29 +233,22 @@ def plan_bands(
 # ----------------------------------------------------------------------
 
 
-def _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max: int, pad_c_max: int):
-    """Reflect-pad ``img`` by traced (pad_r, pad_c) inside a static canvas
-    of margin (pad_r_max, pad_c_max); cells outside the band's padded
-    region are zero (they behave exactly like the zero boundary of the
-    reference's convolutions)."""
-    h, w = img.shape
-    r = jnp.arange(h + 2 * pad_r_max)
-    rr = r - (pad_r_max - pad_r)
-    src_r = jnp.abs(rr - pad_r)
-    src_r = jnp.where(src_r >= h, 2 * h - 2 - src_r, src_r)
-    valid_r = (rr >= 0) & (rr < h + 2 * pad_r)
-
-    c = jnp.arange(w + 2 * pad_c_max)
-    cc = c - (pad_c_max - pad_c)
-    src_c = jnp.abs(cc - pad_c)
-    src_c = jnp.where(src_c >= w, 2 * w - 2 - src_c, src_c)
-    valid_c = (cc >= 0) & (cc < w + 2 * pad_c)
-
-    gathered = img[
-        jnp.clip(src_r, 0, h - 1)[:, None], jnp.clip(src_c, 0, w - 1)[None, :]
-    ]
-    mask = valid_r[:, None] & valid_c[None, :]
-    return jnp.where(mask, gathered, 0.0)
+def _reflect_pad_matrix(h: int, pad: int, pad_max: int) -> np.ndarray:
+    """Host-built 0/1 selection matrix ``P`` with
+    ``(P @ img)[r] = reflect_padded_img[r]`` inside a static canvas of
+    margin ``pad_max``; rows outside the band's own padded region are
+    all-zero (they behave exactly like the zero boundary of the
+    reference's convolutions). Applying the pad as a matmul keeps the RL
+    scan on the MXU — the equivalent traced 2-D gather was measured at
+    ~16 ms/25 bands on a v5e (``scripts/micro_skeleton.py``)."""
+    r = np.arange(h + 2 * pad_max)
+    rr = r - (pad_max - pad)
+    src = np.abs(rr - pad)
+    src = np.where(src >= h, 2 * h - 2 - src, src)
+    valid = (rr >= 0) & (rr < h + 2 * pad)
+    p = np.zeros((h + 2 * pad_max, h), np.float32)
+    p[r[valid], np.clip(src[valid], 0, h - 1)] = 1.0
+    return p
 
 
 def _correlate_same(a: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -272,127 +276,144 @@ def _richardson_lucy(padded, n_iter, corr_k, corr_kflip):
     return jax.lax.fori_loop(0, n_iter, body, padded)
 
 
-def _banded_matrix(vec, size: int, klen: int):
-    """Dense (size, size) correlation matrix ``M[i, k] = vec[k - i + c]``
-    with ``c = klen // 2`` and zeros outside the band — applying a
-    zero-boundary 'same' 1-D correlation as an MXU matmul. ``vec`` is
-    traced; the index/mask structure is static."""
+def _banded_matrix(vec: np.ndarray, size: int) -> np.ndarray:
+    """Host-built dense (size, size) correlation matrix
+    ``M[i, k] = vec[k - i + c]`` with ``c = len(vec) // 2`` and zeros
+    outside the band — applying a zero-boundary 'same' 1-D correlation as
+    an MXU matmul. Built on the host: the axis profiles are host data,
+    and constructing these with traced gathers inside the scan was
+    measured at ~14 ms/25 bands on a v5e (``scripts/micro_skeleton.py``)."""
+    vec = np.asarray(vec, np.float32)
+    klen = vec.shape[0]
     c = klen // 2
-    ii = jnp.arange(size)
+    ii = np.arange(size)
     idx = ii[None, :] - ii[:, None] + c  # [i, k] -> vec index
     valid = (idx >= 0) & (idx < klen)
-    return jnp.where(valid, vec[jnp.clip(idx, 0, klen - 1)], 0.0)
+    return np.where(valid, vec[np.clip(idx, 0, klen - 1)], 0.0).astype(
+        np.float32
+    )
 
 
 # bf16x3 ("f32 emulation") matmuls: ~1e-5 relative error, 2x the HIGHEST
 # throughput on v5e — well inside the framework's f32 parity tolerances.
 _PREC = jax.lax.Precision.HIGH
 
-from thz_image_explorer_tpu.ops.firapply import (  # noqa: E402
-    FIR_BLOCK,
-    fir_block_matrix as _fir_block_matrix,
-    window_input as _window_flat,
-)
+
+def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
+    """Host-precomputed (f64) matrices for the exact windowed-convolution
+    energy identity ``E_window = E_full - E_head - E_tail``.
+
+    The centre window of the linear convolution is ``full[shift : shift+T]``
+    with ``shift = (L-1)//2`` (``deconvolution.rs:266-317``'s extraction).
+
+    Returns
+      w2   (m, B)            Parseval-weighted tap power: ``E_full(n, b) =
+                             sum_f w2[f, b] * |X_nf|^2`` with the r2c
+                             hermitian weights (1, 2, ..., 2[, 1]) / fft_len;
+      mh   (B, shift, hseg)  ``full[k] = sum_t mh[b, k, t] * x[t]`` for the
+                             head samples k < shift (lower-triangular taps);
+      mt   (B, ltail, tseg)  same for the tail samples k >= shift + T, over
+                             the last ``tseg`` input samples.
+    """
+    b, l = taps.shape
+    shift = (l - 1) // 2
+    ltail = l - 1 - shift
+
+    spec = np.fft.rfft(taps, n=fft_len, axis=-1)  # (B, m)
+    m = spec.shape[-1]
+    w = np.full(m, 2.0)
+    w[0] = 1.0
+    if fft_len % 2 == 0:
+        w[-1] = 1.0
+    w2 = (w[:, None] / fft_len * (np.abs(spec) ** 2).T).astype(np.float32)
+
+    hseg = min(shift, n_time)
+    idx = np.arange(shift)[:, None] - np.arange(hseg)[None, :]  # k - t
+    mh = np.where(
+        (idx >= 0) & (idx < l), taps[:, np.clip(idx, 0, l - 1)], 0.0
+    )
+
+    tseg = min(ltail, n_time)
+    idx_t = shift + tseg + np.arange(ltail)[:, None] - np.arange(tseg)[None, :]
+    mt = np.where(
+        (idx_t >= 0) & (idx_t < l), taps[:, np.clip(idx_t, 0, l - 1)], 0.0
+    )
+
+    return w2, mh.astype(np.float32), mt.astype(np.float32)
 
 
-def _window_input(data, ntaps: int, shift: int, block: int):
-    """Sliding FIR input windows, built ONCE per chunk and shared by every
-    band (``ops/firapply.window_input`` over the flattened pixel grid)."""
-    return _window_flat(data.reshape(-1, data.shape[-1]), ntaps, shift, block)
+@partial(jax.jit, static_argnames=("fft_len", "hseg", "tseg"))
+def _prepare_spectra(data, *, fft_len, hseg, tseg):
+    """One dispatch shared by every band: padded r2c spectrum of all
+    traces (reused by the final reconstruction), its power, and the
+    head/tail input segments for the energy tail corrections."""
+    from thz_image_explorer_tpu.ops import mxufft
+
+    n_time = data.shape[-1]
+    flat = data.reshape(-1, n_time)
+    spec = mxufft.rfft_ri(flat, n=fft_len)  # (2, N, m)
+    power = spec[0] * spec[0] + spec[1] * spec[1]
+    return spec, power, flat[:, :hseg], flat[:, n_time - tseg :]
 
 
-def _band_gains(
-    xw,  # (X*Y, nb, width) f32 — sliding FIR input windows (shared)
-    g_blk,  # (width, block) f32 — this band's FIR block matrix
-    px,  # (kr_max,) f32 — PSF x-axis profile, pre-flipped for FFT-semantics bands
-    py,  # (kc_max,) f32
-    n_iter,  # () int32
-    pad_r,  # () int32
-    pad_c,  # () int32
-    *,
-    shape: tuple[int, int, int],
-    pad_r_max: int,
-    pad_c_max: int,
-):
-    """One band: FIR-filter the cube, RL-deconvolve its intensity image,
-    return the per-pixel gain map (``deconvolution.rs:891-1004``).
-    Everything is MXU matmuls; see the module docstring for the mapping.
-    The filtered traces are consumed by the image reduction only — the
-    final band sum is reconstructed spectrally in one pass afterwards."""
-    x, y, n_time = shape
-    nb, block = xw.shape[1], g_blk.shape[1]
-    t_pad = nb * block
-    filtered = jnp.einsum("nbm,mt->nbt", xw, g_blk, precision=_PREC)
-    # energy reduce in the windowed layout (no reshape/crop copy); only the
-    # padded tail of the last block must be masked out
-    if t_pad == n_time:
-        img = jnp.sum(filtered * filtered, axis=(1, 2)).reshape(x, y)
-    else:
-        mask = (jnp.arange(t_pad) < n_time).reshape(nb, block)
-        img = jnp.sum(
-            jnp.where(mask[None], filtered, 0.0) ** 2, axis=(1, 2)
-        ).reshape(x, y)
+@partial(jax.jit, static_argnames=("shape", "pad_r_max", "pad_c_max"))
+def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
+                 *, shape, pad_r_max, pad_c_max):
+    """One dispatch covering a chunk of bands: exact per-band energy
+    images via the Parseval-minus-tails identity, then a ``lax.scan`` of
+    Richardson-Lucy over the chunk's bands emitting each band's gain map
+    (``deconvolution.rs:891-1004``). Everything in the scan body is MXU
+    matmuls against host-precomputed band matrices: ``prs``/``pcs`` are
+    the 0/1 reflect-pad selection matrices, ``rs``/``cs`` the banded
+    correlation matrices of the separable PSF's axis profiles.
 
-    padded = _dynamic_reflect_pad(img, pad_r, pad_c, pad_r_max, pad_c_max)
-    h2, w2 = padded.shape
-    R = _banded_matrix(px, h2, px.shape[0])
-    C = _banded_matrix(py, w2, py.shape[0])
+    RL stays *sequential* over bands by measurement: one band's RL step is
+    already MXU matmuls over the (H+2p, W+2p) image, and the per-band
+    iteration counts are heavily skewed (sum(n_iter) ~ 5x max(n_iter) at
+    reference defaults), so batching bands into one fori_loop of
+    max(n_iter) steps costs ~4x the FLOPs for the same serial depth —
+    measured slower. The scan also reuses one band's worth of
+    intermediates, keeping device memory bounded."""
+    x, y = shape[0], shape[1]
+    e_full = jnp.dot(power, w2, precision=_PREC)  # (N, c)
+    hv = jnp.einsum("nt,bkt->nbk", xh, mh, precision=_PREC)
+    e_head = jnp.sum(hv * hv, axis=-1)
+    tv = jnp.einsum("nt,bkt->nbk", xt, mt, precision=_PREC)
+    e_tail = jnp.sum(tv * tv, axis=-1)
+    imgs = (e_full - e_head - e_tail).T.reshape(-1, x, y)  # (c, X, Y)
 
     mm = lambda a, b: jnp.matmul(a, b, precision=_PREC)
-    u = _richardson_lucy(
-        padded,
-        n_iter,
-        lambda a: mm(mm(R, a), C.T),  # corr(a, outer(px, py))
-        lambda a: mm(mm(R.T, a), C),  # corr(a, mirrored psf)
-    )
-    u = u[
-        pad_r_max : pad_r_max + img.shape[0],
-        pad_c_max : pad_c_max + img.shape[1],
-    ]
-    deconvolved = jnp.maximum(u, 0.0)
-    return jnp.sqrt(deconvolved / img)  # 0/0 -> NaN, as in the reference
-
-
-@partial(jax.jit, static_argnames=("ntaps", "shift"))
-def _window_cube(data, *, ntaps, shift):
-    """FIR input windows for the whole cube, computed ONCE per run and
-    shared by every chunk dispatch."""
-    return _window_input(data, ntaps, shift, FIR_BLOCK)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("shape", "pad_r_max", "pad_c_max"),
-)
-def _gains_chunk(xw, g_blks, pxs, pys, n_iter, pad_r, pad_c,
-                 *, shape, pad_r_max, pad_c_max):
-    """One dispatch: scan over a chunk of stacked bands, emitting each
-    band's gain map. The scan reuses a single band's worth of
-    intermediates, so device memory stays bounded regardless of how many
-    bands are queued."""
 
     def body(_c, xs):
-        g_blk, px, py, ni, pr, pc = xs
-        gains = _band_gains(
-            xw, g_blk, px, py, ni, pr, pc,
-            shape=shape, pad_r_max=pad_r_max, pad_c_max=pad_c_max,
+        img, pr, pc, R, C, ni = xs
+        # reflect pad as 0/1 matmuls (exact: one unit element per row)
+        padded = mm(mm(pr, img), pc.T)
+        u = _richardson_lucy(
+            padded,
+            ni,
+            lambda a: mm(mm(R, a), C.T),  # corr(a, outer(px, py))
+            lambda a: mm(mm(R.T, a), C),  # corr(a, mirrored psf)
         )
-        return _c, gains
+        u = u[pad_r_max : pad_r_max + x, pad_c_max : pad_c_max + y]
+        # 0/0 -> NaN, as in the reference
+        return _c, jnp.sqrt(jnp.maximum(u, 0.0) / img)
 
     _, gains = jax.lax.scan(
-        body, None, (g_blks, pxs, pys, n_iter, pad_r, pad_c)
+        body, None, (imgs, prs, pcs, rs, cs, n_iter)
     )
     return gains  # (chunk, X, Y)
 
 
-@partial(jax.jit, static_argnames=("fft_len", "shift", "n_time", "n_bands"))
-def _spectral_band_sum(data, taps_ri, *gain_stacks, fft_len, shift, n_time, n_bands):
+@partial(jax.jit, static_argnames=("fft_len", "shift", "n_time", "n_bands", "shape"))
+def _spectral_band_sum(spec, taps_ri, *gain_stacks,
+                       fft_len, shift, n_time, n_bands, shape):
     """Final reconstruction in ONE pass: since each band's gain is a
     per-trace scalar, ``sum_b g_b * irfft(spec * T_b)`` equals
     ``irfft(spec * sum_b g_b * T_b)`` — one weighted spectrum and one
     inverse transform instead of B cube-sized multiply-accumulates
     (exactly the linearity of ``deconvolution.rs:986-1013``'s band sum).
-    All FFTs are MXU DFT matmuls (ops/mxufft)."""
+    The forward spectrum is reused from ``_prepare_spectra``; all FFTs
+    are MXU DFT matmuls (ops/mxufft)."""
     from thz_image_explorer_tpu.ops import mxufft
 
     gains = (
@@ -400,9 +421,7 @@ def _spectral_band_sum(data, taps_ri, *gain_stacks, fft_len, shift, n_time, n_ba
         if len(gain_stacks) == 1
         else jnp.concatenate(gain_stacks, axis=0)
     )[:n_bands]
-    x, y = data.shape[0], data.shape[1]
-    flat = data.reshape(-1, n_time)
-    spec = mxufft.rfft_ri(flat, n=fft_len)  # (2, N, Lf)
+    x, y = shape
     g = gains.reshape(gains.shape[0], -1)  # (B, N)
     wr = jnp.einsum("bn,bf->nf", g, taps_ri[0][:n_bands], precision=_PREC)
     wi = jnp.einsum("bn,bf->nf", g, taps_ri[1][:n_bands], precision=_PREC)
@@ -422,36 +441,41 @@ def deconvolve_cube(
     """Run the full banked deconvolution; returns the band-summed cube or
     None when cancelled.
 
-    Two phases. Phase 1: band inputs are transferred to the device once,
-    stacked, and ``ceil(B / chunk_size)`` scan dispatches emit each band's
-    RL gain map; between chunks the host reports progress and checks
-    cancellation — the TPU equivalent of the reference's cancellable
-    band-parallel reduce, with chunked dispatch bounding both cancel
-    latency and in-flight device memory. Phase 2: one spectral pass
-    reconstructs ``sum_b g_b * filtered_b`` (``_spectral_band_sum``)
-    instead of B cube-sized multiply-accumulates.
+    Three phases. Phase 0 (``_prepare_spectra``): one dispatch computes
+    the padded spectrum of every trace (reused by the reconstruction),
+    its power, and the head/tail segments the energy corrections need.
+    Phase 1: band inputs are transferred to the device once, stacked, and
+    ``ceil(B / chunk_size)`` dispatches compute each chunk's exact energy
+    images and scan Richardson-Lucy over its bands, emitting gain maps;
+    between chunks the host reports progress and checks cancellation —
+    the TPU equivalent of the reference's cancellable band-parallel
+    reduce, with chunked dispatch bounding both cancel latency and
+    in-flight device memory. Phase 2: one spectral pass reconstructs
+    ``sum_b g_b * filtered_b`` (``_spectral_band_sum``) instead of B
+    cube-sized multiply-accumulates.
     """
     n_bands, ntaps = geometry.taps.shape
+    n_time = data.shape[-1]
     shift = (ntaps - 1) // 2
-    fft_len = _next_pow2(data.shape[-1] + ntaps - 1)
+    fft_len = _next_pow2(n_time + ntaps - 1)
     pad_r_max = int(geometry.pad_r.max())
     pad_c_max = int(geometry.pad_c.max())
     chunk = max(1, min(chunk_size, n_bands))
 
     # Multi-chip: when the cube is pixel-sharded over a mesh, band inputs
     # replicate onto the same mesh and XLA's SPMD partitioner runs the
-    # chunk program sharded (the FIR and gains are per-pixel local; only
-    # the small RL images incur collectives).
+    # chunk program sharded (the spectra and energies are per-pixel local;
+    # only the small RL images incur collectives).
     from jax.sharding import NamedSharding, PartitionSpec
 
     data_sharding = getattr(data, "sharding", None)
     if isinstance(data_sharding, NamedSharding):
         rep = NamedSharding(data_sharding.mesh, PartitionSpec())
         transfer = lambda a: jax.device_put(np.ascontiguousarray(a), rep)
-        cache_key = (chunk, data_sharding.mesh)
+        cache_key = (chunk, data.shape, data_sharding.mesh)
     else:
         transfer = lambda a: jnp.asarray(np.ascontiguousarray(a))
-        cache_key = (chunk, None)
+        cache_key = (chunk, data.shape, None)
 
     chunks = geometry._device_chunks.get(cache_key)
     if chunks is None:
@@ -461,8 +485,19 @@ def deconvolve_cube(
         flip = geometry.use_fft_conv[:, None]
         pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
         pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
-        g_blks = np.stack(
-            [_fir_block_matrix(t, FIR_BLOCK) for t in geometry.taps]
+        w2, mh, mt = _energy_matrices(geometry.taps, fft_len, n_time)
+        x_dim, y_dim = data.shape[0], data.shape[1]
+        prs = np.stack(
+            [_reflect_pad_matrix(x_dim, int(p), pad_r_max) for p in geometry.pad_r]
+        )
+        pcs = np.stack(
+            [_reflect_pad_matrix(y_dim, int(p), pad_c_max) for p in geometry.pad_c]
+        )
+        rs = np.stack(
+            [_banded_matrix(v, x_dim + 2 * pad_r_max) for v in pxs]
+        )
+        cs = np.stack(
+            [_banded_matrix(v, y_dim + 2 * pad_c_max) for v in pys]
         )
 
         # pad band count to a multiple of chunk_size with inert bands (their
@@ -476,8 +511,8 @@ def deconvolve_cube(
                 [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
             )
 
-        stacks = [pad(a) for a in (g_blks, pxs, pys, geometry.n_iter,
-                                   geometry.pad_r, geometry.pad_c)]
+        stacks = [pad(a) for a in (w2.T, mh, mt, prs, pcs, rs, cs,
+                                   geometry.n_iter)]
         # the bands' tap spectra for the final spectral sum, as f32 pairs
         taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1)
         taps_ri = np.stack(
@@ -491,14 +526,20 @@ def deconvolve_cube(
         chunks = []
         for c0 in range(0, n_padded, chunk):
             s = slice(c0, c0 + chunk)
-            chunks.append(
-                tuple(transfer(a[s]) for a in stacks)
-            )
+            # w2 back to (m, chunk) layout for the power matmul
+            ch = [transfer(stacks[0][s].T)] + [
+                transfer(a[s]) for a in stacks[1:]
+            ]
+            chunks.append(tuple(ch))
         chunks = (chunks, transfer(taps_ri))
         geometry._device_chunks[cache_key] = chunks
 
     chunk_list, taps_ri_dev = chunks
-    xw = _window_cube(data, ntaps=ntaps, shift=shift)
+    hseg = min(shift, n_time)
+    tseg = min(ntaps - 1 - shift, n_time)
+    spec, power, xh, xt = _prepare_spectra(
+        data, fft_len=fft_len, hseg=hseg, tseg=tseg
+    )
     gain_stacks = []
     for i, ch in enumerate(chunk_list):
         if cancelled():
@@ -506,7 +547,7 @@ def deconvolve_cube(
         progress(i / (len(chunk_list) + 1))
         gain_stacks.append(
             _gains_chunk(
-                xw,
+                power, xh, xt,
                 *ch,
                 shape=data.shape,
                 pad_r_max=pad_r_max,
@@ -515,13 +556,14 @@ def deconvolve_cube(
         )
     progress(len(chunk_list) / (len(chunk_list) + 1))
     out = _spectral_band_sum(
-        data,
+        spec,
         taps_ri_dev,
         *gain_stacks,
         fft_len=fft_len,
         shift=shift,
-        n_time=data.shape[-1],
+        n_time=n_time,
         n_bands=n_bands,
+        shape=(data.shape[0], data.shape[1]),
     )
     progress(1.0)
     return out

@@ -89,9 +89,14 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None):
     if n > MAX_MATMUL_N:
         s = jnp.fft.rfft(x, n=n, axis=-1)
         return jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
-    if n != t:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - t)]) if n > t else x[..., :n]
+    if n < t:
+        x = x[..., :n]
     c, s = _fwd_matrices(n)
+    if n > t:
+        # zero-padding contributes nothing: drop those DFT-matrix rows
+        # instead of materialising a padded input (exact, and halves the
+        # matmul FLOPs for the typical conv padding n ~ 2t)
+        c, s = c[:t], s[:t]
     x = x.astype(jnp.float32)
     return jnp.stack(
         [
@@ -101,15 +106,31 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None):
     )
 
 
-def irfft_ri(spec_ri: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_ri(
+    spec_ri: jnp.ndarray,
+    n: int,
+    out_start: int = 0,
+    out_len: int | None = None,
+) -> jnp.ndarray:
     """Complex-to-real inverse FFT of a stacked ``(2, ..., m)`` pair along
     the last axis. Matches ``jnp.fft.irfft`` (normalized by 1/n) — i.e.
     ``realfft``'s unnormalized c2r with the explicit 1/N of
-    ``math_tools.rs:545-569``."""
+    ``math_tools.rs:545-569``.
+
+    ``out_start``/``out_len`` select a window of the length-``n`` output
+    (equivalent to ``[..., out_start : out_start + out_len]`` afterwards)
+    by slicing the inverse DFT matrix columns — exact, and proportionally
+    cheaper when the caller only keeps the centre of a padded transform."""
+    if out_len is None:
+        out_len = n - out_start
     if n > MAX_MATMUL_N:
         spec = jax.lax.complex(spec_ri[0], spec_ri[1])
-        return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+        out = jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+        return out[..., out_start : out_start + out_len]
     a, b = _inv_matrices(n)
+    if out_start != 0 or out_len != n:
+        a = a[:, out_start : out_start + out_len]
+        b = b[:, out_start : out_start + out_len]
     m = n // 2 + 1
     xr = spec_ri[0][..., :m].astype(jnp.float32)
     xi = spec_ri[1][..., :m].astype(jnp.float32)
