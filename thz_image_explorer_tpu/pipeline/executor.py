@@ -26,6 +26,8 @@ Contracts preserved:
 from __future__ import annotations
 
 import logging
+import queue as _queue
+import threading
 import time as _time
 from typing import Callable, Optional
 
@@ -62,6 +64,91 @@ class PipelineConfig:
         self.fft_df = 1.0
 
 
+@jax.jit
+def _probe(x):
+    """Tiny device reduction used as a per-stage completion marker: the
+    device executes programs in dispatch order, so the wall-clock at which
+    this scalar resolves on the host is the stage's true completion time.
+    (A scalar read is the only reliable completion barrier on remote
+    tunnelled runtimes, where ``block_until_ready`` can return at enqueue
+    time.)"""
+    import jax.numpy as jnp
+
+    return jnp.sum(jnp.ravel(x)[:: max(1, x.size // 1024)])
+
+
+class _AsyncStageTimer:
+    """Resolves per-stage completion probes in a background thread and
+    writes honest device-time ms into the shared timings dict — the
+    reference's per-filter ms display (``data_thread.rs:1107,1169-1184``)
+    without synchronizing the interactive dispatch path. Timings settle a
+    round-trip later, matching the GUI's polled refresh."""
+
+    def __init__(self, sink: dict):
+        self._sink = sink
+        self._q: _queue.Queue = _queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = False
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+            import atexit
+
+            # unblock the worker before interpreter teardown (a daemon
+            # thread parked in queue.get + device reads aborts noisily)
+            atexit.register(self._shutdown)
+
+    def _shutdown(self):
+        self._stop = True
+        if self._thread is not None and self._thread.is_alive():
+            self._q.put(("stop", None, None))
+            self._thread.join(timeout=2.0)
+
+    def mark_run_start(self):
+        self._ensure_thread()
+        self._q.put(("start", _time.perf_counter(), None))
+
+    def record(self, name: str, out_data):
+        try:
+            p = _probe(out_data)
+        except Exception:  # pragma: no cover - defensive: never break a run
+            return
+        self._q.put(("probe", name, p))
+
+    def drain(self, timeout: float = 30.0):
+        """Block until every queued probe has resolved (tests/metrics)."""
+        deadline = _time.monotonic() + timeout
+        while self._q.unfinished_tasks and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+
+    def _run(self):
+        last = _time.perf_counter()
+        while not self._stop:
+            kind, a, b = self._q.get()
+            try:
+                if kind == "stop":
+                    return
+                if kind == "start":
+                    last = a
+                    continue
+                try:
+                    # poll the runtime's ready flag instead of
+                    # materialising the scalar: a device->host read from a
+                    # second thread can deadlock some PJRT clients, a
+                    # status query cannot
+                    while not b.is_ready() and not self._stop:
+                        _time.sleep(0.0002)
+                except Exception:  # pragma: no cover
+                    continue
+                now = _time.perf_counter()
+                self._sink[a] = now - last
+                last = now
+            finally:
+                self._q.task_done()
+
+
 class Pipeline:
     """Ordered stage chain with dirty-index incremental recompute."""
 
@@ -81,6 +168,7 @@ class Pipeline:
         self.config = PipelineConfig()
         self.record_timings = record_timings
         self.timings: dict[str, float] = {}
+        self._timer = _AsyncStageTimer(self.timings)
         self.progress: dict[str, Optional[float]] = {
             uuid: None for uuid in self.filters
         }
@@ -121,15 +209,19 @@ class Pipeline:
         the explicit "Calculate All" command / Apply button path).
 
         ``block_timings`` controls whether per-stage timings synchronize on
-        each stage's output (accurate ms, one device round-trip per stage —
-        expensive over remote-tunnelled devices) or record dispatch time
-        only. Defaults to ``force_all``: the interactive slider path stays
-        fully async, the explicit Calculate-All/Apply path reports true
-        per-stage times (the reference's per-filter ms display,
-        ``data_thread.rs:1107,1169-1184``).
+        each stage's output (one device round-trip per stage — expensive
+        over remote-tunnelled devices; default for the explicit
+        Calculate-All/Apply path) or resolve asynchronously via per-stage
+        completion probes in a background thread (the interactive path:
+        dispatch stays fully async, honest device-time ms appear in
+        ``self.timings`` a round-trip later — the reference's per-filter
+        ms display, ``data_thread.rs:1107,1169-1184``, refreshed by the
+        GUI's poll anyway).
         """
         if block_timings is None:
             block_timings = force_all
+        if self.record_timings and not block_timings:
+            self._timer.mark_run_start()
         run_deconvolution = True
         for i in range(max(start_idx, 1), len(self.chain)):
             name = self.chain[i]
@@ -159,6 +251,7 @@ class Pipeline:
                 if stage.active and not (
                     is_deconv and not (run_deconvolution or force_all)
                 ):
+                    stage.clamp_params(inp)
                     ctx = StageContext(
                         progress=self._progress_setter(name),
                         cancelled=self.cancelled,
@@ -170,7 +263,9 @@ class Pipeline:
             if self.record_timings:
                 if block_timings:
                     jax.block_until_ready(out.data)
-                self.timings[name] = _time.perf_counter() - t_start
+                    self.timings[name] = _time.perf_counter() - t_start
+                elif out is not inp:  # identity pass-through: keep last ms
+                    self._timer.record(name, out.data)
             if out.n_time != inp.n_time and name != "initial":
                 out = self._replan(out)
             self.slots[i] = out

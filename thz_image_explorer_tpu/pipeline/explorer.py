@@ -353,8 +353,16 @@ class Explorer:
         self.publish()
 
     def set_filter_active(self, uuid: str, active: bool):
-        self.pipeline.filters[uuid].active = active
-        self.update_filter(uuid)
+        """Toggle a filter. Deconvolution special-case: enabling it does
+        NOT trigger a recompute — the user must hit Apply
+        (``filters/filter.rs:590-605``: the toggle only sends
+        ``UpdateFilter`` for normal filters, or when *disabling* the
+        deconvolution to remove its effect)."""
+        stage = self.pipeline.filters[uuid]
+        changed = stage.active != active
+        stage.active = active
+        if changed and ("Deconvolution" not in stage.name or not active):
+            self.update_filter(uuid)
 
     # ------------------------------------------------------- selection
     def set_selected_pixel(self, x: int, y: int):

@@ -68,12 +68,16 @@ class _TimeBandPass(FilterStage):
         self.low = float(time[0]) if len(time) else 0.0
         self.high = float(time[-1]) if len(time) else 0.0
 
-    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
+    def clamp_params(self, cube: ScanCube) -> None:
         # clamp persistently like the reference filter does
-        t0 = float(cube.time[0])
-        t1 = float(cube.time[-1])
-        self.low = max(self.low, t0)
-        self.high = min(self.high, t1)
+        # (band_pass_td_before_fft.rs:134-138) — but outside apply(), which
+        # must stay pure (stage.py: FilterStage.clamp_params)
+        time = np.asarray(cube.time)
+        if len(time):
+            self.low = max(self.low, float(time[0]))
+            self.high = min(self.high, float(time[-1]))
+
+    def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
         data = bp.td_bandpass(
             cube.data, cube.time, self.low, self.high, self.window_width
         )

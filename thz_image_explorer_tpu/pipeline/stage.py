@@ -80,6 +80,14 @@ class FilterStage:
         """Update host-side preview caches for the UI (the reference's
         ``#[static_field]`` copy-back dance, ``data_thread.rs:1322-1334``)."""
 
+    def clamp_params(self, cube: ScanCube) -> None:
+        """The one sanctioned parameter mutation point: called by the
+        executor with the stage's *input* cube immediately before
+        ``apply``, so range-dependent params can clamp persistently (the
+        reference clamps inside ``filter`` via ``&mut self``, e.g.
+        ``band_pass_td_before_fft.rs:134-138`` — here it lives outside
+        ``apply`` to keep apply pure and chain re-runs deterministic)."""
+
     def apply(self, cube: ScanCube, context: "StageContext") -> ScanCube:
         raise NotImplementedError
 
