@@ -217,13 +217,24 @@ def bench_large():
 
 
 def bench_deconv(cube):
+    """Deconvolution alone AND the combined full update (window + FFT +
+    filters + iFFT + intensity + deconvolution at reference defaults) with
+    a single completion barrier — the north-star metric of BASELINE.json."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
 
     from thz_image_explorer_tpu.io import load_psf
     from thz_image_explorer_tpu.ops.deconvolution import (
         DeconvolutionParams,
         deconvolve_cube,
         plan_bands,
+    )
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig,
+        StepParams,
+        interactive_update,
     )
 
     psf = load_psf("/root/reference/sample_data/psf.npz")
@@ -237,19 +248,37 @@ def bench_deconv(cube):
         cube.dy,
     )
     if geo is None:
-        return None
-    import jax.numpy as jnp
+        return None, None
 
     _sum = jax.jit(jnp.sum)
     out = deconvolve_cube(cube.data, geo, chunk_size=25)  # includes compile
     float(_sum(out))  # completion barrier (see bench_tpu)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = deconvolve_cube(cube.data, geo, chunk_size=25)
         float(_sum(out))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    deconv_s = float(np.median(times))
+
+    # combined: one full interactive update followed by deconvolution of
+    # its output, one barrier at the end (the Apply-button path)
+    sparams = StepParams.defaults()
+    scfg = StepConfig(
+        fd_active=True, notch_active=True,
+        td_before_active=True, td_after_active=True,
+    )
+    chain_out = interactive_update(cube, sparams, scfg)
+    float(_sum(chain_out[1]))
+    combined = []
+    for i in range(5):
+        sparams = dataclasses.replace(sparams, fd_low=np.float32(0.2 + 0.001 * i))
+        t0 = time.perf_counter()
+        chain_out = interactive_update(cube, sparams, scfg)
+        out = deconvolve_cube(chain_out[0].data, geo, chunk_size=25)
+        float(_sum(out))
+        combined.append(time.perf_counter() - t0)
+    return deconv_s, float(np.median(combined))
 
 
 def main():
@@ -279,13 +308,16 @@ def main():
     }
     if not args.no_deconv:
         try:
-            d = bench_deconv(cube)
+            d, comb = bench_deconv(cube)
         except Exception as e:  # keep the headline result robust
             extra["deconv_error"] = str(e)[:120]
-            d = None
+            d, comb = None, None
         if d is not None:
             extra["deconv_ms"] = round(d * 1e3, 2)
             extra["deconv_workload"] = "25 Kaiser bands x <=500 RL iters (defaults)"
+        if comb is not None:
+            extra["combined_chain_plus_deconv_ms"] = round(comb * 1e3, 2)
+            extra["north_star"] = "combined < 100 ms"
         try:
             extra["large_cube"] = bench_large()
         except Exception as e:
