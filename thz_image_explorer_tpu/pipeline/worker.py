@@ -71,6 +71,10 @@ class LatestWinsSlot:
         with self._py_lock:
             return self._payloads.pop(seq, None)
 
+    def empty(self) -> bool:
+        with self._py_lock:
+            return not self._payloads
+
     def drain(self) -> bool:
         if self._handle is not None:
             return bool(self._lib.thz_cmd_slot_drain(self._handle))
@@ -101,13 +105,19 @@ class ExplorerWorker:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._idle = threading.Event()
         self._idle.set()
+        # Guards idle transitions against in-flight sends: clearing idle and
+        # publishing the command happen atomically w.r.t. the worker's
+        # "queue empty -> idle" decision, so join_idle can never observe
+        # idle while a command is mid-enqueue.
+        self._idle_lock = threading.Lock()
         self._thread.start()
 
     def send(self, method: str, *args, **kwargs):
         """Enqueue a command; only the most recent pending command runs
         (``send_latest_config``)."""
-        self._idle.clear()
-        self.slot.put((method, args, kwargs))
+        with self._idle_lock:
+            self._idle.clear()
+            self.slot.put((method, args, kwargs))
 
     def abort(self):
         """Abort in-flight work and drain pending commands
@@ -131,7 +141,9 @@ class ExplorerWorker:
         while not self._stop.is_set():
             cmd = self.slot.take(timeout=0.1)
             if cmd is None:
-                self._idle.set()
+                with self._idle_lock:
+                    if self.slot.empty():
+                        self._idle.set()
                 continue
             self._idle.clear()
             self.abort_flag.clear()
@@ -145,5 +157,6 @@ class ExplorerWorker:
 
                 traceback.print_exc()
             finally:
-                if self.slot._payloads == {}:
-                    self._idle.set()
+                with self._idle_lock:
+                    if self.slot.empty():
+                        self._idle.set()
