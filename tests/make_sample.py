@@ -36,7 +36,8 @@ def synthetic_scan(
     return t, cube.astype(np.float32)
 
 
-def write_scan_thz(path, time, cube, dx=0.5, dy=0.5, x_min=0.0, y_min=0.0):
+def write_scan_thz(path, time, cube, dx=0.5, dy=0.5, x_min=0.0, y_min=0.0,
+                   extra_md=None):
     width, height, _ = cube.shape
     with h5py.File(path, "w") as f:
         g = f.create_group("Image")
@@ -55,6 +56,7 @@ def write_scan_thz(path, time, cube, dx=0.5, dy=0.5, x_min=0.0, y_min=0.0):
             "x_min [mm]": str(x_min),
             "y_min [mm]": str(y_min),
         }
+        md.update(extra_md or {})
         g.attrs["mdDescription"] = ",".join(md.keys())
         for i, v in enumerate(md.values()):
             g.attrs[f"md{i + 1}"] = v

@@ -324,3 +324,47 @@ def test_latest_wins_slot_drops_oldest():
     assert got[0] == "b"
     assert s.take(timeout=0.05) is None
     s.close()
+
+
+def test_housekeeping_from_metadata(tmp_path):
+    """Ambient/sample conditions come from file metadata when present
+    (left_panel.rs:125-130) and are flagged as measured; absent keys keep
+    the struct defaults and are NOT flagged (never shown as measured)."""
+    t, cube = synthetic_scan(width=8, height=8, n_time=64)
+    path = write_scan_thz(
+        str(tmp_path / "scan.thzimg"), t, cube,
+        extra_md={"T_S [K]": "77.4", "P [mbar]": "1013.2", "RH [%]": "abc"},
+    )
+    ex = Explorer()
+    ex.open_file(path)
+    hk = ex.housekeeping
+    assert hk.sample_temperature == pytest.approx(77.4)
+    assert hk.ambient_pressure == pytest.approx(1013.2)
+    assert set(hk.measured) == {"sample_temperature", "ambient_pressure"}
+    # non-numeric RH ignored, temperature untouched default
+    assert hk.ambient_humidity == 50.0
+    assert hk.ambient_temperature == 22.0
+
+
+def test_pseudo_roi_axis_mismatch_warns(tmp_path, caplog):
+    """A pseudo-ROI optical selection whose stored spectrum no longer
+    matches the pipeline's frequency bins (e.g. after a time-length
+    replan) is skipped with a LOUD warning (data_thread.rs:405-412),
+    not silently."""
+    import logging
+
+    path, t, _cube = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex = Explorer()
+    ex.open_file(path)
+    pulse = np.exp(-((t - 2.0) ** 2)).astype(np.float32)
+    ppath = write_pulse_thz(str(tmp_path / "ref.thz"), t, pulse)
+    ex.open_ref(ppath)
+    u = next(iter(ex._datasets))
+    tr, amp, ph = ex._datasets[u]
+    # simulate a stale dataset left over from a different time axis
+    ex._datasets[u] = (tr, amp[:-3], ph[:-3])
+    ex.set_reference(ex.rois[u][0])
+    ex.set_sample("Selected Pixel")
+    with caplog.at_level(logging.WARNING, logger="thz_image_explorer_tpu"):
+        ex.publish()
+    assert any("skipped" in r.message for r in caplog.records)

@@ -51,6 +51,33 @@ class HouseKeeping:
     ambient_pressure: float = 950.0
     ambient_humidity: float = 50.0
     sample_temperature: float = 0.0
+    # which ambient/sample fields were actually read from file metadata
+    # (the rest are the reference's struct defaults and are shown as such,
+    # never displayed as if measured)
+    measured: list = dataclasses.field(default_factory=list)
+
+    # metadata key -> field, exactly the keys the reference parses
+    # (left_panel.rs:125-130) plus their sibling ambient keys
+    _MD_KEYS = {
+        "T_S [K]": "sample_temperature",
+        "P [mbar]": "ambient_pressure",
+        "T [C]": "ambient_temperature",
+        "RH [%]": "ambient_humidity",
+    }
+
+    def apply_metadata(self, md: dict):
+        """Populate ambient/sample conditions from file metadata entries
+        when present (``left_panel.rs:125-130``); unparsable values are
+        logged and skipped rather than crashing (the reference's
+        ``.parse().unwrap()`` would panic)."""
+        for key, field in self._MD_KEYS.items():
+            if key in md:
+                try:
+                    setattr(self, field, float(str(md[key]).strip()))
+                    self.measured.append(field)
+                except ValueError:
+                    log.warning("metadata %r=%r is not numeric; ignored",
+                                key, md[key])
 
     @staticmethod
     def from_cube(cube: ScanCube) -> "HouseKeeping":
@@ -158,6 +185,7 @@ class Explorer:
             self.rois[str(_uuidlib.uuid4())] = (label, coords)
         self.pixel_selected = [0, 0]
         self.housekeeping = HouseKeeping.from_cube(cube)
+        self.housekeeping.apply_metadata(metadata.md)
         self.pipeline.set_input(cube)
         self.publish()
 
@@ -505,8 +533,18 @@ class Explorer:
             if uuid in roi_index:
                 return "roi", roi_index[uuid], None
             data = self._datasets.get(uuid)
-            if data is None or len(data[1]) != nf:
-                return None  # pseudo spectra on a different axis: skip
+            if data is None:
+                return None
+            if len(data[1]) != nf:
+                # loud, like the reference's mismatch warning
+                # (data_thread.rs:405-412) — never a silent skip
+                log.warning(
+                    "optical selection %r skipped: its spectrum has %d "
+                    "frequency bins but the scan has %d (different time "
+                    "axis); reload it after opening this scan",
+                    self._label_for(uuid), len(data[1]), nf,
+                )
+                return None
             _trace, amp, ph = data
             return "pseudo", 0, np.stack([amp, ph]).astype(np.float32)
 
@@ -571,6 +609,10 @@ class Explorer:
             if n == name:
                 return u
         return None
+
+    def _label_for(self, uuid: str) -> str:
+        entry = self.rois.get(uuid)
+        return entry[0] if entry else uuid
 
 
 def _align_reference(

@@ -835,8 +835,15 @@ function render() {
     .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
   el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
   const hk = S.housekeeping;
-  el('housekeeping').textContent =
-    `dx ${hk.dx} dy ${hk.dy} · t0 ${Number(hk.t_begin).toFixed(1)} ps · range ${Number(hk.range).toFixed(1)} ps · T_S ${hk.sample_temperature} K · p0 ${hk.ambient_pressure} hPa`;
+  // ambient/sample conditions appear only when the file's metadata
+  // carried them (hk.measured); defaults are never shown as measurements
+  const meas = hk.measured || [];
+  let hkline = `dx ${hk.dx} dy ${hk.dy} · t0 ${Number(hk.t_begin).toFixed(1)} ps · range ${Number(hk.range).toFixed(1)} ps`;
+  if (meas.includes('sample_temperature')) hkline += ` · T_S ${hk.sample_temperature} K`;
+  if (meas.includes('ambient_pressure')) hkline += ` · p0 ${hk.ambient_pressure} hPa`;
+  if (meas.includes('ambient_temperature')) hkline += ` · T0 ${hk.ambient_temperature} °C`;
+  if (meas.includes('ambient_humidity')) hkline += ` · RH ${hk.ambient_humidity} %`;
+  el('housekeeping').textContent = hkline;
   el('logpane').textContent = (S.log||[]).join('\n');
   const wb = el('warnbar');
   if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
