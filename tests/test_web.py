@@ -89,3 +89,61 @@ def test_filter_param_command(app):
     f = ex.pipeline.filters[uuid]
     app.command("set_filter_param", [uuid, "low", 0.4], {})
     assert f.low == 0.4
+
+
+def test_psf_diagnostics_series(app):
+    """The PSF page's diagnostic plot suite (diagnostic_window.rs:1-726):
+    after a compute, psf_state carries the five plot groups' series."""
+    tool = app.psf_tool
+    # inject a computed result cheaply: diagnostics from synthetic widths
+    from thz_image_explorer_tpu.psf_tool.diagnostics import DiagnosticResults
+
+    f = np.linspace(0.3, 2.0, 12)
+    w0 = 2.0 / f  # diffraction-limited-ish
+    tool.diagnostics = DiagnosticResults.compute(f, w0, w0 * 1.1)
+    s = app.psf_state()
+    json.dumps(s)
+    d = s["diag_series"]
+    for key in ("f", "lam", "w0x", "w0_fit_x", "w0_th_y", "ratio_x",
+                "d_eff_y", "z_r_x", "z_r_fit_y", "z_r_th_x"):
+        assert len(d[key]) == 12, key
+    for key in ("ratio_x_mean", "d_eff_y_mean_f", "d_eff_x_th", "a_x"):
+        assert isinstance(d[key], float)
+
+
+def test_preview_endpoint(app, tmp_path):
+    """Metadata preview before opening (application.rs:861-900)."""
+    p = app.worker.explorer.file_path
+    j = app.preview(p)
+    assert j["md"].get("dx [mm]") == "1.0"
+    assert j["groups"] == ["Image"]
+    with pytest.raises(Exception):
+        app.preview(str(tmp_path / "missing.thz"))
+
+
+def test_drop_routes_by_extension(app, tmp_path):
+    """Drag-and-drop open (left_panel.rs:281-322): scans open, .npz loads
+    a PSF."""
+    t, cube = synthetic_scan(width=20, height=16, n_time=128)
+    src = tmp_path / "dropped.thzimg"
+    write_scan_thz(str(src), t, cube, dx=2.0, dy=2.0)
+    r = app.drop("dropped.thzimg", src.read_bytes())
+    app.worker.join_idle()
+    assert app.worker.explorer.file_path == r["saved"]
+    assert app.worker.explorer.housekeeping.dx == 2.0
+
+    psf_bytes = open("/root/reference/sample_data/psf.npz", "rb").read()
+    app.drop("beam.npz", psf_bytes)
+    app.worker.join_idle()
+    assert app.worker.explorer.pipeline.psf.is_loaded
+
+
+def test_revert_metadata(app):
+    """Metadata Revert reloads the file's metadata, discarding edits
+    (left_panel.rs:718-736)."""
+    ex = app.worker.explorer
+    app.command("set_metadata_attr", ["Scratch", "1"], {})
+    assert ex.metadata.md["Scratch"] == "1"
+    app.command("revert_metadata", [], {})
+    app.worker.join_idle()
+    assert "Scratch" not in ex.metadata.md

@@ -281,6 +281,14 @@ class Explorer:
             return
         thzio.update_metadata(self.file_path, self.metadata)
 
+    def revert_metadata(self):
+        """Reload the open file's metadata, discarding unsaved edits —
+        the metadata editor's Revert button (``left_panel.rs:718-736``
+        re-sends LoadMetaData for the selected path)."""
+        if self.file_path is None:
+            return
+        self.metadata = thzio.load_metadata(self.file_path)
+
     @staticmethod
     def load_metadata(path: str):
         """LoadMetaData: metadata preview without opening the scan (the

@@ -217,8 +217,52 @@ class WebApp:
         "set_reference", "set_sample", "set_material_thickness",
         "update_material_calculation", "open_sibling", "update_metadata",
         "set_fft_resolution", "set_3d_contrast", "set_kernel_sigma",
-        "set_kernel_radius", "set_opacity_threshold",
+        "set_kernel_radius", "set_opacity_threshold", "revert_metadata",
     }
+
+    def preview(self, path: str) -> dict:
+        """Metadata preview without opening the scan — the file-dialog
+        information panel (``application.rs:861-900``)."""
+        from thz_image_explorer_tpu.io import dotthz
+
+        md = dotthz.load_metadata(path)
+        out = {
+            "description": md.description,
+            "mode": md.mode,
+            "version": md.version,
+            "instrument": md.instrument,
+            "date": md.date,
+            "user": md.user,
+            "md": dict(md.md),
+        }
+        try:
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                out["groups"] = list(f.keys())
+        except Exception:  # noqa: BLE001
+            out["groups"] = []
+        return out
+
+    def drop(self, name: str, data: bytes) -> dict:
+        """Drag-and-drop open (``left_panel.rs:281-322``): browsers hand
+        us bytes, not paths, so the payload lands in a scratch dir and is
+        routed by extension — ``.npz`` loads a PSF, anything else opens
+        as a scan."""
+        import os
+        import tempfile
+
+        if not hasattr(self, "_drop_dir"):
+            self._drop_dir = tempfile.mkdtemp(prefix="thz_drop_")
+        safe = os.path.basename(name) or "dropped.thzimg"
+        path = os.path.join(self._drop_dir, safe)
+        with open(path, "wb") as f:
+            f.write(data)
+        if safe.lower().endswith(".npz"):
+            self.worker.send("open_psf", path)
+        else:
+            self.worker.send("open_file", path)
+        return {"saved": path}
 
     def command(self, method: str, args: list, kwargs: dict):
         ex = self.worker.explorer
@@ -336,7 +380,43 @@ class WebApp:
                 )
             out["result"] = res
         if tool.diagnostics is not None:
-            out["diagnostics"] = tool.diagnostics.summary()
+            d = tool.diagnostics
+            out["diagnostics"] = d.summary()
+            # full series for the diagnostic plot suite
+            # (diagnostic_window.rs:1-726: w0 vs f, w0 vs lambda with
+            # models, pi*w0/lambda ratio, D_eff, Rayleigh range)
+            out["diag_series"] = {
+                "f": _series(d.frequencies_thz),
+                "lam": _series(d.wavelengths_um),
+                "w0x": _series(d.w0x_mm),
+                "w0y": _series(d.w0y_mm),
+                "w0_fit_x": _series(d.w0_fit_x_mm),
+                "w0_fit_y": _series(d.w0_fit_y_mm),
+                "w0_th_x": _series(d.w0_theory_x_mm),
+                "w0_th_y": _series(d.w0_theory_y_mm),
+                "ratio_x": _series(d.ratio_x),
+                "ratio_y": _series(d.ratio_y),
+                "ratio_x_mean": d.ratio_x_mean,
+                "ratio_y_mean": d.ratio_y_mean,
+                "ratio_x_mean_f": d.ratio_x_mean_filtered,
+                "ratio_y_mean_f": d.ratio_y_mean_filtered,
+                "d_eff_x": _series(d.d_eff_x_mm),
+                "d_eff_y": _series(d.d_eff_y_mm),
+                "d_eff_x_mean": d.d_eff_x_mean_mm,
+                "d_eff_y_mean": d.d_eff_y_mean_mm,
+                "d_eff_x_mean_f": d.d_eff_x_mean_filtered_mm,
+                "d_eff_y_mean_f": d.d_eff_y_mean_filtered_mm,
+                "d_eff_x_th": d.d_eff_x_theory_mm,
+                "d_eff_y_th": d.d_eff_y_theory_mm,
+                "a_x": d.a_x,
+                "a_y": d.a_y,
+                "z_r_x": _series(d.z_r_x_mm),
+                "z_r_y": _series(d.z_r_y_mm),
+                "z_r_fit_x": _series(d.z_r_fit_x_mm),
+                "z_r_fit_y": _series(d.z_r_fit_y_mm),
+                "z_r_th_x": _series(d.z_r_theory_x_mm),
+                "z_r_th_y": _series(d.z_r_theory_y_mm),
+            }
         return out
 
     def psf_command(self, method: str, args: list):
@@ -534,6 +614,14 @@ def make_handler(app: WebApp):
                     self._json(app.state())
                 except Exception as e:  # noqa: BLE001
                     self._json({"error": str(e)}, 500)
+            elif self.path.startswith("/api/preview"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._json(app.preview(q.get("path", [""])[0]))
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
             elif self.path.startswith("/api/update_check"):
                 try:
                     from thz_image_explorer_tpu import __version__
@@ -566,6 +654,18 @@ def make_handler(app: WebApp):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            if self.path.startswith("/api/drop"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    name = q.get("name", ["dropped.thzimg"])[0]
+                    self._json(
+                        {"ok": True, **app.drop(name, self.rfile.read(length))}
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._json({"ok": False, "error": str(e)}, 400)
+                return
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path.startswith("/api/psf_command"):
@@ -634,10 +734,13 @@ PAGE = r"""<!DOCTYPE html>
 <div id="left">
  <div class="panel"><h3>Scan</h3>
   <div id="fileinfo" style="font-size:12px">no scan loaded</div>
-  <input id="path" style="width:240px" placeholder="/path/to/scan.thzimg">
+  <input id="path" style="width:240px" placeholder="/path/to/scan.thzimg"
+    onchange="loadPreview(this.value)">
   <button onclick="cmd('open_file',[el('path').value])">Load</button>
   <button onclick="cmd('open_ref',[el('path').value])">Load Ref</button>
-  <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button><br>
+  <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button>
+  <div id="mdpreview" style="font-size:11px;color:#999;max-height:120px;overflow:auto"></div>
+  <div style="font-size:10px;color:#666">drop a .thz/.thzimg (scan) or .npz (PSF) anywhere to open it</div><br>
   <button class="off" onclick="cmd('open_sibling',[-1])">◀ prev</button>
   <button class="off" onclick="cmd('open_sibling',[1])">next ▶</button>
   <span id="siblings" style="font-size:11px;color:#999"></span>
@@ -667,12 +770,21 @@ PAGE = r"""<!DOCTYPE html>
   <div style="font-size:11px;color:#999" id="optreadout"></div>
  </div>
  <div class="panel"><details><summary>Metadata editor</summary>
+  <div style="margin:4px 0">
+   <button class="off" id="mdeditbtn" onclick="mdToggleEdit()">Edit</button>
+   <span id="mdeditctl" style="display:none">
+    <button class="off" onclick="mdRevert()">Revert</button>
+    <button onclick="mdSave()">Save</button>
+    <button class="off" id="mdlockbtn" onclick="mdToggleLock()" title="existing attributes are protected; unlock to edit or delete them">🔒</button>
+   </span>
+  </div>
   <div id="mdfields"></div>
   <div id="mdattrs"></div>
-  <input type="text" id="mdkey" placeholder="key" style="width:90px">
-  <input type="text" id="mdval" placeholder="value" style="width:120px">
-  <button onclick="cmd('set_metadata_attr',[el('mdkey').value, el('mdval').value])">Add</button>
-  <button onclick="cmd('update_metadata',[])">Save to file</button>
+  <span id="mdaddrow" style="display:none">
+   <input type="text" id="mdkey" placeholder="key" style="width:90px">
+   <input type="text" id="mdval" placeholder="value" style="width:120px">
+   <button onclick="mdAdd()">Add</button>
+  </span>
  </details></div>
 </div>
 <div id="center">
@@ -848,13 +960,7 @@ function render() {
   const wb = el('warnbar');
   if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
   else wb.style.display='none';
-  el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
-    `<div class="mdrow">${escH(k)} <input type="text" value="${escH(v)}" style="width:200px"
-      onchange="cmd('set_metadata_field',['${escJ(k)}',this.value])"></div>`).join('');
-  el('mdattrs').innerHTML = Object.entries(S.metadata.md).map(([k,v])=>
-    `<div class="mdrow">${escH(k)}: <input type="text" value="${escH(v)}" style="width:160px"
-      onchange="cmd('set_metadata_attr',['${escJ(k)}',this.value])">
-      <button class="off" onclick="cmd('delete_metadata_attr',['${escJ(k)}'])">x</button></div>`).join('');
+  if (!mdEdit) renderMetadata();
   // filters panel
   el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
@@ -975,6 +1081,88 @@ window.addEventListener('mousemove', e => {
   rotX += (e.clientY - lastXY[1]) * 0.01;
   lastXY = [e.clientX, e.clientY];
 });
+
+// ---- metadata editor: Edit / Revert / Save with protected attributes
+// (left_panel.rs:693-1009). Existing attributes are read-only until the
+// lock is opened; new rows can always be added while editing.
+let mdEdit = false, mdUnlocked = false, mdStaged = {fields:{}, attrs:{}, dels:[]};
+function mdToggleEdit() {
+  mdEdit = !mdEdit; mdUnlocked = false;
+  mdStaged = {fields:{}, attrs:{}, dels:[]};
+  el('mdeditbtn').textContent = mdEdit ? 'Cancel' : 'Edit';
+  el('mdeditctl').style.display = mdEdit ? 'inline' : 'none';
+  el('mdaddrow').style.display = mdEdit ? 'inline' : 'none';
+  el('mdlockbtn').textContent = '🔒';
+  renderMetadata();
+}
+function mdToggleLock() {
+  mdUnlocked = !mdUnlocked;
+  el('mdlockbtn').textContent = mdUnlocked ? '🔓' : '🔒';
+  renderMetadata();
+}
+function mdRevert() {
+  cmd('revert_metadata', []);
+  if (mdEdit) mdToggleEdit();
+}
+async function mdSave() {
+  for (const [k,v] of Object.entries(mdStaged.fields)) await cmd('set_metadata_field',[k,v]);
+  for (const [k,v] of Object.entries(mdStaged.attrs)) await cmd('set_metadata_attr',[k,v]);
+  for (const k of mdStaged.dels) await cmd('delete_metadata_attr',[k]);
+  await cmd('update_metadata', []);
+  if (mdEdit) mdToggleEdit();
+}
+function mdAdd() {
+  const k = el('mdkey').value, v = el('mdval').value;
+  if (k && v) { mdStaged.attrs[k] = v; el('mdkey').value = el('mdval').value = ''; renderMetadata(); }
+}
+function renderMetadata() {
+  if (!S) return;
+  if (!mdEdit) {
+    el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
+      `<div class="mdrow">${escH(k)}: ${escH(v)}</div>`).join('');
+    el('mdattrs').innerHTML = Object.entries(S.metadata.md).map(([k,v])=>
+      `<div class="mdrow">${escH(k)}: ${escH(v)}</div>`).join('');
+    return;
+  }
+  // while editing, only re-render on explicit state changes (typed text
+  // must survive the poll loop) — render() skips us via mdEdit guard
+  el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
+    `<div class="mdrow">${escH(k)} <input type="text" value="${escH(mdStaged.fields[k] ?? v)}" style="width:200px"
+      onchange="mdStaged.fields['${escJ(k)}']=this.value"></div>`).join('');
+  el('mdattrs').innerHTML = Object.entries({...S.metadata.md, ...mdStaged.attrs})
+    .filter(([k]) => !mdStaged.dels.includes(k)).map(([k,v])=>
+    `<div class="mdrow">${escH(k)}: <input type="text" value="${escH(mdStaged.attrs[k] ?? v)}" style="width:160px"
+      ${mdUnlocked || !(k in S.metadata.md) ? '' : 'disabled'}
+      onchange="mdStaged.attrs['${escJ(k)}']=this.value">
+      <button class="off" ${mdUnlocked ? '' : 'disabled'}
+        onclick="mdStaged.dels.push('${escJ(k)}');renderMetadata()">x</button></div>`).join('');
+}
+
+// ---- file-dialog metadata preview (application.rs:861-900)
+async function loadPreview(path) {
+  const box = el('mdpreview');
+  if (!path) { box.textContent = ''; return; }
+  try {
+    const j = await (await fetch('/api/preview?path=' + encodeURIComponent(path))).json();
+    if (j.error) { box.textContent = 'preview: ' + j.error; return; }
+    const rows = [['Groups', (j.groups||[]).join(', ')], ['Description', j.description],
+      ['Mode', j.mode], ['Version', j.version], ['Instrument', j.instrument],
+      ...Object.entries(j.md || {})];
+    box.innerHTML = rows.filter(([,v]) => v)
+      .map(([k,v]) => `${escH(k)}: ${escH(String(v))}`).join('<br>');
+  } catch (e) { box.textContent = ''; }
+}
+
+// ---- drag & drop (left_panel.rs:281-322): .npz -> PSF, else open scan
+window.addEventListener('dragover', e => e.preventDefault());
+window.addEventListener('drop', async e => {
+  e.preventDefault();
+  const f = e.dataTransfer && e.dataTransfer.files && e.dataTransfer.files[0];
+  if (!f) return;
+  const buf = await f.arrayBuffer();
+  await fetch('/api/drop?name=' + encodeURIComponent(f.name), {method:'POST', body: buf});
+  setTimeout(refresh, 300);
+});
 </script></body></html>
 """
 
@@ -1047,6 +1235,18 @@ PSF_PAGE = r"""<!DOCTYPE html>
    <span id="pfv"></span><span id="pext" style="font-size:11px;color:#999"></span></h3>
   <img id="psfimg" width="256" height="256" style="border:1px solid #333"></div>
  <div class="panel"><h3>Diagnostics</h3><pre id="diag"></pre></div>
+ <div class="panel" id="diagplots" style="display:none"><h3>Diagnostic plots</h3>
+  <div style="font-size:12px;color:#999">1. Beam waist w0 vs frequency — <span style="color:#e66">measured</span>, <span style="color:#888">theory (D_eff const)</span></div>
+  <canvas id="dg_w0f_x" width="370" height="160"></canvas><canvas id="dg_w0f_y" width="370" height="160"></canvas>
+  <div style="font-size:12px;color:#999">2. w0 vs wavelength λ — <span style="color:#e66">measured</span>, <span style="color:#6ae">fit w0=A·λ</span>, <span style="color:#888">theory</span> <span id="dg_a"></span></div>
+  <canvas id="dg_w0l_x" width="370" height="160"></canvas><canvas id="dg_w0l_y" width="370" height="160"></canvas>
+  <div style="font-size:12px;color:#999">3. Ratio π·w0/λ (should be constant) — <span style="color:#e66">measured</span>, <span style="color:#6ae">mean (all)</span>, <span style="color:#9cf">mean (&lt;1 THz)</span></div>
+  <canvas id="dg_ratio_x" width="370" height="160"></canvas><canvas id="dg_ratio_y" width="370" height="160"></canvas>
+  <div style="font-size:12px;color:#999">4. Effective aperture D_eff(λ) — <span style="color:#e66">measured</span>, <span style="color:#6ae">mean</span>, <span style="color:#9cf">mean (&lt;1 THz)</span>, <span style="color:#888">theory @ f_ref</span></div>
+  <canvas id="dg_deff_x" width="370" height="160"></canvas><canvas id="dg_deff_y" width="370" height="160"></canvas>
+  <div style="font-size:12px;color:#999">5. Rayleigh range z_R(λ) — <span style="color:#e66">measured π·w0²/λ</span>, <span style="color:#6ae">fit π·A²·λ</span>, <span style="color:#888">theory</span></div>
+  <canvas id="dg_zr_x" width="370" height="160"></canvas><canvas id="dg_zr_y" width="370" height="160"></canvas>
+ </div>
 </div>
 <script>
 const el = id => document.getElementById(id);
@@ -1093,6 +1293,31 @@ function render() {
     drawXY(el('centers').getContext('2d'), [
       {x:r.centers, y:r.x0, points:true}, {x:r.centers, y:r.y0, points:true},
       {x:r.fit_freq, y:r.fit_x0}, {x:r.fit_freq, y:r.fit_y0}], colors);
+  }
+  const D = P.diag_series;
+  el('diagplots').style.display = D ? 'block' : 'none';
+  if (D) {
+    const span = [D.lam[0], D.lam[D.lam.length-1]];
+    const flat = v => ({x: span, y: [v, v]});
+    const dcol = ['#e66','#6ae','#9cf','#888'];
+    for (const ax of ['x','y']) {
+      const w0 = D['w0'+ax], th = D['w0_th_'+ax], fit = D['w0_fit_'+ax];
+      drawXY(el('dg_w0f_'+ax).getContext('2d'),
+        [{x:D.f, y:w0, points:true}, null, null, {x:D.f, y:th}], dcol);
+      drawXY(el('dg_w0l_'+ax).getContext('2d'),
+        [{x:D.lam, y:w0, points:true}, {x:D.lam, y:fit}, null, {x:D.lam, y:th}], dcol);
+      drawXY(el('dg_ratio_'+ax).getContext('2d'),
+        [{x:D.lam, y:D['ratio_'+ax], points:true}, flat(D['ratio_'+ax+'_mean']),
+         flat(D['ratio_'+ax+'_mean_f'])], dcol);
+      drawXY(el('dg_deff_'+ax).getContext('2d'),
+        [{x:D.lam, y:D['d_eff_'+ax], points:true}, flat(D['d_eff_'+ax+'_mean']),
+         flat(D['d_eff_'+ax+'_mean_f']), flat(D['d_eff_'+ax+'_th'])], dcol);
+      drawXY(el('dg_zr_'+ax).getContext('2d'),
+        [{x:D.lam, y:D['z_r_'+ax], points:true}, {x:D.lam, y:D['z_r_fit_'+ax]},
+         null, {x:D.lam, y:D['z_r_th_'+ax]}], dcol);
+    }
+    el('dg_a').textContent =
+      ` (A_x=${(D.a_x*1e3).toFixed(3)}, A_y=${(D.a_y*1e3).toFixed(3)})`;
   }
 }
 async function loadPsfImage() {
