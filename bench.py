@@ -251,15 +251,27 @@ def bench_deconv(cube):
         return None, None
 
     _sum = jax.jit(jnp.sum)
-    out = deconvolve_cube(cube.data, geo, chunk_size=25)  # includes compile
-    float(_sum(out))  # completion barrier (see bench_tpu)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = deconvolve_cube(cube.data, geo, chunk_size=25)
-        float(_sum(out))
-        times.append(time.perf_counter() - t0)
-    deconv_s = float(np.median(times))
+
+    def timed(rl_impl, n=5):
+        out = deconvolve_cube(cube.data, geo, chunk_size=25, rl_impl=rl_impl)
+        float(_sum(out))  # completion barrier (see bench_tpu)
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = deconvolve_cube(cube.data, geo, chunk_size=25,
+                                  rl_impl=rl_impl)
+            float(_sum(out))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    # both RL implementations, so the dispatch choice stays data-backed
+    # (VMEM-resident pallas vs HBM-roundtrip XLA scan)
+    scan_s = timed("scan")
+    try:
+        pallas_s = timed("pallas")
+    except Exception:  # noqa: BLE001 — e.g. non-TPU backend
+        pallas_s = None
+    deconv_s = min(scan_s, pallas_s) if pallas_s is not None else scan_s
 
     # combined: one full interactive update followed by deconvolution of
     # its output, one barrier at the end (the Apply-button path)
@@ -278,7 +290,12 @@ def bench_deconv(cube):
         out = deconvolve_cube(chain_out[0].data, geo, chunk_size=25)
         float(_sum(out))
         combined.append(time.perf_counter() - t0)
-    return deconv_s, float(np.median(combined))
+    return {
+        "deconv_s": deconv_s,
+        "scan_s": scan_s,
+        "pallas_s": pallas_s,
+        "combined_s": float(np.median(combined)),
+    }
 
 
 def main():
@@ -308,15 +325,18 @@ def main():
     }
     if not args.no_deconv:
         try:
-            d, comb = bench_deconv(cube)
+            dres = bench_deconv(cube)
         except Exception as e:  # keep the headline result robust
             extra["deconv_error"] = str(e)[:120]
-            d, comb = None, None
-        if d is not None:
-            extra["deconv_ms"] = round(d * 1e3, 2)
+            dres = None
+        if dres is not None:
+            extra["deconv_ms"] = round(dres["deconv_s"] * 1e3, 2)
             extra["deconv_workload"] = "25 Kaiser bands x <=500 RL iters (defaults)"
-        if comb is not None:
-            extra["combined_chain_plus_deconv_ms"] = round(comb * 1e3, 2)
+            extra["matmul_rl_deconv_ms"] = round(dres["scan_s"] * 1e3, 2)
+            if dres["pallas_s"] is not None:
+                extra["pallas_rl_deconv_ms"] = round(dres["pallas_s"] * 1e3, 2)
+            extra["combined_chain_plus_deconv_ms"] = round(
+                dres["combined_s"] * 1e3, 2)
             extra["north_star"] = "combined < 100 ms"
         try:
             extra["large_cube"] = bench_large()

@@ -51,7 +51,7 @@ bar = lambda x: float(_sum(x))
 
 n_bands, ntaps = geo.taps.shape
 shift = (ntaps - 1) // 2
-fft_len = dec._next_pow2(NTIME + ntaps - 1)
+fft_len = dec._conv_len(NTIME + ntaps - 1)
 hseg = min(shift, NTIME)
 tseg = min(ntaps - 1 - shift, NTIME)
 chunk = 25

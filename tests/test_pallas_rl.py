@@ -58,3 +58,43 @@ def test_qualification_limits():
     assert qualifies(260, 260, 9, 9)
     assert not qualifies(2000, 2000, 9, 9)  # image too big for VMEM
     assert not qualifies(100, 100, 11, 11)  # too many taps
+
+
+def test_separable_bands_kernel_matches_scan_semantics():
+    """rl_bands_separable (the production TPU kernel) reproduces the XLA
+    scan body's banded-matmul RL exactly, per band with its own geometry
+    and trip count (interpret mode; the TPU numbers live in
+    scripts/profile_pallas.py)."""
+    from thz_image_explorer_tpu.ops.deconvolution import _banded_matrix
+    from thz_image_explorer_tpu.ops.pallas_rl import rl_bands_separable
+
+    rng = np.random.default_rng(3)
+    B, h2, w2 = 3, 24, 136
+    padded = rng.uniform(0.5, 2.0, (B, h2, w2)).astype(np.float32)
+    rs = np.stack([
+        _banded_matrix(rng.uniform(0.1, 0.5, 2 * k + 1).astype(np.float32), h2)
+        for k in (1, 2, 3)
+    ])
+    cs = np.stack([
+        _banded_matrix(rng.uniform(0.1, 0.5, 2 * k + 1).astype(np.float32), w2)
+        for k in (2, 1, 4)
+    ])
+    n_iter = np.array([4, 0, 7], np.int32)
+
+    got = np.asarray(rl_bands_separable(
+        jnp.asarray(padded), jnp.asarray(rs), jnp.asarray(cs),
+        jnp.asarray(n_iter), interpret=True,
+    ))
+    for b in range(B):
+        u = padded[b].copy()
+        for _ in range(int(n_iter[b])):
+            rel = padded[b] / (rs[b] @ u @ cs[b].T + 1e-12)
+            u = u * (rs[b].T @ rel @ cs[b])
+        np.testing.assert_allclose(got[b], u, rtol=2e-3, atol=1e-4)
+
+
+def test_separable_qualification():
+    from thz_image_explorer_tpu.ops.pallas_rl import separable_qualifies
+
+    assert separable_qualifies(246, 256)  # reference default geometry
+    assert not separable_qualifies(1200, 1200)

@@ -108,11 +108,14 @@ class BandGeometry:
     )
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
+def _conv_len(n: int) -> int:
+    """Linear-convolution DFT length: the transforms are dense MXU DFT
+    matmuls (``ops/mxufft``), not radix-2 FFTs, so any length ≥
+    ``n_time + ntaps - 1`` is exact — round up to a multiple of 256 for
+    MXU tiling instead of the next power of two (1536 vs 2048 at the
+    reference defaults: ~25% off the transform FLOPs and spectrum HBM
+    traffic, measured ~5 ms off the full deconvolution on a v5e)."""
+    return ((n + 255) // 256) * 256
 
 
 def plan_bands(
@@ -356,9 +359,10 @@ def _prepare_spectra(data, *, fft_len, hseg, tseg):
     return spec, power, flat[:, :hseg], flat[:, n_time - tseg :]
 
 
-@partial(jax.jit, static_argnames=("shape", "pad_r_max", "pad_c_max"))
+@partial(jax.jit,
+         static_argnames=("shape", "pad_r_max", "pad_c_max", "use_pallas"))
 def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
-                 *, shape, pad_r_max, pad_c_max):
+                 *, shape, pad_r_max, pad_c_max, use_pallas=False):
     """One dispatch covering a chunk of bands: exact per-band energy
     images via the Parseval-minus-tails identity, then a ``lax.scan`` of
     Richardson-Lucy over the chunk's bands emitting each band's gain map
@@ -383,6 +387,18 @@ def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
     imgs = (e_full - e_head - e_tail).T.reshape(-1, x, y)  # (c, X, Y)
 
     mm = lambda a, b: jnp.matmul(a, b, precision=_PREC)
+
+    if use_pallas:
+        # VMEM-resident RL (ops/pallas_rl.rl_bands_separable): pad all
+        # bands with two batched matmuls, run every band's full RL
+        # recurrence on-chip, crop + gain-map in one batched epilogue.
+        from thz_image_explorer_tpu.ops.pallas_rl import rl_bands_separable
+
+        padded = mm(mm(prs, imgs), jnp.transpose(pcs, (0, 2, 1)))
+        u = rl_bands_separable(padded, rs, cs, n_iter)
+        u = u[:, pad_r_max : pad_r_max + x, pad_c_max : pad_c_max + y]
+        # 0/0 -> NaN, as in the reference
+        return jnp.sqrt(jnp.maximum(u, 0.0) / imgs)
 
     def body(_c, xs):
         img, pr, pc, R, C, ni = xs
@@ -437,6 +453,7 @@ def deconvolve_cube(
     progress: Callable[[float], None] = lambda _f: None,
     cancelled: Callable[[], bool] = lambda: False,
     chunk_size: int = 5,
+    rl_impl: str = "auto",  # "auto" | "pallas" | "scan"
 ) -> Optional[jnp.ndarray]:
     """Run the full banked deconvolution; returns the band-summed cube or
     None when cancelled.
@@ -457,7 +474,7 @@ def deconvolve_cube(
     n_bands, ntaps = geometry.taps.shape
     n_time = data.shape[-1]
     shift = (ntaps - 1) // 2
-    fft_len = _next_pow2(n_time + ntaps - 1)
+    fft_len = _conv_len(n_time + ntaps - 1)
     pad_r_max = int(geometry.pad_r.max())
     pad_c_max = int(geometry.pad_c.max())
     chunk = max(1, min(chunk_size, n_bands))
@@ -469,13 +486,32 @@ def deconvolve_cube(
     from jax.sharding import NamedSharding, PartitionSpec
 
     data_sharding = getattr(data, "sharding", None)
-    if isinstance(data_sharding, NamedSharding):
+    sharded = isinstance(data_sharding, NamedSharding)
+    if sharded:
         rep = NamedSharding(data_sharding.mesh, PartitionSpec())
         transfer = lambda a: jax.device_put(np.ascontiguousarray(a), rep)
         cache_key = (chunk, data.shape, data_sharding.mesh)
     else:
         transfer = lambda a: jnp.asarray(np.ascontiguousarray(a))
         cache_key = (chunk, data.shape, None)
+
+    # RL implementation: the VMEM-resident pallas kernel on single-chip
+    # TPU when the band working set fits; the SPMD-partitionable scan
+    # otherwise (CPU, sharded meshes, oversized geometry). Measured on a
+    # v5e: see scripts/profile_pallas.py / BENCH extras.
+    from thz_image_explorer_tpu.ops.pallas_rl import separable_qualifies
+
+    use_pallas = (
+        rl_impl == "pallas"
+        or (
+            rl_impl == "auto"
+            and not sharded
+            and jax.default_backend() == "tpu"
+            and separable_qualifies(
+                data.shape[0] + 2 * pad_r_max, data.shape[1] + 2 * pad_c_max
+            )
+        )
+    )
 
     chunks = geometry._device_chunks.get(cache_key)
     if chunks is None:
@@ -552,6 +588,7 @@ def deconvolve_cube(
                 shape=data.shape,
                 pad_r_max=pad_r_max,
                 pad_c_max=pad_c_max,
+                use_pallas=use_pallas,
             )
         )
     progress(len(chunk_list) / (len(chunk_list) + 1))

@@ -13,12 +13,32 @@ Numerics are identical to the direct-correlation semantics of
 correlation, no kernel flip); the band's dynamic geometry (pad widths,
 iteration count) stays traced exactly like the XLA path.
 
-STATUS: an alternative kernel, not on the production dispatch path.
-``deconvolve_cube`` now runs RL as separable banded matmuls on the MXU
-(the reference's PSF is an exact outer product), which is faster, handles
-arbitrary kernel sizes, and needs no VMEM-fit qualification; this
-general-2D kernel is kept for non-separable PSFs and as a Pallas
-reference, exercised by ``tests/test_pallas_rl.py``.
+Two kernels live here:
+
+* :func:`richardson_lucy_pallas` — the general 2-D unrolled-taps kernel.
+  NOT on the production path: realistic PSF canvases are far larger than
+  its Mosaic-imposed tap limit (psf.npz at 200x200/0.5 mm gives canvases
+  up to 47x57 = 2679 taps vs the 81-tap cap), and the unrolled VPU
+  multiply-adds scale with tap count while the separable-matmul path is
+  tap-count-independent. Kept for non-separable PSFs and as a Pallas
+  reference, exercised by ``tests/test_pallas_rl.py``.
+* :func:`rl_bands_separable` — the PRODUCTION TPU kernel: a grid over
+  bands where each grid step keeps the whole RL state (padded image,
+  running estimate, the band's two banded correlation matrices) resident
+  in VMEM for all of that band's iterations. The XLA ``lax.scan``
+  equivalent writes every iteration's ~250 KB intermediates back to HBM
+  and re-reads them (4 small matmuls per iteration, each a separate HBM
+  round-trip). Measured on a v5e at the reference workload (25 bands,
+  sum(n_iter)=2377, 246x256 padded images, scripts/profile_pallas.py):
+  RL phase ~8.5 ms (XLA scan, HIGH matmuls) -> ~5.3 ms (this kernel,
+  hand-built bf16x3), full deconvolution 53.4 -> 50.2 ms. Two dead ends
+  measured on the way: Mosaic's default single-pass bf16 matmuls lose
+  ~1e-2 relative accuracy (RL amplifies it), and Precision.HIGHEST
+  (full-f32, 6 passes) costs more than the HBM traffic it saves
+  (55.4 ms full deconvolution — slower than the scan path).
+  ``deconvolve_cube`` dispatches to this kernel on TPU backends for
+  unsharded cubes whose band matrices fit VMEM; the scan path remains
+  for CPU, sharded meshes and oversized geometry.
 """
 
 from __future__ import annotations
@@ -85,6 +105,84 @@ def qualifies(h2: int, w2: int, kr: int, kc: int) -> bool:
         h2 * w2 * 4 <= MAX_IMAGE_VMEM_BYTES
         and kr * kc <= MAX_KERNEL_TAPS
     )
+
+
+# ----------------------------------------------------------------------
+# Production kernel: separable RL, one band per grid step, VMEM-resident
+# ----------------------------------------------------------------------
+
+# VMEM working set per band: padded + estimate + 2 temps (h2*w2) plus the
+# two banded matrices (h2*h2, w2*w2); qualify against ~16 MB/core with
+# headroom for Mosaic's double buffering of the next band's blocks.
+MAX_BAND_VMEM_BYTES = 10 * 1024 * 1024
+
+
+def separable_qualifies(h2: int, w2: int) -> bool:
+    return (4 * h2 * w2 + h2 * h2 + w2 * w2) * 4 * 2 <= MAX_BAND_VMEM_BYTES
+
+
+def _sep_kernel(n_iter_ref, padded_ref, r_ref, c_ref, out_ref):
+    padded = padded_ref[0]
+    R = r_ref[0]
+    C = c_ref[0]
+    # Mosaic's default matmul is single-pass bf16 (~1e-2 rel error,
+    # measured — RL's multiplicative updates amplify it) and it cannot
+    # lower Precision.HIGH, so build bf16x3 "f32 emulation" by hand:
+    # split each operand into a bf16 hi part and a bf16 residual, and
+    # accumulate the three significant cross terms in f32 on the MXU —
+    # the same precision class as the XLA scan path's HIGH matmuls at
+    # half the passes of Mosaic's HIGHEST (6).
+    def _split(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a, b):
+        ah, al = _split(a)
+        bh, bl = _split(b)
+        d = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+    def body(_i, u):
+        # corr(u, psf) = R @ u @ C.T ; mirrored psf = R.T @ . @ C
+        ustarp = mm(mm(R, u), C.T)
+        rel = padded / (ustarp + _EPS)
+        return u * mm(mm(R.T, rel), C)
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, n_iter_ref[pl.program_id(0)], body, padded
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rl_bands_separable(
+    padded: jnp.ndarray,  # (B, h2, w2) reflect-padded band images
+    rs: jnp.ndarray,  # (B, h2, h2) banded row-correlation matrices
+    cs: jnp.ndarray,  # (B, w2, w2) banded column-correlation matrices
+    n_iter: jnp.ndarray,  # (B,) int32 per-band trip counts
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All Richardson-Lucy iterations of every band, one pallas_call.
+
+    The grid runs one band per step; within a step the band's entire RL
+    recurrence stays in VMEM (zero HBM traffic between iterations), with
+    the matmuls on the MXU. Numerics match ``deconvolution._gains_chunk``'s
+    scan body exactly (same operand order, f32 accumulation).
+    """
+    b, h2, w2 = padded.shape
+    return pl.pallas_call(
+        _sep_kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h2, w2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h2, h2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, w2, w2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h2, w2), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(n_iter.astype(jnp.int32), padded, rs, cs)
 
 
 @partial(
