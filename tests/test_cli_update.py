@@ -59,3 +59,67 @@ def test_semver():
     assert not is_newer("1.3.0", "1.3.0")
     with pytest.raises(ValueError):
         parse_version("nope")
+
+
+def test_install_update_replaces_package(tmp_path):
+    """install_update: download tarball -> extract -> atomic replace with
+    .bak backup (the package equivalent of update.rs:118-211)."""
+    import tarfile
+
+    from thz_image_explorer_tpu.utils.update import install_update
+
+    # fake installed package
+    pkg = tmp_path / "site" / "thz_image_explorer_tpu"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("__version__ = '0.1.0'\n")
+
+    # fake release tarball, nested like a GitHub tarball
+    src = tmp_path / "repo-abc123" / "thz_image_explorer_tpu"
+    src.mkdir(parents=True)
+    (src / "__init__.py").write_text("__version__ = '9.9.9'\n")
+    tar = tmp_path / "rel.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(tmp_path / "repo-abc123", arcname="repo-abc123")
+
+    out = install_update(tar.as_uri(), package_dir=str(pkg))
+    assert out == str(pkg)
+    assert "9.9.9" in (pkg / "__init__.py").read_text()
+    assert "0.1.0" in (pkg.parent / "thz_image_explorer_tpu.bak" /
+                       "__init__.py").read_text()
+
+
+def test_install_update_rolls_back_on_bad_archive(tmp_path):
+    import pytest
+
+    from thz_image_explorer_tpu.utils.update import install_update
+
+    pkg = tmp_path / "site" / "thz_image_explorer_tpu"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("__version__ = '0.1.0'\n")
+    bad = tmp_path / "bad.tar.gz"
+    bad.write_bytes(b"not a tarball")
+    with pytest.raises(Exception):
+        install_update(bad.as_uri(), package_dir=str(pkg))
+    # package untouched
+    assert "0.1.0" in (pkg / "__init__.py").read_text()
+
+
+def test_install_update_rejects_packageless_archive(tmp_path):
+    import tarfile
+
+    import pytest
+
+    from thz_image_explorer_tpu.utils.update import install_update
+
+    pkg = tmp_path / "site" / "thz_image_explorer_tpu"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("x = 1\n")
+    empty = tmp_path / "repo-x" / "docs"
+    empty.mkdir(parents=True)
+    (empty / "a.txt").write_text("hi")
+    tar = tmp_path / "rel.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(tmp_path / "repo-x", arcname="repo-x")
+    with pytest.raises(ValueError):
+        install_update(tar.as_uri(), package_dir=str(pkg))
+    assert (pkg / "__init__.py").exists()

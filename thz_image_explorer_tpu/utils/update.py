@@ -46,3 +46,78 @@ def check_for_updates(
         return None
     except (urllib.error.URLError, OSError, ValueError, json.JSONDecodeError):
         return None
+
+
+def fetch_release_tarball_url(timeout: float = 5.0) -> Optional[tuple[str, str]]:
+    """(tag, tarball_url) of the latest release, or None offline."""
+    try:
+        with urllib.request.urlopen(RELEASES_URL, timeout=timeout) as r:
+            data = json.load(r)
+        tag, url = data.get("tag_name", ""), data.get("tarball_url", "")
+        return (tag, url) if tag and url else None
+    except (urllib.error.URLError, OSError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def install_update(
+    tarball_url: str,
+    package_dir: Optional[str] = None,
+    timeout: float = 30.0,
+) -> str:
+    """Download a release tarball and atomically replace the installed
+    package with its ``thz_image_explorer_tpu/`` tree — the Python-package
+    equivalent of the reference's binary self-replace
+    (``update.rs:118-211``: download asset → extract to temp dir →
+    ``self_replace``). The previous installation is kept as a ``.bak``
+    sibling and restored on any failure.
+
+    Returns the path of the replaced package directory. Raises on any
+    error (network, malformed archive, permissions) after rolling back.
+    """
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+
+    import thz_image_explorer_tpu as pkg
+
+    if package_dir is None:
+        package_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+
+    tmp = tempfile.mkdtemp(prefix="thz_update_")
+    try:
+        archive = os.path.join(tmp, "release.tar.gz")
+        with urllib.request.urlopen(tarball_url, timeout=timeout) as r, open(
+            archive, "wb"
+        ) as f:
+            shutil.copyfileobj(r, f)
+
+        extract_dir = os.path.join(tmp, "x")
+        with tarfile.open(archive, "r:*") as tf:
+            tf.extractall(extract_dir, filter="data")
+
+        # locate the package tree inside the archive (GitHub tarballs nest
+        # everything under <repo>-<sha>/)
+        new_pkg = None
+        for root, dirs, _files in os.walk(extract_dir):
+            if os.path.basename(root) == "thz_image_explorer_tpu" and \
+                    os.path.isfile(os.path.join(root, "__init__.py")):
+                new_pkg = root
+                break
+        if new_pkg is None:
+            raise ValueError("archive contains no thz_image_explorer_tpu/ package")
+
+        backup = package_dir.rstrip("/\\") + ".bak"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.replace(package_dir, backup)
+        try:
+            shutil.move(new_pkg, package_dir)
+        except Exception:
+            # rollback: put the previous installation back
+            if not os.path.exists(package_dir):
+                os.replace(backup, package_dir)
+            raise
+        return package_dir
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -666,6 +666,24 @@ def make_handler(app: WebApp):
                 except Exception as e:  # noqa: BLE001
                     self._json({"ok": False, "error": str(e)}, 400)
                 return
+            if self.path.startswith("/api/update_install"):
+                try:
+                    from thz_image_explorer_tpu.utils.update import (
+                        fetch_release_tarball_url,
+                        install_update,
+                    )
+
+                    rel = fetch_release_tarball_url()
+                    if rel is None:
+                        self._json({"ok": False,
+                                    "error": "no release reachable"}, 502)
+                        return
+                    tag, url = rel
+                    install_update(url)
+                    self._json({"ok": True, "tag": tag})
+                except Exception as e:  # noqa: BLE001
+                    self._json({"ok": False, "error": str(e)}, 500)
+                return
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path.startswith("/api/psf_command"):
@@ -745,6 +763,8 @@ PAGE = r"""<!DOCTYPE html>
   <button class="off" onclick="cmd('open_sibling',[1])">next ▶</button>
   <span id="siblings" style="font-size:11px;color:#999"></span>
   <div id="housekeeping" style="font-size:11px;color:#8bd"></div>
+  <canvas id="gauge_ts" width="90" height="90" style="display:none;background:none;border:none"></canvas>
+  <canvas id="gauge_p0" width="90" height="90" style="display:none;background:none;border:none"></canvas>
  </div>
  <div class="panel"><h3>Intensity image <span style="font-size:11px;color:#999">(click: pixel · shift-click: ROI)</span></h3>
   <canvas id="img" width="440" height="440"></canvas>
@@ -833,9 +853,10 @@ PAGE = r"""<!DOCTYPE html>
  </div>
  <div class="panel"><h3>Filters</h3><div id="filters"></div></div>
  <div class="panel"><h3>Settings</h3>
-  <button class="off" onclick="document.body.classList.toggle('light')">Theme</button>
+  <button class="off" onclick="themeManual=true;document.body.classList.toggle('light')">Theme</button>
   <a href="/psf"><button class="off">PSF Tool</button></a>
   <button class="off" onclick="checkUpdates()">Check updates</button>
+  <button id="updbtn" style="display:none" onclick="installUpdate()">Install update</button>
   <span id="updinfo" style="font-size:11px;color:#999"></span>
  </div>
 </div>
@@ -956,6 +977,12 @@ function render() {
   if (meas.includes('ambient_temperature')) hkline += ` · T0 ${hk.ambient_temperature} °C`;
   if (meas.includes('ambient_humidity')) hkline += ` · RH ${hk.ambient_humidity} %`;
   el('housekeeping').textContent = hkline;
+  // housekeeping gauges (gauge_widget.rs:15-209; left_panel.rs:519-538):
+  // T_S 0..400 K linear, p0 1e-8..1e3 mbar log — shown when measured
+  drawGauge('gauge_ts', meas.includes('sample_temperature'),
+            hk.sample_temperature, 0, 400, false, 'K', 'T_S');
+  drawGauge('gauge_p0', meas.includes('ambient_pressure'),
+            hk.ambient_pressure, 1e-8, 1e3, true, 'mbar', 'p0');
   el('logpane').textContent = (S.log||[]).join('\n');
   const wb = el('warnbar');
   if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
@@ -1033,6 +1060,14 @@ async function checkUpdates() {
   const j = await (await fetch('/api/update_check')).json();
   el('updinfo').textContent = j.error ? 'check failed' :
     (j.newer ? ('update available: ' + j.newer) : ('up to date (v' + j.current + ')'));
+  el('updbtn').style.display = j.newer ? 'inline' : 'none';
+}
+async function installUpdate() {
+  el('updinfo').textContent = 'installing…';
+  const j = await (await fetch('/api/update_install', {method:'POST', body:'{}'})).json();
+  el('updinfo').textContent = j.ok
+    ? ('installed ' + j.tag + ' — restart the server to use it')
+    : ('install failed: ' + (j.error || ''));
 }
 
 // ------------------------- 3D voxel view (threed_plot.rs equivalent) ----
@@ -1081,6 +1116,58 @@ window.addEventListener('mousemove', e => {
   rotX += (e.clientY - lastXY[1]) * 0.01;
   lastXY = [e.clientX, e.clientY];
 });
+
+// ---- OS theme detection (system_theme.rs:1-162): follow the system's
+// light/dark preference, live on changes; the Theme button still
+// overrides manually (and stops following until reload)
+let themeManual = false;
+const osTheme = window.matchMedia && window.matchMedia('(prefers-color-scheme: light)');
+function applyOsTheme() {
+  if (!themeManual && osTheme) document.body.classList.toggle('light', osTheme.matches);
+}
+if (osTheme && osTheme.addEventListener) osTheme.addEventListener('change', applyOsTheme);
+applyOsTheme();
+
+// ---- housekeeping gauges (gauge_widget.rs): arc -45°..150°, colored
+// fill to the mapped value, major/minor ticks, log10 mapping for mbar
+function drawGauge(id, show, value, minI, maxI, log, suffix, label) {
+  const c = el(id);
+  c.style.display = show ? 'inline-block' : 'none';
+  if (!show) return;
+  const ctx = c.getContext('2d');
+  const W = c.width, H = c.height, cx = W/2, cy = H/2, r = H/2 - 8;
+  const A0 = -45, A1 = 150;
+  const ang = d => (180 - d) * Math.PI / 180;  // reference's x = -cos(phi)
+  ctx.clearRect(0, 0, W, H);
+  const arc = (from, to, width, color) => {
+    ctx.beginPath(); ctx.lineWidth = width; ctx.strokeStyle = color;
+    // canvas arcs run clockwise in screen coords; our angles decrease
+    ctx.arc(cx, cy, r, ang(from), ang(to), true);
+    ctx.stroke();
+  };
+  arc(A0, A1, 2, '#888');
+  const frac = log
+    ? (Math.log10(Math.max(value, minI)) - Math.log10(minI)) / (Math.log10(maxI) - Math.log10(minI))
+    : (value - minI) / (maxI - minI);
+  const vdeg = A0 + Math.max(0, Math.min(1, frac)) * (A1 - A0);
+  arc(A0, vdeg, 6, '#9ecbff');
+  ctx.strokeStyle = '#aaa'; ctx.lineWidth = 1;
+  const majorStep = log ? 30 : 50;
+  for (let d = A0; d <= A1; d += 10) {
+    const major = ((d - A0) % majorStep) === 0, len = major ? 6 : 3;
+    const a = ang(d);
+    ctx.beginPath();
+    ctx.moveTo(cx + Math.cos(a) * (r + 2), cy + Math.sin(a) * (r + 2));
+    ctx.lineTo(cx + Math.cos(a) * (r + 2 + len), cy + Math.sin(a) * (r + 2 + len));
+    ctx.stroke();
+  }
+  ctx.fillStyle = '#e6e6e6'; ctx.textAlign = 'center';
+  ctx.font = '11px system-ui';
+  const vtxt = log ? Number(value).toExponential(1) : Number(value).toFixed(1);
+  ctx.fillText(vtxt + ' ' + suffix, cx, cy + 12);
+  ctx.fillStyle = '#9ecbff';
+  ctx.fillText(label, cx, cy - 4);
+}
 
 // ---- metadata editor: Edit / Revert / Save with protected attributes
 // (left_panel.rs:693-1009). Existing attributes are read-only until the
