@@ -216,6 +216,27 @@ def bench_large():
     }
 
 
+def bench_ceiling():
+    """BASELINE config 5 (1000x1000x4096 sharded): XLA's per-chip memory
+    analysis of the mesh-sharded program, via scripts/scale_ceiling.py in
+    a subprocess on the virtual 8-device CPU mesh (multi-chip hardware is
+    not attached here; the executed sharded proof lives in that script
+    and tests/test_parallel.py)."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + ":" + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "scripts", "scale_ceiling.py"),
+         "--skip-exec"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def bench_deconv(cube):
     """Deconvolution alone AND the combined full update (window + FFT +
     filters + iFFT + intensity + deconvolution at reference defaults) with
@@ -342,6 +363,10 @@ def main():
             extra["large_cube"] = bench_large()
         except Exception as e:
             extra["large_cube_error"] = str(e)[:120]
+        try:
+            extra["scale_ceiling"] = bench_ceiling()
+        except Exception as e:
+            extra["scale_ceiling_error"] = str(e)[:120]
 
     result = {
         "metric": "full-image update latency p50 (window+FFT+FD filter+notch+iFFT+intensity, 200x200x1024)",

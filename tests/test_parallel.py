@@ -111,3 +111,31 @@ def test_sharded_publish_program():
     assert host["roi_amp"].shape[0] == 2
     assert np.isfinite(host["image"]).all()
     assert np.isfinite(host["roi_trace"]).all()
+
+
+@needs_mesh
+def test_sharded_large_grid_matches_unsharded():
+    """Scale check (VERDICT r1 #4): a 256x256 pixel grid — past the toy
+    16x16 shapes — sharded over the full 8-device mesh reproduces the
+    unsharded chain bit-for-bit within f32 tolerance."""
+    cube = _cube(w=256, h=256, n=32, seed=7)
+    params = StepParams.defaults()
+    cfg = StepConfig(fd_active=True, notch_active=True,
+                     td_before_active=True, td_after_active=True)
+
+    out_ref, img_ref = interactive_update(cube, params, cfg)
+
+    mesh = make_mesh()
+    sharded = shard_cube(cube, mesh)
+    with mesh:
+        out_sh, img_sh = interactive_update(sharded, params, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(img_sh), np.asarray(img_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh.avg_signal_fft),
+        np.asarray(out_ref.avg_signal_fft),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert not out_sh.fft.sharding.is_fully_replicated
