@@ -744,6 +744,14 @@ PAGE = r"""<!DOCTYPE html>
  .mdrow { font-size:11px; }
  .tab { display:inline-block; padding:2px 10px; cursor:pointer; color:#999; }
  .tab.active { color:#9ecbff; border-bottom:2px solid #9ecbff; }
+ /* iOS-style toggle (toggle_widget.rs:21-105) */
+ .switch { display:inline-block; width:30px; height:16px; border-radius:8px;
+   background:#555; cursor:pointer; vertical-align:middle; position:relative;
+   transition:background .15s; }
+ .switch.on { background:#2a6; }
+ .switch .knob { position:absolute; top:2px; left:2px; width:12px; height:12px;
+   border-radius:6px; background:#eee; transition:left .15s; }
+ .switch.on .knob { left:16px; }
  body.light { background:#f2f2f4; color:#222; }
  body.light .panel { background:#fff; border-color:#ccc; }
  body.light canvas { background:#fafafa; border-color:#bbb; }
@@ -999,12 +1007,15 @@ function render() {
       ? ` <span style="color:#8f8">${Math.round(f.progress*100)}%</span>` : '';
     return `<div style="margin-bottom:8px"><b title="${escH(f.description)}">${escH(f.name)}</b>${doi}${prog}
       <span class="ms">${f.time_ms} ms</span><br>
-      <button class="${f.active?'':'off'}" onclick="cmd('set_filter_active',['${escJ(u)}',${!f.active}])">
-        ${f.active?'on':'off'}</button>
+      <span class="switch ${f.active?'on':''}" title="${f.active?'active':'inactive'}"
+        onclick="cmd('set_filter_active',['${escJ(u)}',${!f.active}])"><span class="knob"></span></span>
       <button onclick="cmd('update_filter',['${escJ(u)}'],)">Apply</button> ${params}</div>`;
   }).join('');
+  // ROI list with inline rename (left_panel.rs:601-690)
   el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
-    `${escH(r.name)} <button class="off" onclick="cmd('delete_roi',['${escJ(u)}'])">x</button>`).join(' ');
+    `<input type="text" value="${escH(r.name)}" style="width:80px"
+       onchange="renameRoi('${escJ(u)}',this.value)">
+     <button class="off" onclick="cmd('delete_roi',['${escJ(u)}'])">x</button>`).join(' ');
   for (const sel of ['refsel','sampsel']) {
     const opts = (sel==='refsel'?S.selection.available_references:S.selection.available_samples);
     const cur = sel==='refsel'?S.selection.reference:S.selection.sample;
@@ -1115,6 +1126,21 @@ window.addEventListener('mousemove', e => {
   rotZ += (e.clientX - lastXY[0]) * 0.01;
   rotX += (e.clientY - lastXY[1]) * 0.01;
   lastXY = [e.clientX, e.clientY];
+});
+
+function renameRoi(u, name) {
+  const r = S && S.rois && S.rois[u];
+  if (r && name) cmd('update_roi', [u, name, r.polygon]);
+}
+
+// ---- sibling navigation with arrow keys (left_panel.rs:165-275): the
+// reference's sibling table responds to up/down; here left/right cycle
+// the directory's files when no input field has focus
+window.addEventListener('keydown', e => {
+  const tag = (document.activeElement || {}).tagName;
+  if (tag === 'INPUT' || tag === 'TEXTAREA' || tag === 'SELECT') return;
+  if (e.key === 'ArrowLeft') cmd('open_sibling', [-1]);
+  else if (e.key === 'ArrowRight') cmd('open_sibling', [1]);
 });
 
 // ---- OS theme detection (system_theme.rs:1-162): follow the system's
