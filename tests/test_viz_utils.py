@@ -166,3 +166,59 @@ def test_log_ring_buffer():
     buf.clear_warning()
     assert buf.last_warning is None
     logger.removeHandler(buf)
+
+
+def test_voxel_dynamic_threshold_matches_topk():
+    """The scanned-histogram order statistic tracks exact top_k within
+    one 1/4096 bin and never keeps more than MAX_INSTANCES voxels."""
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.ops import voxel
+
+    rng = np.random.default_rng(0)
+    n = 3_000_000
+    flat = rng.uniform(0, 1, n).astype(np.float32)
+    # make the tail interesting: most mass near zero
+    flat = flat ** 3
+
+    old_max = voxel.MAX_INSTANCES
+    voxel.MAX_INSTANCES = 1_000_000
+    try:
+        thr = float(voxel._dynamic_threshold(jnp.asarray(flat)))
+    finally:
+        voxel.MAX_INSTANCES = old_max
+    exact = float(np.partition(flat, n - 1_000_000)[n - 1_000_000])
+    assert abs(thr - exact) < 2.0 / 4096
+    assert int((flat >= thr).sum()) <= 1_000_000
+
+
+def test_voxel_pallas_envelope_matches_xla():
+    """The fused pallas envelope pass (interpret mode) reproduces the XLA
+    composition bit-close, including zeroed below-threshold lines."""
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.ops.voxel import (
+        _envelope_pallas,
+        _voxel_opacities_impl,
+        gaussian_kernel1d,
+    )
+
+    rng = np.random.default_rng(1)
+    x, y, t = 8, 36, 128  # 288 lines: exercises block padding (256 + 32)
+    data = (rng.normal(size=(x, y, t)) * rng.uniform(
+        0, 1.5, (x, y, 1))).astype(np.float32)
+    k = jnp.asarray(gaussian_kernel1d(2.0, 5))
+
+    ref, _ = _voxel_opacities_impl(
+        jnp.asarray(data), k, np.float32(2.0), np.float32(0.4), 5, False
+    )
+    from thz_image_explorer_tpu.ops.voxel import _band_matrix_bf16
+
+    w = _band_matrix_bf16(k, t, 5)
+    got = _envelope_pallas(
+        jnp.asarray(data.reshape(x * y, t)), w, np.float32(2.0),
+        np.float32(0.4), interpret=True,
+    ).reshape(x, y, t)
+    # W is bf16 in the kernel (VMEM budget): ~1e-3 display-path error
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)

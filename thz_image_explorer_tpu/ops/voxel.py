@@ -29,13 +29,98 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("radius",))
+def _dynamic_threshold(flat: jnp.ndarray) -> jnp.ndarray:
+    """Opacity of the ~2M-th largest voxel via a two-level scanned
+    histogram instead of an exact ``top_k``.
+
+    ``top_k`` over the 41M-element opacity volume measured ~150 ms on a
+    v5e (its sort dominates the whole voxel extraction); two 64-way
+    count-above-edge passes bound the same order statistic to 1/4096
+    opacity precision in two streamed reads. The refined edge is chosen
+    so the kept-instance count stays <= MAX_INSTANCES (the reference's
+    ``select_nth_unstable`` cap, ``threed_plot.rs:207-214``); opacities
+    are normalized to [0, 1] so absolute precision is 2.4e-4 — invisible
+    at 8-bit display depth.
+    """
+    n = flat.shape[0]
+    chunk = 1 << 20
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    # pad with -1: below every edge, never counted
+    flat = jnp.concatenate(
+        [flat, jnp.full((n_pad - n,), -1.0, flat.dtype)]
+    ).reshape(-1, chunk)
+
+    def counts_ge(edges):
+        def body(acc, ch):
+            return acc + jnp.sum(
+                ch[None, :] >= edges[:, None], axis=1
+            ).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(edges.shape, jnp.int32), flat
+        )
+        return acc
+
+    def refine(lo, hi):
+        edges = lo + (hi - lo) * jnp.arange(65, dtype=jnp.float32) / 64.0
+        c = counts_ge(edges)
+        # largest edge index whose count is still <= MAX_INSTANCES
+        ok = c <= MAX_INSTANCES
+        idx = jnp.argmax(ok)  # edges ascend -> counts descend; first ok
+        return edges[idx], edges[jnp.maximum(idx, 1) - 1]
+
+    e1, lo1 = refine(jnp.float32(0.0), jnp.float32(1.0))
+    e2, _ = refine(lo1, e1)
+    return e2
+
+
+@partial(jax.jit, static_argnames=("radius", "use_pallas"))
+def _voxel_opacities_impl(data, kernel, contrast, opacity_threshold,
+                          radius: int, use_pallas: bool):
+    """``kernel`` is the (2r+1,) tap vector on the XLA path, or the
+    prebuilt bf16 banded matrix from :func:`_band_matrix_bf16` on the
+    pallas path (built host-side — tap values must be concrete)."""
+    x, y, t = data.shape
+    if use_pallas:
+        normalized = _envelope_pallas(
+            data.reshape(x * y, t), kernel, contrast, opacity_threshold,
+        ).reshape(x, y, t)
+    else:
+        sq = data * data
+        powed = jnp.power(sq, contrast)
+        # zero-boundary 'same' correlation along t for all pixels at once
+        env = jax.lax.conv_general_dilated(
+            powed.reshape(x * y, 1, t),
+            kernel.reshape(1, 1, -1),
+            (1,),
+            [(radius, radius)],
+            dimension_numbers=("NCH", "IOH", "NCH"),
+            preferred_element_type=jnp.float32,
+        ).reshape(x, y, t)
+
+        line_max = env.max(axis=-1, keepdims=True)
+        line_min = env.min(axis=-1, keepdims=True)
+        rng = line_max - line_min
+        normalized = jnp.where(
+            (line_max >= opacity_threshold) & (jnp.abs(rng) > 1e-6),
+            (env - line_min) / rng,
+            0.0,
+        )
+
+    if x * y * t > MAX_INSTANCES:
+        threshold = _dynamic_threshold(normalized.reshape(-1))
+    else:
+        threshold = jnp.asarray(0.0, jnp.float32)
+    return normalized, threshold
+
+
 def voxel_opacities(
     data: jnp.ndarray,  # (X, Y, T)
     kernel: jnp.ndarray,  # (2*radius+1,)
     contrast,
     opacity_threshold,
     radius: int,
+    impl: str = "auto",  # "auto" | "pallas" | "xla"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Opacity volume + dynamic threshold.
 
@@ -43,38 +128,108 @@ def voxel_opacities(
     ``v -> v²``, envelope = zero-boundary correlation of ``(v²)^contrast``
     with the Gaussian kernel, zero the trace if its max is below
     ``opacity_threshold`` else min-max normalize; then the threshold that
-    keeps at most 2M instances (the value of the 2M-th largest opacity).
-    """
-    sq = data * data
-    powed = jnp.power(sq, contrast)
-    # zero-boundary 'same' correlation along t for all pixels at once
-    x, y, t = data.shape
-    env = jax.lax.conv_general_dilated(
-        powed.reshape(x * y, 1, t),
-        kernel.reshape(1, 1, -1),
-        (1,),
-        [(radius, radius)],
-        dimension_numbers=("NCH", "IOH", "NCH"),
-        preferred_element_type=jnp.float32,
-    ).reshape(x, y, t)
+    keeps at most 2M instances (the value of the ~2M-th largest opacity,
+    via :func:`_dynamic_threshold`).
 
-    line_max = env.max(axis=-1, keepdims=True)
-    line_min = env.min(axis=-1, keepdims=True)
-    rng = line_max - line_min
-    normalized = jnp.where(
-        (line_max >= opacity_threshold) & (jnp.abs(rng) > 1e-6),
-        (env - line_min) / rng,
-        0.0,
+    On TPU the envelope pipeline runs as one fused pallas pass
+    (:func:`_envelope_pallas`) — square, power, the unrolled Gaussian
+    correlation, min/max and normalization never leave VMEM; the XLA
+    composition is the fallback (CPU, sharded inputs, oversized blocks).
+    Measured v5e numbers in ``scripts/profile_voxel.py``.
+    """
+    sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and not sharded
+        and data.shape[-1] * 4 * 4 * _PALLAS_LINES <= 8 * 1024 * 1024
+    )
+    if use_pallas:
+        kernel = _band_matrix_bf16(kernel, data.shape[-1], radius)
+    return _voxel_opacities_impl(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas
     )
 
-    n = x * y * t
-    if n > MAX_INSTANCES:
-        flat = normalized.reshape(-1)
-        top = jax.lax.top_k(flat, MAX_INSTANCES)[0]
-        threshold = top[-1]
-    else:
-        threshold = jnp.asarray(0.0, jnp.float32)
-    return normalized, threshold
+
+# ------------------------------------------------------------------
+# Fused envelope pipeline as a pallas kernel (TPU production path)
+# ------------------------------------------------------------------
+
+_PALLAS_LINES = 256  # traces per grid step; VMEM ~= 4 bufs * LINES * T * 4B
+_BAND_CACHE: dict = {}
+
+
+def _envelope_kernel(scal_ref, x_ref, w_ref, o_ref):
+    v = x_ref[:]
+    contrast, thr = scal_ref[0], scal_ref[1]
+    sq = v * v
+    powed = jnp.exp(contrast * jnp.log(jnp.maximum(sq, 1e-30)))
+    powed = jnp.where(sq == 0.0, 0.0, powed)  # 0^c = 0, like jnp.power
+    # zero-boundary 'same' correlation along t as ONE MXU matmul against
+    # the banded kernel matrix (lane-shift unrolls are what kill Mosaic
+    # compiles at larger radii — the old general-2D kernel's 9x9 cap).
+    # W arrives pre-cast to bf16 (f32 would not fit VMEM double-buffered
+    # at t=1024); the data operand is split bf16x2, leaving ~1e-3 display
+    # error from the tap quantization — the XLA fallback remains the
+    # full-f32 reference.
+    ph = powed.astype(jnp.bfloat16)
+    plo = (powed - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    w = w_ref[:]
+    d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    env = d(ph, w) + d(plo, w)
+    lmax = jnp.max(env, axis=-1, keepdims=True)
+    lmin = jnp.min(env, axis=-1, keepdims=True)
+    rng = lmax - lmin
+    o_ref[:] = jnp.where(
+        (lmax >= thr) & (jnp.abs(rng) > 1e-6), (env - lmin) / rng, 0.0
+    )
+
+
+def _band_matrix_bf16(kernel, t: int, radius: int) -> jnp.ndarray:
+    """Banded correlation matrix W[k, i] = kernel[k - i + radius], host
+    data cached per (kernel bytes, t) — the 'same' correlation as one
+    matmul. bf16: f32 would not fit VMEM double-buffered at t=1024."""
+    kb = np.asarray(kernel, np.float32)
+    key = (kb.tobytes(), t)
+    w = _BAND_CACHE.get(key)
+    if w is None:
+        ii = np.arange(t)
+        idx = ii[:, None] - ii[None, :] + radius  # [k, i] -> tap index
+        valid = (idx >= 0) & (idx < kb.shape[0])
+        w = np.where(valid, kb[np.clip(idx, 0, kb.shape[0] - 1)], 0.0)
+        w = jnp.asarray(w.astype(np.float32)).astype(jnp.bfloat16)
+        _BAND_CACHE[key] = w
+    return w
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _envelope_pallas(flat, w, contrast, thr, *, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, t = flat.shape
+    lines = _PALLAS_LINES
+    n_pad = ((n + lines - 1) // lines) * lines
+    if n_pad != n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((n_pad - n, t), flat.dtype)]
+        )
+    scal = jnp.stack(
+        [jnp.asarray(contrast, jnp.float32), jnp.asarray(thr, jnp.float32)]
+    )
+    out = pl.pallas_call(
+        _envelope_kernel,
+        grid=(n_pad // lines,),
+        out_shape=jax.ShapeDtypeStruct((n_pad, t), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((lines, t), lambda i: (i, 0)),
+            pl.BlockSpec((t, t), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((lines, t), lambda i: (i, 0)),
+        interpret=interpret,
+    )(scal, flat, w)
+    return out[:n]
 
 
 def jet_colormap(value: np.ndarray) -> np.ndarray:
