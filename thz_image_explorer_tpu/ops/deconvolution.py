@@ -310,13 +310,18 @@ def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
     with ``shift = (L-1)//2`` (``deconvolution.rs:266-317``'s extraction).
 
     Returns
-      w2   (m, B)            Parseval-weighted tap power: ``E_full(n, b) =
-                             sum_f w2[f, b] * |X_nf|^2`` with the r2c
-                             hermitian weights (1, 2, ..., 2[, 1]) / fft_len;
-      mh   (B, shift, hseg)  ``full[k] = sum_t mh[b, k, t] * x[t]`` for the
-                             head samples k < shift (lower-triangular taps);
-      mt   (B, ltail, tseg)  same for the tail samples k >= shift + T, over
-                             the last ``tseg`` input samples.
+      w2   (m, B)           Parseval-weighted tap power: ``E_full(n, b) =
+                            sum_f w2[f, b] * |X_nf|^2`` with the r2c
+                            hermitian weights (1, 2, ..., 2[, 1]) / fft_len;
+      gh   (B, hseg, hseg)  Gram matrix of the head tap matrix ``mh``
+                            (``full[k] = sum_t mh[b, k, t] x[t]`` for the
+                            k < shift head samples): ``E_head(n, b) =
+                            x_n^T gh_b x_n`` — the quadratic form costs
+                            half the FLOPs of materialising ``mh @ x``
+                            and squaring (the k axis is contracted on the
+                            host, in f64);
+      gt   (B, tseg, tseg)  same for the tail samples k >= shift + T over
+                            the last ``tseg`` input samples.
     """
     b, l = taps.shape
     shift = (l - 1) // 2
@@ -335,14 +340,16 @@ def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
     mh = np.where(
         (idx >= 0) & (idx < l), taps[:, np.clip(idx, 0, l - 1)], 0.0
     )
+    gh = np.einsum("bkt,bks->bts", mh, mh)
 
     tseg = min(ltail, n_time)
     idx_t = shift + tseg + np.arange(ltail)[:, None] - np.arange(tseg)[None, :]
     mt = np.where(
         (idx_t >= 0) & (idx_t < l), taps[:, np.clip(idx_t, 0, l - 1)], 0.0
     )
+    gt = np.einsum("bkt,bks->bts", mt, mt)
 
-    return w2, mh.astype(np.float32), mt.astype(np.float32)
+    return w2, gh.astype(np.float32), gt.astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("fft_len", "hseg", "tseg"))
@@ -380,10 +387,18 @@ def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
     intermediates, keeping device memory bounded."""
     x, y = shape[0], shape[1]
     e_full = jnp.dot(power, w2, precision=_PREC)  # (N, c)
-    hv = jnp.einsum("nt,bkt->nbk", xh, mh, precision=_PREC)
-    e_head = jnp.sum(hv * hv, axis=-1)
-    tv = jnp.einsum("nt,bkt->nbk", xt, mt, precision=_PREC)
-    e_tail = jnp.sum(tv * tv, axis=-1)
+    # tail-correction energies as quadratic forms against host-built Gram
+    # matrices: E = x^T G x (see _energy_matrices)
+    e_head = jnp.einsum(
+        "nbs,ns->nb",
+        jnp.einsum("nt,bts->nbs", xh, mh, precision=_PREC),
+        xh, precision=_PREC,
+    )
+    e_tail = jnp.einsum(
+        "nbs,ns->nb",
+        jnp.einsum("nt,bts->nbs", xt, mt, precision=_PREC),
+        xt, precision=_PREC,
+    )
     imgs = (e_full - e_head - e_tail).T.reshape(-1, x, y)  # (c, X, Y)
 
     mm = lambda a, b: jnp.matmul(a, b, precision=_PREC)
@@ -443,8 +458,13 @@ def _spectral_band_sum(spec, taps_ri, *gain_stacks,
     wi = jnp.einsum("bn,bf->nf", g, taps_ri[1][:n_bands], precision=_PREC)
     sr = spec[0] * wr - spec[1] * wi
     si = spec[0] * wi + spec[1] * wr
-    out = mxufft.irfft_ri(jnp.stack([sr, si]), fft_len)
-    return out[:, shift : shift + n_time].reshape(x, y, n_time)
+    # only the centre window of the padded inverse transform survives —
+    # slice the DFT matrix columns instead of the output (exact, 33%
+    # fewer irfft FLOPs at the 1536/1024 reference geometry)
+    out = mxufft.irfft_ri(
+        jnp.stack([sr, si]), fft_len, out_start=shift, out_len=n_time
+    )
+    return out.reshape(x, y, n_time)
 
 
 def deconvolve_cube(
