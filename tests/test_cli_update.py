@@ -123,3 +123,12 @@ def test_install_update_rejects_packageless_archive(tmp_path):
     with pytest.raises(ValueError):
         install_update(tar.as_uri(), package_dir=str(pkg))
     assert (pkg / "__init__.py").exists()
+
+
+def test_cli_update_command_offline(capsys):
+    """`update` subcommand degrades gracefully with no network."""
+    from thz_image_explorer_tpu.cli import main
+
+    assert main(["update"]) == 0
+    out = capsys.readouterr().out
+    assert "up to date" in out or "update available" in out

@@ -249,6 +249,32 @@ def _cmd_psf_diagnostics(args):
     return 0
 
 
+def _cmd_update(args):
+    """Self-update (``update.rs``): version check, optional install."""
+    from thz_image_explorer_tpu import __version__
+    from thz_image_explorer_tpu.utils.update import (
+        check_for_updates,
+        fetch_release_tarball_url,
+        install_update,
+    )
+
+    newer = check_for_updates()
+    if newer is None:
+        print(f"up to date (v{__version__}) or release server unreachable")
+        return 0
+    print(f"update available: {newer} (current v{__version__})")
+    if not args.install:
+        print("re-run with --install to apply it")
+        return 0
+    rel = fetch_release_tarball_url()
+    if rel is None:
+        print("could not fetch the release tarball URL")
+        return 1
+    path = install_update(rel[1])
+    print(f"installed {rel[0]} into {path}; previous version kept as .bak")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="thz_image_explorer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -298,6 +324,12 @@ def main(argv=None):
     p.add_argument("scan", nargs="?", default=None)
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=_cmd_serve)
+
+    p = sub.add_parser("update", help="check for (and install) a newer release")
+    p.add_argument("--install", action="store_true",
+                   help="download and install the newer release in place "
+                        "(keeps a .bak of the current package)")
+    p.set_defaults(fn=_cmd_update)
 
     args = parser.parse_args(argv)
     return args.fn(args)
