@@ -90,3 +90,16 @@ def test_polar_irfft_matches_irfft():
     np.testing.assert_allclose(
         np.asarray(out), np.fft.irfft(spec, 64), atol=1e-4
     )
+
+
+def test_unwrap_matmul_cumsum_matches_numpy(monkeypatch):
+    """The MXU cumsum-as-triangular-matmul path is exact vs np.unwrap."""
+    monkeypatch.setenv("THZ_FFT_IMPL", "matmul")
+    from thz_image_explorer_tpu.ops.fourier import unwrap
+
+    rng = np.random.default_rng(5)
+    phases = np.cumsum(rng.uniform(-2.0, 2.0, (7, 129)), axis=-1)
+    wrapped = np.angle(np.exp(1j * phases)).astype(np.float32)
+    got = np.asarray(unwrap(jnp.asarray(wrapped)))
+    expected = np.unwrap(wrapped.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
