@@ -269,7 +269,7 @@ def bench_deconv(cube):
         cube.dy,
     )
     if geo is None:
-        return None, None
+        return None
 
     _sum = jax.jit(jnp.sum)
 

@@ -368,3 +368,28 @@ def test_pseudo_roi_axis_mismatch_warns(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="thz_image_explorer_tpu"):
         ex.publish()
     assert any("skipped" in r.message for r in caplog.records)
+
+
+def test_abort_does_not_wedge_idle(tmp_path):
+    """Regression: drain() must drop pending payloads, or idle detection
+    sees a never-empty slot and join_idle blocks forever after abort."""
+    from thz_image_explorer_tpu.pipeline import ExplorerWorker, LatestWinsSlot
+
+    s = LatestWinsSlot()
+    s.put(("a", (), {}))
+    s.drain()
+    assert s.empty()
+    s.close()
+
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    w = ExplorerWorker()
+    try:
+        w.send("open_file", path)
+        w.abort()
+        assert w.join_idle(timeout=30)
+        # worker remains functional after the abort
+        w.send("open_file", path)
+        assert w.join_idle(timeout=60)
+        assert w.explorer.pipeline.output is not None
+    finally:
+        w.close()

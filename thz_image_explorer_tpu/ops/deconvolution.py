@@ -399,7 +399,13 @@ def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
         jnp.einsum("nt,bts->nbs", xt, mt, precision=_PREC),
         xt, precision=_PREC,
     )
-    imgs = (e_full - e_head - e_tail).T.reshape(-1, x, y)  # (c, X, Y)
+    # clamp at 0: the direct sum of squares this identity replaces is
+    # exactly >= 0, but f32 cancellation can round the difference
+    # negative when nearly all of a trace's band energy sits in the
+    # head/tail windows — a negative "energy" would NaN the whole pixel
+    # via sqrt(u / img) instead of only on exact zero like the reference
+    imgs = jnp.maximum(e_full - e_head - e_tail, 0.0)
+    imgs = imgs.T.reshape(-1, x, y)  # (c, X, Y)
 
     mm = lambda a, b: jnp.matmul(a, b, precision=_PREC)
 

@@ -11,6 +11,7 @@ opacities) leave the device, and the host builds the sparse instance list.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 
 import jax
@@ -138,11 +139,15 @@ def voxel_opacities(
     Measured v5e numbers in ``scripts/profile_voxel.py``.
     """
     sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
+    t = data.shape[-1]
+    # VMEM budget: double-buffered f32 in/out line blocks plus the
+    # double-buffered (t, t) bf16 banded kernel matrix
+    vmem = 2 * (2 * t * 4 * _PALLAS_LINES) + 2 * (2 * t * t)
     use_pallas = impl == "pallas" or (
         impl == "auto"
         and jax.default_backend() == "tpu"
         and not sharded
-        and data.shape[-1] * 4 * 4 * _PALLAS_LINES <= 8 * 1024 * 1024
+        and vmem <= 10 * 1024 * 1024
     )
     if use_pallas:
         kernel = _band_matrix_bf16(kernel, data.shape[-1], radius)
@@ -156,7 +161,10 @@ def voxel_opacities(
 # ------------------------------------------------------------------
 
 _PALLAS_LINES = 256  # traces per grid step; VMEM ~= 4 bufs * LINES * T * 4B
-_BAND_CACHE: dict = {}
+# bounded LRU of device-resident (t, t) bf16 band matrices — sigma/radius
+# sliders generate many distinct kernels and each matrix is ~2 MB HBM
+_BAND_CACHE: OrderedDict = OrderedDict()
+_BAND_CACHE_MAX = 8
 
 
 def _envelope_kernel(scal_ref, x_ref, w_ref, o_ref):
@@ -199,6 +207,10 @@ def _band_matrix_bf16(kernel, t: int, radius: int) -> jnp.ndarray:
         w = np.where(valid, kb[np.clip(idx, 0, kb.shape[0] - 1)], 0.0)
         w = jnp.asarray(w.astype(np.float32)).astype(jnp.bfloat16)
         _BAND_CACHE[key] = w
+        while len(_BAND_CACHE) > _BAND_CACHE_MAX:
+            _BAND_CACHE.popitem(last=False)
+    else:
+        _BAND_CACHE.move_to_end(key)
     return w
 
 

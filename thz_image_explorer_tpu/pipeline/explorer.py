@@ -412,8 +412,13 @@ class Explorer:
         self.publish()
 
     # ------------------------------------------------------- ROIs
-    def add_roi(self, uuid: str, name: str, polygon: list):
-        self.rois[uuid] = (name, [(int(x), int(y)) for x, y in polygon])
+    def add_roi(self, uuid: str, name: str, polygon: Optional[list]):
+        # polygon None = pseudo-ROI entry (loaded reference pulse)
+        coords = (
+            None if polygon is None
+            else [(int(x), int(y)) for x, y in polygon]
+        )
+        self.rois[uuid] = (name, coords)
         self.publish()
 
     def update_roi(self, uuid: str, name: str, polygon: list):

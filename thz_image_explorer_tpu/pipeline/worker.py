@@ -76,6 +76,10 @@ class LatestWinsSlot:
             return not self._payloads
 
     def drain(self) -> bool:
+        # drop the payloads too — an orphaned payload would keep empty()
+        # false forever and wedge the worker's idle detection
+        with self._py_lock:
+            self._payloads.clear()
         if self._handle is not None:
             return bool(self._lib.thz_cmd_slot_drain(self._handle))
         with self._cv:

@@ -16,8 +16,16 @@ from typing import Optional
 
 from thz_image_explorer_tpu import __version__
 
-RELEASES_URL = (
-    "https://api.github.com/repos/unibe-icelab/thz-image-explorer/releases/latest"
+# Release endpoint for THIS package (overridable for mirrors/forks).
+# Note: NOT the upstream Rust application's releases — its tarballs carry
+# no thz_image_explorer_tpu/ tree, so checking or installing from there
+# would always mis-report and always fail to install.
+import os as _os
+
+RELEASES_URL = _os.environ.get(
+    "THZ_UPDATE_RELEASES_URL",
+    "https://api.github.com/repos/unibe-icelab/thz-image-explorer-tpu/"
+    "releases/latest",
 )
 
 
@@ -114,9 +122,12 @@ def install_update(
         try:
             shutil.move(new_pkg, package_dir)
         except Exception:
-            # rollback: put the previous installation back
-            if not os.path.exists(package_dir):
-                os.replace(backup, package_dir)
+            # rollback: discard any partially-copied tree (cross-device
+            # moves degrade to copytree and can fail midway), then put
+            # the previous installation back
+            if os.path.exists(package_dir):
+                shutil.rmtree(package_dir, ignore_errors=True)
+            os.replace(backup, package_dir)
             raise
         return package_dir
     finally:

@@ -1129,8 +1129,10 @@ window.addEventListener('mousemove', e => {
 });
 
 function renameRoi(u, name) {
+  // pseudo-ROIs (loaded reference pulses) have no polygon and keep
+  // their name, as in the reference
   const r = S && S.rois && S.rois[u];
-  if (r && name) cmd('update_roi', [u, name, r.polygon]);
+  if (r && r.polygon && name) cmd('update_roi', [u, name, r.polygon]);
 }
 
 // ---- sibling navigation with arrow keys (left_panel.rs:165-275): the
