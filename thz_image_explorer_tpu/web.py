@@ -148,6 +148,7 @@ class WebApp:
                 "md": dict(ex.metadata.md),
             },
             "siblings": [_os.path.basename(s) for s in ex.sibling_files()],
+            "sibling_paths": list(ex.sibling_files()),
             "log": self.logbuf.tail(40),
             "last_warning": self.logbuf.last_warning,
             "filters": filters,
@@ -770,6 +771,7 @@ PAGE = r"""<!DOCTYPE html>
   <button class="off" onclick="cmd('open_sibling',[-1])">◀ prev</button>
   <button class="off" onclick="cmd('open_sibling',[1])">next ▶</button>
   <span id="siblings" style="font-size:11px;color:#999"></span>
+  <div id="siblist" style="font-size:11px;max-height:90px;overflow:auto"></div>
   <div id="housekeeping" style="font-size:11px;color:#8bd"></div>
   <canvas id="gauge_ts" width="90" height="90" style="display:none;background:none;border:none"></canvas>
   <canvas id="gauge_p0" width="90" height="90" style="display:none;background:none;border:none"></canvas>
@@ -975,6 +977,11 @@ function render() {
   el('timings').innerHTML = Object.entries(S.timings_ms)
     .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
   el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
+  // sibling-file table, click to open (left_panel.rs:165-275)
+  const curBase = S.file ? S.file.split('/').pop() : '';
+  el('siblist').innerHTML = S.siblings.length > 1 ? S.siblings.map((n, i) =>
+    `<div style="cursor:pointer;${n===curBase?'color:#9ecbff;font-weight:bold':''}"
+       onclick="cmd('open_file',['${escJ(S.sibling_paths[i])}'])">${escH(n)}</div>`).join('') : '';
   const hk = S.housekeeping;
   // ambient/sample conditions appear only when the file's metadata
   // carried them (hk.measured); defaults are never shown as measurements
