@@ -98,3 +98,28 @@ def test_separable_qualification():
 
     assert separable_qualifies(246, 256)  # reference default geometry
     assert not separable_qualifies(1200, 1200)
+
+
+def test_separable_grouped_matches_sequential():
+    """The (measured dead-end, kept) grouped-interleave kernel is
+    bit-compatible with the sequential production kernel."""
+    from thz_image_explorer_tpu.ops.deconvolution import _banded_matrix
+    from thz_image_explorer_tpu.ops.pallas_rl import (
+        rl_bands_separable,
+        rl_bands_separable_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    B, h2, w2 = 4, 16, 128
+    padded = jnp.asarray(rng.uniform(0.5, 2.0, (B, h2, w2)).astype(np.float32))
+    rs = jnp.asarray(np.stack([
+        _banded_matrix(rng.uniform(0.1, 0.4, 3).astype(np.float32), h2)
+        for _ in range(B)]))
+    cs = jnp.asarray(np.stack([
+        _banded_matrix(rng.uniform(0.1, 0.4, 5).astype(np.float32), w2)
+        for _ in range(B)]))
+    ni = jnp.asarray(np.array([6, 2, 0, 4], np.int32))
+    a = np.asarray(rl_bands_separable(padded, rs, cs, ni, interpret=True))
+    g = np.asarray(rl_bands_separable_grouped(
+        padded, rs, cs, ni, group=2, interpret=True))
+    np.testing.assert_allclose(a, g, rtol=1e-6, atol=1e-7)

@@ -153,6 +153,80 @@ def _sep_kernel(n_iter_ref, padded_ref, r_ref, c_ref, out_ref):
     )
 
 
+def _sep_kernel_group(n_iter_ref, padded_ref, r_ref, c_ref, out_ref,
+                      *, group: int):
+    """RL for GROUP bands per grid step, their serial chains interleaved.
+
+    MEASURED DEAD END, kept for the record: one band's RL iteration is a
+    chain of 4 tiny dependent matmuls (~2.2 us/iter vs ~0.25 us of MXU
+    compute), so interleaving independent bands' chains inside one
+    fori_loop looked like free pipelining. At the reference geometry
+    (28 bands, 248x256): group=2 36.7 -> 35.7 ms wall (~1 ms device,
+    bit-identical output), group=4 fails Mosaic's scoped-VMEM limit
+    (20.3 MB of live unrolled temps vs 16 MB). The sequential kernel
+    stays on the dispatch path; the grid apparently already overlaps
+    adjacent bands' chains enough that in-loop interleaving adds little."""
+    mm = _mm3
+
+    nis = [n_iter_ref[pl.program_id(0) * group + g] for g in range(group)]
+    n_max = nis[0]
+    for g in range(1, group):
+        n_max = jnp.maximum(n_max, nis[g])
+    padded = [padded_ref[g] for g in range(group)]
+    rs = [r_ref[g] for g in range(group)]
+    cs = [c_ref[g] for g in range(group)]
+
+    def body(i, us):
+        out = []
+        for g in range(group):
+            ustarp = mm(mm(rs[g], us[g]), cs[g].T)
+            rel = padded[g] / (ustarp + _EPS)
+            unew = us[g] * mm(mm(rs[g].T, rel), cs[g])
+            out.append(jnp.where(i < nis[g], unew, us[g]))
+        return tuple(out)
+
+    us = jax.lax.fori_loop(0, n_max, body, tuple(padded))
+    for g in range(group):
+        out_ref[g] = us[g]
+
+
+def _mm3(a, b):
+    """Hand-built bf16x3 matmul (see _sep_kernel's rationale)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+@partial(jax.jit, static_argnames=("group", "interpret"))
+def rl_bands_separable_grouped(
+    padded: jnp.ndarray,  # (B, h2, w2), B a multiple of `group`
+    rs: jnp.ndarray,
+    cs: jnp.ndarray,
+    n_iter: jnp.ndarray,
+    *,
+    group: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h2, w2 = padded.shape
+    assert b % group == 0
+    return pl.pallas_call(
+        partial(_sep_kernel_group, group=group),
+        grid=(b // group,),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, h2, w2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, h2, h2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, w2, w2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, h2, w2), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(n_iter.astype(jnp.int32), padded, rs, cs)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def rl_bands_separable(
     padded: jnp.ndarray,  # (B, h2, w2) reflect-padded band images
