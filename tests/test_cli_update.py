@@ -132,3 +132,37 @@ def test_cli_update_command_offline(capsys):
     assert main(["update"]) == 0
     out = capsys.readouterr().out
     assert "up to date" in out or "update available" in out
+
+
+def test_cli_deconvolve(tmp_path, capsys):
+    """End-to-end `deconvolve` subcommand with the real psf.npz fixture."""
+    t, cube = synthetic_scan(width=20, height=20, n_time=128)
+    scan = write_scan_thz(str(tmp_path / "s.thzimg"), t, cube, dx=1.0, dy=1.0)
+    out = str(tmp_path / "out.thz")
+    rc = main([
+        "deconvolve", scan, "--psf", "/root/reference/sample_data/psf.npz",
+        "--n-filters", "4", "--iterations", "8",
+        "--start-freq", "0.3", "--end-freq", "3.0", "--save", out,
+    ])
+    assert rc == 0
+    assert "deconvolution:" in capsys.readouterr().out
+    from thz_image_explorer_tpu.io import open_scan
+
+    cube2, img, _md = open_scan(out)
+    assert cube2.data.shape == (20, 20, 128)
+    assert np.isfinite(np.asarray(cube2.data)).all()
+
+
+def test_cli_psf_fit(tmp_path, capsys):
+    """`psf-fit` over the real knife-edge fixtures exports a loadable npz."""
+    out = str(tmp_path / "psf_out.npz")
+    rc = main([
+        "psf-fit",
+        "--x", "/root/reference/sample_data/example_beam_width/measurement_x/data/1750085285.8557956_data.thz",
+        "--y", "/root/reference/sample_data/example_beam_width/measurement_y/data/1750163177.929295_data.thz",
+        "--out", out, "--n-filters", "4",
+    ])
+    assert rc == 0
+    from thz_image_explorer_tpu.io import load_psf
+
+    assert load_psf(out).is_loaded
