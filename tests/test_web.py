@@ -147,3 +147,62 @@ def test_revert_metadata(app):
     app.command("revert_metadata", [], {})
     app.worker.join_idle()
     assert "Scratch" not in ex.metadata.md
+
+
+def _script_blocks(html):
+    import re
+
+    return re.findall(r"<script>(.*?)</script>", html, re.S)
+
+
+def _strip_js_literals(src):
+    """Remove string/template literals, regex literals (this codebase
+    only uses them as `.replace(/..../flags`), and comments so bracket
+    balance can be checked on code only."""
+    import re as _re
+
+    src = _re.sub(r"\.replace\(/(?:\\.|[^/\n])*/[a-z]*", ".replace(RE", src)
+    out, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+        elif src.startswith("//", i):
+            while i < n and src[i] != "\n":
+                i += 1
+        elif src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+@pytest.mark.parametrize("page", ["index", "psf"])
+def test_embedded_js_wellformed(page):
+    """No browser/node exists in this environment, so guard the embedded
+    frontend JS statically: every el('id')/getElementById target exists
+    in the markup, and brackets balance outside literals."""
+    import re
+
+    from thz_image_explorer_tpu import web
+
+    html = web.PAGE if page == "index" else web.PSF_PAGE
+    ids = set(re.findall(r"el\('([\w]+)'\)", html))
+    ids |= set(re.findall(r"getElementById\('([\w]+)'\)", html))
+    present = set(re.findall(r'id="([\w]+)"', html))
+    missing = sorted(i for i in ids if i not in present)
+    assert not missing, f"JS references missing element ids: {missing}"
+
+    for block in _script_blocks(html):
+        code = _strip_js_literals(block)
+        for o, c in ("()", "{}", "[]"):
+            assert code.count(o) == code.count(c), (
+                f"unbalanced {o}{c} in {page} script: "
+                f"{code.count(o)} vs {code.count(c)}"
+            )
