@@ -368,7 +368,7 @@ def _prepare_spectra(data, *, fft_len, hseg, tseg):
 
 @partial(jax.jit,
          static_argnames=("shape", "pad_r_max", "pad_c_max", "use_pallas"))
-def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
+def _gains_chunk(power, xh, xt, w2, gh, gt, prs, pcs, rs, cs, n_iter,
                  *, shape, pad_r_max, pad_c_max, use_pallas=False):
     """One dispatch covering a chunk of bands: exact per-band energy
     images via the Parseval-minus-tails identity, then a ``lax.scan`` of
@@ -391,12 +391,12 @@ def _gains_chunk(power, xh, xt, w2, mh, mt, prs, pcs, rs, cs, n_iter,
     # matrices: E = x^T G x (see _energy_matrices)
     e_head = jnp.einsum(
         "nbs,ns->nb",
-        jnp.einsum("nt,bts->nbs", xh, mh, precision=_PREC),
+        jnp.einsum("nt,bts->nbs", xh, gh, precision=_PREC),
         xh, precision=_PREC,
     )
     e_tail = jnp.einsum(
         "nbs,ns->nb",
-        jnp.einsum("nt,bts->nbs", xt, mt, precision=_PREC),
+        jnp.einsum("nt,bts->nbs", xt, gt, precision=_PREC),
         xt, precision=_PREC,
     )
     # clamp at 0: the direct sum of squares this identity replaces is
@@ -547,7 +547,7 @@ def deconvolve_cube(
         flip = geometry.use_fft_conv[:, None]
         pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
         pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
-        w2, mh, mt = _energy_matrices(geometry.taps, fft_len, n_time)
+        w2, gh, gt = _energy_matrices(geometry.taps, fft_len, n_time)
         x_dim, y_dim = data.shape[0], data.shape[1]
         prs = np.stack(
             [_reflect_pad_matrix(x_dim, int(p), pad_r_max) for p in geometry.pad_r]
@@ -573,7 +573,7 @@ def deconvolve_cube(
                 [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
             )
 
-        stacks = [pad(a) for a in (w2.T, mh, mt, prs, pcs, rs, cs,
+        stacks = [pad(a) for a in (w2.T, gh, gt, prs, pcs, rs, cs,
                                    geometry.n_iter)]
         # the bands' tap spectra for the final spectral sum, as f32 pairs
         taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1)

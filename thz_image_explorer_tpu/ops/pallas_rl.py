@@ -121,26 +121,27 @@ def separable_qualifies(h2: int, w2: int) -> bool:
     return (4 * h2 * w2 + h2 * h2 + w2 * w2) * 4 * 2 <= MAX_BAND_VMEM_BYTES
 
 
+def _mm3(a, b):
+    """Hand-built bf16x3 "f32 emulation" matmul. Mosaic's default matmul
+    is single-pass bf16 (~1e-2 rel error, measured — RL's multiplicative
+    updates amplify it) and it cannot lower Precision.HIGH, so split each
+    operand into a bf16 hi part and a bf16 residual and accumulate the
+    three significant cross terms in f32 on the MXU — the same precision
+    class as the XLA scan path's HIGH matmuls at half the passes of
+    Mosaic's HIGHEST (6)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _sep_kernel(n_iter_ref, padded_ref, r_ref, c_ref, out_ref):
     padded = padded_ref[0]
     R = r_ref[0]
     C = c_ref[0]
-    # Mosaic's default matmul is single-pass bf16 (~1e-2 rel error,
-    # measured — RL's multiplicative updates amplify it) and it cannot
-    # lower Precision.HIGH, so build bf16x3 "f32 emulation" by hand:
-    # split each operand into a bf16 hi part and a bf16 residual, and
-    # accumulate the three significant cross terms in f32 on the MXU —
-    # the same precision class as the XLA scan path's HIGH matmuls at
-    # half the passes of Mosaic's HIGHEST (6).
-    def _split(x):
-        hi = x.astype(jnp.bfloat16)
-        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(a, b):
-        ah, al = _split(a)
-        bh, bl = _split(b)
-        d = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
-        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    mm = _mm3
 
     def body(_i, u):
         # corr(u, psf) = R @ u @ C.T ; mirrored psf = R.T @ . @ C
@@ -188,16 +189,6 @@ def _sep_kernel_group(n_iter_ref, padded_ref, r_ref, c_ref, out_ref,
     us = jax.lax.fori_loop(0, n_max, body, tuple(padded))
     for g in range(group):
         out_ref[g] = us[g]
-
-
-def _mm3(a, b):
-    """Hand-built bf16x3 matmul (see _sep_kernel's rationale)."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = lambda u, v: jnp.dot(u, v, preferred_element_type=jnp.float32)
-    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 @partial(jax.jit, static_argnames=("group", "interpret"))

@@ -9,6 +9,7 @@ the check reports "unknown" instead of failing.
 from __future__ import annotations
 
 import json
+import os
 import re
 import urllib.error
 import urllib.request
@@ -20,9 +21,7 @@ from thz_image_explorer_tpu import __version__
 # Note: NOT the upstream Rust application's releases — its tarballs carry
 # no thz_image_explorer_tpu/ tree, so checking or installing from there
 # would always mis-report and always fail to install.
-import os as _os
-
-RELEASES_URL = _os.environ.get(
+RELEASES_URL = os.environ.get(
     "THZ_UPDATE_RELEASES_URL",
     "https://api.github.com/repos/unibe-icelab/thz-image-explorer-tpu/"
     "releases/latest",
@@ -82,7 +81,6 @@ def install_update(
     Returns the path of the replaced package directory. Raises on any
     error (network, malformed archive, permissions) after rolling back.
     """
-    import os
     import shutil
     import tarfile
     import tempfile
