@@ -353,9 +353,9 @@ def main():
         if dres is not None:
             extra["deconv_ms"] = round(dres["deconv_s"] * 1e3, 2)
             extra["deconv_workload"] = "25 Kaiser bands x <=500 RL iters (defaults)"
-            extra["matmul_rl_deconv_ms"] = round(dres["scan_s"] * 1e3, 2)
+            extra["matmul_rl_ms"] = round(dres["scan_s"] * 1e3, 2)
             if dres["pallas_s"] is not None:
-                extra["pallas_rl_deconv_ms"] = round(dres["pallas_s"] * 1e3, 2)
+                extra["pallas_rl_ms"] = round(dres["pallas_s"] * 1e3, 2)
             extra["combined_chain_plus_deconv_ms"] = round(
                 dres["combined_s"] * 1e3, 2)
             extra["north_star"] = "combined < 100 ms"
