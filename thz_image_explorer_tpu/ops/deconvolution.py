@@ -479,7 +479,7 @@ def deconvolve_cube(
     progress: Callable[[float], None] = lambda _f: None,
     cancelled: Callable[[], bool] = lambda: False,
     chunk_size: int = 5,
-    rl_impl: str = "auto",  # "auto" | "pallas" | "scan"
+    rl_impl: str | None = None,  # "auto" | "pallas" | "scan"
 ) -> Optional[jnp.ndarray]:
     """Run the full banked deconvolution; returns the band-summed cube or
     None when cancelled.
@@ -524,8 +524,15 @@ def deconvolve_cube(
     # RL implementation: the VMEM-resident pallas kernel on single-chip
     # TPU when the band working set fits; the SPMD-partitionable scan
     # otherwise (CPU, sharded meshes, oversized geometry). Measured on a
-    # v5e: see scripts/profile_pallas.py / BENCH extras.
+    # v5e: see scripts/profile_pallas.py / BENCH extras. THZ_RL_IMPL is
+    # the field kill switch (e.g. =scan on a backend where Mosaic
+    # misbehaves).
+    import os
+
     from thz_image_explorer_tpu.ops.pallas_rl import separable_qualifies
+
+    if rl_impl is None:
+        rl_impl = os.environ.get("THZ_RL_IMPL", "auto")
 
     use_pallas = (
         rl_impl == "pallas"

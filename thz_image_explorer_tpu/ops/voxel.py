@@ -121,7 +121,7 @@ def voxel_opacities(
     contrast,
     opacity_threshold,
     radius: int,
-    impl: str = "auto",  # "auto" | "pallas" | "xla"
+    impl: str | None = None,  # "auto" | "pallas" | "xla"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Opacity volume + dynamic threshold.
 
@@ -138,6 +138,10 @@ def voxel_opacities(
     composition is the fallback (CPU, sharded inputs, oversized blocks).
     Measured v5e numbers in ``scripts/profile_voxel.py``.
     """
+    import os
+
+    if impl is None:
+        impl = os.environ.get("THZ_VOXEL_IMPL", "auto")
     sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
     t = data.shape[-1]
     # VMEM budget: double-buffered f32 in/out line blocks plus the
