@@ -393,3 +393,44 @@ def test_abort_does_not_wedge_idle(tmp_path):
         assert w.explorer.pipeline.output is not None
     finally:
         w.close()
+
+
+def test_custom_filter_extension(tmp_path):
+    """The README's custom-filter recipe (the reference's Filter trait +
+    register_filter macro, README.MD:246-260): a decorated stage joins
+    every new pipeline in domain order and runs in the chain."""
+    from thz_image_explorer_tpu.pipeline import instantiate_filters
+    from thz_image_explorer_tpu.pipeline.stage import (
+        _REGISTRY,
+        FilterConfig,
+        FilterStage,
+        register_filter,
+    )
+
+    @register_filter
+    class DoubleGain(FilterStage):
+        def __init__(self):
+            self.gain = 2.0
+            self.active = False  # like every built-in: opt-in
+
+        def config(self):
+            return FilterConfig(name="Double", description="x2",
+                                domain=FilterDomain.TIME_AFTER_FFT)
+
+        def apply(self, cube, ctx):
+            return cube.replace(data=cube.data * self.gain)
+
+    try:
+        path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+        ex = Explorer()
+        assert "double_gain" in ex.pipeline.filters
+        ex.open_file(path)
+        base = np.asarray(ex.pipeline.output.data).copy()
+        f = ex.pipeline.filters["double_gain"]
+        f.active = True
+        ex.update_filter("double_gain")
+        np.testing.assert_allclose(
+            np.asarray(ex.pipeline.output.data), base * 2.0, rtol=1e-6
+        )
+    finally:
+        _REGISTRY.pop("double_gain", None)
