@@ -333,7 +333,15 @@ def main():
     enable_compile_cache()
 
     t, data = _make_data()
-    tpu_s, pipelined_s, cube = bench_tpu(t, data)
+    # the remote tunnelled TPU worker occasionally crashes/restarts; one
+    # retry keeps the headline metric alive through a transient fault
+    try:
+        tpu_s, pipelined_s, cube = bench_tpu(t, data)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: TPU attempt failed ({str(e)[:80]}); retrying...",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+        tpu_s, pipelined_s, cube = bench_tpu(t, data)
     cpu_s = None if args.no_cpu else bench_cpu_torch(t, data)
 
     extra = {
