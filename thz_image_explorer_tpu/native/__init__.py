@@ -71,5 +71,20 @@ def load():
         lib.thz_cmd_slot_close.argtypes = [ctypes.c_void_p]
         lib.thz_cmd_slot_drain.restype = ctypes.c_int
         lib.thz_cmd_slot_drain.argtypes = [ctypes.c_void_p]
+        lib.thz_cmd_queue_new.restype = ctypes.c_void_p
+        lib.thz_cmd_queue_free.argtypes = [ctypes.c_void_p]
+        lib.thz_cmd_queue_push.restype = ctypes.c_int
+        lib.thz_cmd_queue_push.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.thz_cmd_queue_pop.restype = ctypes.c_int
+        lib.thz_cmd_queue_pop.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.thz_cmd_queue_drain.restype = ctypes.c_longlong
+        lib.thz_cmd_queue_drain.argtypes = [ctypes.c_void_p]
+        lib.thz_cmd_queue_size.restype = ctypes.c_longlong
+        lib.thz_cmd_queue_size.argtypes = [ctypes.c_void_p]
+        lib.thz_cmd_queue_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib

@@ -189,3 +189,138 @@ int thz_cmd_slot_drain(void *p) {
     pthread_mutex_unlock(&s->mu);
     return had;
 }
+
+/* ------------------------------------------------------------------ */
+/* Unbounded MPSC command FIFO                                         */
+/* ------------------------------------------------------------------ */
+
+/* The reference routes ROI operations over a *dedicated unbounded*
+ * channel (config.rs:296-299, main.rs:299-302) so that one-shot commands
+ * can never be coalesced away; only lossy ConfigCommands ride the
+ * bounded(1) slot above. This queue is the unbounded lane: a condvar'd
+ * FIFO of u64 sequence numbers (payloads stay on the Python side, keyed
+ * by seq). Per-key latest-wins coalescing is implemented above it by
+ * replacing the payload of an already-queued seq in place, which keeps
+ * losslessness for distinct commands while sliders still coalesce. */
+
+typedef struct thz_q_node {
+    uint64_t seq;
+    struct thz_q_node *next;
+} thz_q_node;
+
+typedef struct {
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    thz_q_node *head, *tail;
+    size_t size;
+    int closed;
+} thz_cmd_queue;
+
+void *thz_cmd_queue_new(void) {
+    thz_cmd_queue *q = (thz_cmd_queue *)calloc(1, sizeof(thz_cmd_queue));
+    if (!q) return NULL;
+    pthread_mutex_init(&q->mu, NULL);
+    pthread_cond_init(&q->cv, NULL);
+    return q;
+}
+
+static void thz_cmd_queue_clear_locked(thz_cmd_queue *q) {
+    thz_q_node *n = q->head;
+    while (n) {
+        thz_q_node *next = n->next;
+        free(n);
+        n = next;
+    }
+    q->head = q->tail = NULL;
+    q->size = 0;
+}
+
+void thz_cmd_queue_free(void *p) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    pthread_mutex_lock(&q->mu);
+    thz_cmd_queue_clear_locked(q);
+    pthread_mutex_unlock(&q->mu);
+    pthread_mutex_destroy(&q->mu);
+    pthread_cond_destroy(&q->cv);
+    free(q);
+}
+
+/* Append a seq; returns 0 on allocation failure, 1 otherwise. */
+int thz_cmd_queue_push(void *p, uint64_t seq) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    thz_q_node *n = (thz_q_node *)malloc(sizeof(thz_q_node));
+    if (!n) return 0;
+    n->seq = seq;
+    n->next = NULL;
+    pthread_mutex_lock(&q->mu);
+    if (q->tail)
+        q->tail->next = n;
+    else
+        q->head = n;
+    q->tail = n;
+    q->size++;
+    pthread_cond_signal(&q->cv);
+    pthread_mutex_unlock(&q->mu);
+    return 1;
+}
+
+/* Blocking pop with timeout in ms; 1 + *seq on success, 0 on timeout,
+ * -1 when closed and empty. timeout_ms < 0 waits forever. */
+int thz_cmd_queue_pop(void *p, long timeout_ms, uint64_t *seq) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    pthread_mutex_lock(&q->mu);
+    while (!q->head && !q->closed) {
+        if (timeout_ms < 0) {
+            pthread_cond_wait(&q->cv, &q->mu);
+        } else {
+            struct timespec ts;
+            clock_gettime(CLOCK_REALTIME, &ts);
+            ts.tv_sec += timeout_ms / 1000;
+            ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
+            if (ts.tv_nsec >= 1000000000L) { ts.tv_sec++; ts.tv_nsec -= 1000000000L; }
+            if (pthread_cond_timedwait(&q->cv, &q->mu, &ts) != 0) {
+                int closed = q->closed && !q->head;
+                pthread_mutex_unlock(&q->mu);
+                return closed ? -1 : 0;
+            }
+        }
+    }
+    if (!q->head) { /* closed and empty */
+        pthread_mutex_unlock(&q->mu);
+        return -1;
+    }
+    thz_q_node *n = q->head;
+    *seq = n->seq;
+    q->head = n->next;
+    if (!q->head) q->tail = NULL;
+    q->size--;
+    free(n);
+    pthread_mutex_unlock(&q->mu);
+    return 1;
+}
+
+/* Drop every queued seq (abort drain); returns how many were dropped. */
+long long thz_cmd_queue_drain(void *p) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    pthread_mutex_lock(&q->mu);
+    long long had = (long long)q->size;
+    thz_cmd_queue_clear_locked(q);
+    pthread_mutex_unlock(&q->mu);
+    return had;
+}
+
+long long thz_cmd_queue_size(void *p) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    pthread_mutex_lock(&q->mu);
+    long long n = (long long)q->size;
+    pthread_mutex_unlock(&q->mu);
+    return n;
+}
+
+void thz_cmd_queue_close(void *p) {
+    thz_cmd_queue *q = (thz_cmd_queue *)p;
+    pthread_mutex_lock(&q->mu);
+    q->closed = 1;
+    pthread_cond_broadcast(&q->cv);
+    pthread_mutex_unlock(&q->mu);
+}

@@ -14,4 +14,4 @@ from thz_image_explorer_tpu.pipeline.stage import (  # noqa: F401
 from thz_image_explorer_tpu.pipeline import filters as _builtin_filters  # noqa: F401
 from thz_image_explorer_tpu.pipeline.executor import Pipeline, PipelineConfig  # noqa: F401
 from thz_image_explorer_tpu.pipeline.explorer import Explorer, PlotData  # noqa: F401
-from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker, LatestWinsSlot  # noqa: F401
+from thz_image_explorer_tpu.pipeline.worker import CommandQueue, ExplorerWorker  # noqa: F401

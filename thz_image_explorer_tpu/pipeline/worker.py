@@ -1,95 +1,171 @@
-"""Asynchronous pipeline worker with latest-wins command coalescing.
+"""Asynchronous pipeline worker with two-lane command routing.
 
 Host-threading equivalent of the reference's two-thread architecture: the
-GUI thread sends ``ConfigCommand``s over a bounded(1) crossbeam channel
-with drop-oldest semantics (``config.rs:41-51``) to ``main_thread``
-(``data_thread.rs:148``), which owns all compute. Here a worker thread
-owns the :class:`Explorer`; callers enqueue commands through a
-single-slot latest-wins queue backed by the native C slot
-(``native/thznative.c``), falling back to a pure-Python equivalent.
+GUI thread sends ``ConfigCommand``s to ``main_thread``
+(``data_thread.rs:148``), which owns all compute. The reference uses TWO
+channels with different loss semantics (``config.rs:41-51`` vs
+``config.rs:296-299``):
+
+* a **bounded(1) latest-wins** channel for config commands — a newer
+  slider value replaces a stale pending one;
+* a **dedicated unbounded** channel for ROI operations, consumed
+  losslessly (``gui/left_panel.rs:111-120``), precisely so that one-shot
+  commands can never be coalesced away.
+
+Here both lanes live in ONE native FIFO (``thz_cmd_queue`` in
+``native/thznative.c``) with **per-key coalescing** layered on top: a
+command with a coalescing key (slider moves, pixel clicks, per-filter
+updates) replaces any still-queued command with the same key *in place*
+(keeping its queue position), while one-shot commands (ROI add/delete,
+open/save, Apply) get unique keys and are never dropped. This is a strict
+superset of the reference's split — distinct commands are lossless AND a
+slider drag coalesces against itself only, never against an unrelated
+pending command (the reference's bounded(1) channel can drop a *different*
+command type; see ``send_latest_config``'s drop-oldest).
 
 Abort semantics follow the reference: a raised abort flag cancels the
-in-flight stage and drains the pending command
-(``data_thread.rs:163-172``).
+in-flight stage and drains pending commands (``data_thread.rs:163-172``).
 """
 
 from __future__ import annotations
 
 import ctypes
 import threading
+from collections import deque
 from typing import Any, Callable, Optional
 
 from thz_image_explorer_tpu import native
 from thz_image_explorer_tpu.pipeline.explorer import Explorer
 
+#: Explorer methods that coalesce per method name — continuous controls
+#: where only the latest value matters (the reference's latest-wins set,
+#: ``config.rs:58-164`` ConfigCommand variants driven by sliders/toggles).
+COALESCE_BY_METHOD = frozenset(
+    {
+        "set_fft_window_low",
+        "set_fft_window_high",
+        "set_fft_window_type",
+        "set_fft_log_plot",
+        "set_avg_in_fourier_space",
+        "set_fft_resolution",
+        "set_downscaling",
+        "set_selected_pixel",
+        "set_reference",
+        "set_sample",
+        "set_material_thickness",
+        "update_material_calculation",
+        "set_3d_contrast",
+        "set_kernel_sigma",
+        "set_kernel_radius",
+        "set_opacity_threshold",
+        "publish",
+    }
+)
 
-class LatestWinsSlot:
-    """Single-command slot: putting replaces any pending command."""
+#: Explorer methods that coalesce per (method, first positional arg) —
+#: per-filter parameter drags (``UpdateFilter(uuid)`` spam).
+COALESCE_BY_METHOD_AND_ARG = frozenset(
+    {"update_filter", "set_filter_active"}
+)
+
+
+def coalesce_key(method: str, args: tuple) -> Optional[tuple]:
+    """Coalescing key for a command, or None for lossless one-shots."""
+    if method in COALESCE_BY_METHOD:
+        return (method,)
+    if method in COALESCE_BY_METHOD_AND_ARG:
+        return (method, args[0] if args else None)
+    return None  # open/save/ROI/apply commands are never dropped
+
+
+class CommandQueue:
+    """Unbounded FIFO with per-key latest-wins coalescing.
+
+    Payloads stay in Python, keyed by a u64 sequence number that rides the
+    native condvar'd FIFO; coalescing replaces a queued key's payload in
+    place (same seq, same queue position), so the queue length is bounded
+    by the number of *distinct* pending commands.
+    """
 
     def __init__(self):
         self._lib = native.load()
-        self._payloads: dict[int, Any] = {}
-        self._seq = 0
         self._py_lock = threading.Lock()
+        self._seq = 0
+        self._by_key: dict[Any, list] = {}  # key -> [seq, payload]
+        self._seq2key: dict[int, Any] = {}
         if self._lib is not None:
-            self._handle = self._lib.thz_cmd_slot_new()
+            self._handle = self._lib.thz_cmd_queue_new()
         else:
             self._handle = None
-            self._cv = threading.Condition()
-            self._pending: Optional[int] = None
+            self._cv = threading.Condition(self._py_lock)
+            self._fifo: deque[int] = deque()
             self._closed = False
 
-    def put(self, command: Any):
+    def put(self, command: Any, key: Optional[Any] = None):
+        """Enqueue; a non-None ``key`` coalesces against a queued command
+        with the same key (the newer payload wins, position kept)."""
         with self._py_lock:
+            if key is not None and key in self._by_key:
+                self._by_key[key][1] = command  # in-place: lossless for others
+                return
             self._seq += 1
             seq = self._seq
-            self._payloads.clear()  # drop-oldest
-            self._payloads[seq] = command
-        if self._handle is not None:
-            self._lib.thz_cmd_slot_put(self._handle, seq)
-        else:
-            with self._cv:
-                self._pending = seq
+            if key is None:
+                key = ("#oneshot", seq)
+            self._by_key[key] = [seq, command]
+            self._seq2key[seq] = key
+            if self._handle is not None:
+                self._lib.thz_cmd_queue_push(self._handle, seq)
+            else:
+                self._fifo.append(seq)
                 self._cv.notify()
 
     def take(self, timeout: Optional[float] = None) -> Optional[Any]:
-        """Blocking take; returns None on timeout or close."""
+        """Blocking FIFO take; returns None on timeout or close."""
         if self._handle is not None:
             seq = ctypes.c_uint64()
             ms = -1 if timeout is None else int(timeout * 1000)
-            res = self._lib.thz_cmd_slot_take(self._handle, ms, ctypes.byref(seq))
+            res = self._lib.thz_cmd_queue_pop(self._handle, ms, ctypes.byref(seq))
             if res != 1:
                 return None
             with self._py_lock:
-                return self._payloads.pop(seq.value, None)
+                key = self._seq2key.pop(seq.value, None)
+                if key is None:  # drained between pop and lookup
+                    return None
+                return self._by_key.pop(key)[1]
         with self._cv:
-            if self._pending is None and not self._closed:
+            if not self._fifo and not self._closed:
                 self._cv.wait(timeout)
-            if self._pending is None:
+            if not self._fifo:
                 return None
-            seq, self._pending = self._pending, None
-        with self._py_lock:
-            return self._payloads.pop(seq, None)
+            seq = self._fifo.popleft()
+            key = self._seq2key.pop(seq, None)
+            if key is None:
+                return None
+            return self._by_key.pop(key)[1]
 
     def empty(self) -> bool:
         with self._py_lock:
-            return not self._payloads
+            return not self._by_key
 
-    def drain(self) -> bool:
-        # drop the payloads too — an orphaned payload would keep empty()
-        # false forever and wedge the worker's idle detection
+    def drain(self) -> int:
+        """Drop every pending command (abort). The native drain runs under
+        the Python lock so a concurrent ``put`` cannot land its payload
+        between the two clears (it would orphan the payload and wedge
+        ``empty()``/idle detection forever)."""
         with self._py_lock:
-            self._payloads.clear()
-        if self._handle is not None:
-            return bool(self._lib.thz_cmd_slot_drain(self._handle))
-        with self._cv:
-            had = self._pending is not None
-            self._pending = None
+            had = len(self._by_key)
+            self._by_key.clear()
+            self._seq2key.clear()
+            if self._handle is not None:
+                self._lib.thz_cmd_queue_drain(self._handle)
+            else:
+                self._fifo.clear()
             return had
 
     def close(self):
         if self._handle is not None:
-            self._lib.thz_cmd_slot_close(self._handle)
+            self._lib.thz_cmd_queue_close(self._handle)
         else:
             with self._cv:
                 self._closed = True
@@ -101,7 +177,7 @@ class ExplorerWorker:
 
     def __init__(self, explorer: Optional[Explorer] = None):
         self.explorer = explorer or Explorer()
-        self.slot = LatestWinsSlot()
+        self.queue = CommandQueue()
         self.abort_flag = threading.Event()
         self.explorer.pipeline.cancelled = self.abort_flag.is_set
         self._on_update: list[Callable[[Explorer], None]] = []
@@ -117,17 +193,19 @@ class ExplorerWorker:
         self._thread.start()
 
     def send(self, method: str, *args, **kwargs):
-        """Enqueue a command; only the most recent pending command runs
-        (``send_latest_config``)."""
+        """Enqueue a command. Slider-type commands coalesce against a
+        pending command of the same kind; everything else (ROI ops,
+        open/save, Apply) is lossless FIFO — the reference's two-channel
+        split (``config.rs:41-51`` vs ``:296-299``)."""
         with self._idle_lock:
             self._idle.clear()
-            self.slot.put((method, args, kwargs))
+            self.queue.put((method, args, kwargs), key=coalesce_key(method, args))
 
     def abort(self):
         """Abort in-flight work and drain pending commands
         (``data_thread.rs:163-172``)."""
         self.abort_flag.set()
-        self.slot.drain()
+        self.queue.drain()
 
     def on_update(self, callback: Callable[[Explorer], None]):
         self._on_update.append(callback)
@@ -138,15 +216,15 @@ class ExplorerWorker:
 
     def close(self):
         self._stop.set()
-        self.slot.close()
+        self.queue.close()
         self._thread.join(timeout=5)
 
     def _run(self):
         while not self._stop.is_set():
-            cmd = self.slot.take(timeout=0.1)
+            cmd = self.queue.take(timeout=0.1)
             if cmd is None:
                 with self._idle_lock:
-                    if self.slot.empty():
+                    if self.queue.empty():
                         self._idle.set()
                 continue
             self._idle.clear()
@@ -162,5 +240,5 @@ class ExplorerWorker:
                 traceback.print_exc()
             finally:
                 with self._idle_lock:
-                    if self.slot.empty():
+                    if self.queue.empty():
                         self._idle.set()
