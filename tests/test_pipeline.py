@@ -480,3 +480,88 @@ def test_custom_filter_extension(tmp_path):
         )
     finally:
         _REGISTRY.pop("double_gain", None)
+
+
+def _cube_close(a, b, atol=1e-5):
+    na, nb = np.asarray(a.data), np.asarray(b.data)
+    np.testing.assert_allclose(na, nb, atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.amplitudes), np.asarray(b.amplitudes), atol=atol, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.time), np.asarray(b.time), atol=atol, rtol=1e-6
+    )
+
+
+def test_fused_matches_exact_full_chain(tmp_path):
+    """The fused interactive program (ONE dispatch) must produce the same
+    slots as per-stage dispatch, with every active filter + scaling +
+    tilt engaged (round-3 task: the product path runs the fused program
+    the bench advertises)."""
+    path, *_ = _scan_file(tmp_path, width=16, height=12, n_time=128)
+
+    def build(fused: bool):
+        ex = Explorer()
+        ex.pipeline.fused_mode = fused
+        ex.open_file(path)
+        for u in (
+            "time_band_pass_before_fft",
+            "frequency_band_pass",
+            "water_vapor_notch",
+            "time_band_pass_after_fft",
+            "tilt_compensation",
+        ):
+            ex.pipeline.filters[u].active = True
+        ex.pipeline.filters["tilt_compensation"].tilt_x = 4.0
+        ex.pipeline.filters["time_band_pass_before_fft"].high = 5.0
+        ex.pipeline.config.scale_factor = 2
+        ex.pipeline.run_from(1, fused=fused)
+        return ex
+
+    fused_ex = build(True)
+    exact_ex = build(False)
+    for i in range(len(fused_ex.pipeline.chain)):
+        a, b = fused_ex.pipeline.slots[i], exact_ex.pipeline.slots[i]
+        assert (a is None) == (b is None), fused_ex.pipeline.chain[i]
+        if a is not None:
+            _cube_close(a, b)
+    # host time mirror matches the device time axis (tilt extended it)
+    pt = fused_ex.pipeline._host_time[len(fused_ex.pipeline.chain) - 1]
+    np.testing.assert_allclose(
+        pt, np.asarray(fused_ex.pipeline.output.time), atol=1e-5
+    )
+
+
+def test_fused_identity_slots_share_objects(tmp_path):
+    """Inactive stages must not duplicate HBM in fused mode: their slot is
+    the predecessor's Python object."""
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex = Explorer()
+    assert ex.pipeline.fused_mode  # default ON
+    ex.open_file(path)
+    p = ex.pipeline
+    # all filters inactive: only fft and ifft produce new cubes
+    for i, name in enumerate(p.chain[1:], start=1):
+        if name in ("fft", "ifft"):
+            assert p.slots[i] is not p.slots[i - 1]
+        else:
+            assert p.slots[i] is p.slots[i - 1], name
+
+
+def test_fused_incremental_from_fft(tmp_path):
+    """An interactive window change re-runs fused from the fft stage and
+    leaves upstream slots untouched (incremental-recompute contract)."""
+    path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    pre = [p.slots[i] for i in range(p.fft_index)]
+    ex.set_fft_window_low(2.5)
+    for i in range(p.fft_index):
+        assert p.slots[i] is pre[i]
+    # and the result matches an exact recompute
+    exact = Explorer()
+    exact.pipeline.fused_mode = False
+    exact.open_file(path)
+    exact.set_fft_window_low(2.5)
+    _cube_close(p.output, exact.pipeline.output)

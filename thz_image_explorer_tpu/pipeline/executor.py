@@ -149,8 +149,40 @@ class _AsyncStageTimer:
                 self._q.task_done()
 
 
+class _Meta:
+    """Host-side cube geometry handed to ``fused_static`` /
+    ``fused_produces`` (duck-types the ScanCube fields they read)."""
+
+    __slots__ = ("width", "height", "dx", "dy")
+
+    def __init__(self, width, height, dx, dy):
+        self.width, self.height, self.dx, self.dy = width, height, dx, dy
+
+
 class Pipeline:
-    """Ordered stage chain with dirty-index incremental recompute."""
+    """Ordered stage chain with dirty-index incremental recompute.
+
+    Two execution modes:
+
+    * **fused** (default, interactive): the longest prefix of the dirty
+      range whose stages implement the fusion protocol is compiled into
+      ONE jit program that returns every *distinct* downstream slot cube
+      (identity stages share their predecessor's Python object, so no
+      HBM is duplicated); remaining stages (deconvolution, custom
+      extensions) run per-stage after it. This matches the reference,
+      where one ``main_thread`` pass IS the whole chain
+      (``data_thread.rs:1090-1228``) — and removes the per-stage dispatch
+      + HBM round-trips the round-2 review flagged.
+    * **exact** (per-stage; Apply / Calculate-All, or
+      ``THZ_FUSED_EXEC=0``): one dispatch per stage with blocking
+      per-stage ms — the reference's per-filter compute-time display
+      (``data_thread.rs:1107,1169-1184``).
+
+    In fused mode per-stage ms cannot be split honestly (one XLA program
+    has no observable internal stage boundaries), so the fused range's
+    total device time is recorded under ``timings["chain"]`` and the
+    per-stage entries keep their last exact-mode values.
+    """
 
     def __init__(
         self,
@@ -158,6 +190,8 @@ class Pipeline:
         *,
         record_timings: bool = True,
     ):
+        import os
+
         self.filters: dict[str, FilterStage] = (
             filters if filters is not None else instantiate_filters()
         )
@@ -174,6 +208,13 @@ class Pipeline:
         }
         self.psf = None  # models.psf.PSF, set via ApplyPSF / OpenPSF
         self.cancelled: Callable[[], bool] = lambda: False
+        #: interactive updates run the fused chain program (env kill
+        #: switch THZ_FUSED_EXEC=0 forces per-stage dispatch everywhere)
+        self.fused_mode = os.environ.get("THZ_FUSED_EXEC", "1") != "0"
+        self._fused_cache: dict = {}
+        #: host-side copy of each slot's time axis, so parameter clamping
+        #: and fused planning never pay a device->host read per update
+        self._host_time: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def index_of(self, uuid: str) -> int:
@@ -191,8 +232,9 @@ class Pipeline:
         """Load a new scan: fill slot 0, reset filters, run the chain
         (``data_thread.rs:717-720`` + ``reset_filters`` at ``:1027-1060``)."""
         self.slots = [cube] + [None] * (len(self.chain) - 1)
+        time = np.asarray(cube.time)
+        self._host_time = {0: time}
         if reset_filters:
-            time = np.asarray(cube.time)
             shape = (cube.width, cube.height, cube.n_time)
             for f in self.filters.values():
                 f.reset(time, shape)
@@ -202,6 +244,7 @@ class Pipeline:
     def run_from(
         self, start_idx: int, *, force_all: bool = False,
         block_timings: Optional[bool] = None,
+        fused: Optional[bool] = None,
     ):
         """Re-execute ``chain[start_idx:]``.
 
@@ -211,19 +254,54 @@ class Pipeline:
         ``block_timings`` controls whether per-stage timings synchronize on
         each stage's output (one device round-trip per stage — expensive
         over remote-tunnelled devices; default for the explicit
-        Calculate-All/Apply path) or resolve asynchronously via per-stage
-        completion probes in a background thread (the interactive path:
-        dispatch stays fully async, honest device-time ms appear in
-        ``self.timings`` a round-trip later — the reference's per-filter
-        ms display, ``data_thread.rs:1107,1169-1184``, refreshed by the
-        GUI's poll anyway).
+        Calculate-All/Apply path) or resolve asynchronously via completion
+        probes in a background thread (the interactive path: dispatch stays
+        fully async, honest device-time ms appear in ``self.timings`` a
+        round-trip later — the reference's per-filter ms display,
+        ``data_thread.rs:1107,1169-1184``, refreshed by the GUI's poll
+        anyway).
+
+        ``fused`` overrides the mode selection: by default interactive
+        runs (non-blocking timings) execute the fusable prefix of the
+        dirty range as ONE compiled program; Apply/Calculate-All and
+        ``THZ_FUSED_EXEC=0`` use per-stage dispatch.
         """
         if block_timings is None:
             block_timings = force_all
+        start = max(start_idx, 1)
+        run_deconvolution = True
+        if fused is None:
+            fused = self.fused_mode and not block_timings
+        if fused:
+            end, has_custom = self._fused_range_end(start)
+            inp = self.slots[start - 1]
+            usable = (
+                end - start >= 2
+                and inp is not None
+                and inp.time.shape[0] > 0
+            )
+            if usable:
+                self._run_fused(start, end)
+                run_deconvolution = not has_custom
+                start = end
+                if start >= len(self.chain):
+                    return
+        self._run_stages(
+            start,
+            force_all=force_all,
+            block_timings=block_timings,
+            run_deconvolution=run_deconvolution,
+        )
+
+    def _run_stages(
+        self, start_idx: int, *, force_all: bool,
+        block_timings: bool, run_deconvolution: bool = True,
+    ):
+        """Per-stage dispatch of ``chain[start_idx:]`` (the exact/debug
+        mode, and the tail after a fused prefix)."""
         if self.record_timings and not block_timings:
             self._timer.mark_run_start()
-        run_deconvolution = True
-        for i in range(max(start_idx, 1), len(self.chain)):
+        for i in range(start_idx, len(self.chain)):
             name = self.chain[i]
             inp = self.slots[i - 1]
             if inp is None or inp.time.shape[0] == 0:
@@ -251,7 +329,7 @@ class Pipeline:
                 if stage.active and not (
                     is_deconv and not (run_deconvolution or force_all)
                 ):
-                    stage.clamp_params(inp)
+                    stage.clamp_params(inp, time=self._host_time.get(i - 1))
                     ctx = StageContext(
                         progress=self._progress_setter(name),
                         cancelled=self.cancelled,
@@ -268,7 +346,152 @@ class Pipeline:
                     self._timer.record(name, out.data)
             if out.n_time != inp.n_time and name != "initial":
                 out = self._replan(out)
+                self._host_time[i] = np.asarray(out.time)
+            else:
+                prev_t = self._host_time.get(i - 1)
+                if prev_t is not None:
+                    self._host_time[i] = prev_t
             self.slots[i] = out
+
+    # ---------------------------------------------------- fused mode
+    def _fused_range_end(self, start: int) -> tuple[int, bool]:
+        """Longest fusable prefix of ``chain[start:]``: builtin stages,
+        fusable stages, and inactive stages (identity) are fusable; the
+        first *active non-fusable* stage (deconvolution, custom
+        extensions) ends the range. Also reports whether any custom
+        non-deconvolution stage lies in the range (the deconvolution
+        suppression bookkeeping of the exact path)."""
+        end = start
+        has_custom = False
+        while end < len(self.chain):
+            name = self.chain[end]
+            if name not in ("scaling", "fft", "ifft"):
+                stage = self.filters[name]
+                if "Deconvolution" not in stage.name:
+                    has_custom = True
+                if stage.active and not stage.fusable:
+                    break
+            end += 1
+        return end, has_custom
+
+    def _run_fused(self, start: int, end: int):
+        """Execute ``chain[start:end]`` as ONE jit-compiled program.
+
+        The program returns a list with one entry per stage: a new cube
+        where the stage produced one, ``None`` where it was identity —
+        identity slots then share their predecessor's Python object, so
+        HBM holds exactly the distinct cubes (same residency as the
+        per-stage path, minus the inter-stage dispatches)."""
+        names = tuple(self.chain[start:end])
+        inp = self.slots[start - 1]
+        time_np = self._host_time.get(start - 1)
+        if time_np is None:
+            time_np = np.asarray(inp.time)
+            self._host_time[start - 1] = time_np
+
+        # host walk: clamp params, collect statics + traced params, and
+        # mirror the time axis through the range
+        cfg = self.config
+        meta = _Meta(inp.width, inp.height, inp.dx, inp.dy)
+        host_times: list[np.ndarray] = []
+        statics: list[tuple] = []
+        actives: list[bool] = []
+        stage_params: dict[str, object] = {}
+        t_np = time_np
+        for name in names:
+            if name == "scaling":
+                s = cfg.scale_factor
+                if s > 1 and meta.width // s > 0 and meta.height // s > 0:
+                    meta = _Meta(
+                        meta.width // s,
+                        meta.height // s,
+                        None if meta.dx is None else meta.dx * s,
+                        None if meta.dy is None else meta.dy * s,
+                    )
+                statics.append(())
+                actives.append(True)
+            elif name in ("fft", "ifft"):
+                statics.append(())
+                actives.append(True)
+            else:
+                stage = self.filters[name]
+                actives.append(bool(stage.active))
+                if stage.active:
+                    stage.clamp_params(inp, time=t_np)
+                    st = stage.fused_static(meta)
+                    statics.append(st)
+                    stage_params[name] = stage.traced_params()
+                    t_np = stage.host_time_out(t_np, st)
+                else:
+                    statics.append(())
+            host_times.append(t_np)
+
+        key = (
+            names,
+            tuple(actives),
+            tuple(statics),
+            cfg.fft_window_type,
+            int(cfg.scale_factor),
+            bool(cfg.avg_in_fourier_space),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = self._build_fused(
+                names,
+                tuple(actives),
+                tuple(statics),
+                cfg.fft_window_type,
+                int(cfg.scale_factor),
+                bool(cfg.avg_in_fourier_space),
+            )
+            self._fused_cache[key] = fn
+
+        if self.record_timings:
+            self._timer.mark_run_start()
+        outs = fn(
+            inp,
+            np.float32(cfg.fft_window[0]),
+            np.float32(cfg.fft_window[1]),
+            stage_params,
+        )
+        last = None
+        for off, out in enumerate(outs):
+            i = start + off
+            self.slots[i] = self.slots[i - 1] if out is None else out
+            self._host_time[i] = host_times[off]
+            if out is not None:
+                last = out
+        if self.record_timings and last is not None:
+            # one program = one honest device-time number; per-stage ms
+            # keep their last exact-mode values (class docstring)
+            self._timer.record("chain", last.data)
+
+    def _build_fused(self, names, actives, statics, window_type, scale, avg_flag):
+        """Build + jit the fused chain program for one static
+        configuration. ``fused_apply`` bodies must read parameters only
+        from the traced ``stage_params`` dict (stage.py protocol)."""
+        filters = self.filters
+
+        def fn(cube: ScanCube, window_low, window_high, stage_params):
+            outs = []
+            for name, active, static in zip(names, actives, statics):
+                prev = cube
+                if name == "scaling":
+                    cube = scale_cube(cube, scale)
+                elif name == "fft":
+                    cube = forward_fft(cube, window_type, window_low, window_high)
+                elif name == "ifft":
+                    cube = inverse_fft(cube, avg_flag)
+                elif active:
+                    cube = filters[name].fused_apply(
+                        cube, stage_params[name], static
+                    )
+                if cube is not prev and cube.n_time != prev.n_time:
+                    cube = self._replan(cube)
+                outs.append(None if cube is prev else cube)
+            return outs
+
+        return jax.jit(fn)
 
     def _progress_setter(self, uuid: str):
         def setter(value):

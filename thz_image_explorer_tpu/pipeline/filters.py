@@ -35,6 +35,8 @@ class TiltCompensation(FilterStage):
     (``tilt_compensation.rs:97-226``). Inactive by default like every
     toggleable filter at startup."""
 
+    fusable = True
+
     def __init__(self):
         self.tilt_x = 0.0  # degrees, range ±15
         self.tilt_y = 0.0
@@ -50,12 +52,56 @@ class TiltCompensation(FilterStage):
     def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
         return tilt_compensate(cube, self.tilt_x, self.tilt_y)
 
+    # -- fusion protocol ---------------------------------------------
+    def traced_params(self):
+        return (np.float32(self.tilt_x), np.float32(self.tilt_y))
+
+    def fused_static(self, cube: ScanCube):
+        from thz_image_explorer_tpu.ops.tilt import extension_steps
+
+        if cube.dx is None or cube.dy is None:
+            return (None,)
+        return (
+            extension_steps(
+                cube.width, cube.height, cube.dx, cube.dy,
+                self.tilt_x, self.tilt_y,
+            ),
+        )
+
+    def fused_produces(self, cube: ScanCube) -> bool:
+        return cube.dx is not None and cube.dy is not None
+
+    def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
+        from thz_image_explorer_tpu.ops.tilt import _tilt_kernel
+
+        (num_steps,) = static
+        if num_steps is None:  # dx/dy unknown: no-op (tilt_compensation.rs:111)
+            return cube
+        data, new_time = _tilt_kernel(
+            cube.data, cube.time, params[0], params[1],
+            np.float32(cube.dx), np.float32(cube.dy), num_steps,
+        )
+        return cube.replace(data=data, time=new_time)
+
+    def host_time_out(self, time_np: np.ndarray, static) -> np.ndarray:
+        from thz_image_explorer_tpu.ops.tilt import DT_PS
+
+        (num_steps,) = static
+        if not num_steps:
+            return time_np
+        ext = num_steps * DT_PS
+        first, last = float(time_np[0]), float(time_np[-1])
+        front = np.linspace(first - ext, first - DT_PS, num_steps)
+        back = np.linspace(last + DT_PS, last + ext, num_steps)
+        return np.concatenate([front, time_np, back]).astype(time_np.dtype)
+
 
 class _TimeBandPass(FilterStage):
     """Shared TD band-pass behavior (zero outside [low, high] ps with
     adapted-Blackman edges; ``band_pass_td_before_fft.rs:124-182``)."""
 
     default_window_width = 2.0
+    fusable = True
 
     def __init__(self):
         self.low = 0.0
@@ -68,11 +114,12 @@ class _TimeBandPass(FilterStage):
         self.low = float(time[0]) if len(time) else 0.0
         self.high = float(time[-1]) if len(time) else 0.0
 
-    def clamp_params(self, cube: ScanCube) -> None:
+    def clamp_params(self, cube: ScanCube, time=None) -> None:
         # clamp persistently like the reference filter does
         # (band_pass_td_before_fft.rs:134-138) — but outside apply(), which
         # must stay pure (stage.py: FilterStage.clamp_params)
-        time = np.asarray(cube.time)
+        if time is None:
+            time = np.asarray(cube.time)
         if len(time):
             self.low = max(self.low, float(time[0]))
             self.high = min(self.high, float(time[-1]))
@@ -82,6 +129,20 @@ class _TimeBandPass(FilterStage):
             cube.data, cube.time, self.low, self.high, self.window_width
         )
         return cube.replace(data=data)
+
+    # -- fusion protocol ---------------------------------------------
+    def traced_params(self):
+        return (
+            np.float32(self.low),
+            np.float32(self.high),
+            np.float32(self.window_width),
+        )
+
+    def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
+        low, high, width = params
+        return cube.replace(
+            data=bp.td_bandpass(cube.data, cube.time, low, high, width)
+        )
 
 
 @register_filter
@@ -113,6 +174,8 @@ class FrequencyBandPass(FilterStage):
     """FD band-pass (``band_pass_fd.rs``): defaults 0.2–5.0 THz, window
     width 0.1; complex spectrum + amplitudes masked, phases untouched."""
 
+    fusable = True
+
     def __init__(self):
         self.low = 0.2
         self.high = 5.0
@@ -133,12 +196,29 @@ class FrequencyBandPass(FilterStage):
         )
         return cube.replace(fft=fft, amplitudes=amplitudes)
 
+    # -- fusion protocol ---------------------------------------------
+    def traced_params(self):
+        return (
+            np.float32(self.low),
+            np.float32(self.high),
+            np.float32(self.window_width),
+        )
+
+    def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
+        fft, amplitudes = bp.fd_bandpass(
+            cube.fft, cube.amplitudes, cube.freq, params[0], params[1],
+            params[2],
+        )
+        return cube.replace(fft=fft, amplitudes=amplitudes)
+
 
 @register_filter
 class WaterVaporNotch(FilterStage):
     """Comb of notches at atmospheric water-vapor lines. The reference
     only overlays these lines on plots (``center_panel.rs:477-485``);
     BASELINE.json's north star asks for them as a frequency-domain filter."""
+
+    fusable = True
 
     def __init__(self):
         self.notch_width = 0.02  # THz half-width per line
@@ -160,6 +240,17 @@ class WaterVaporNotch(FilterStage):
         fft, amplitudes = bp.water_notch(
             cube.fft, cube.amplitudes, cube.freq, self._lines,
             self.notch_width, self.depth,
+        )
+        return cube.replace(fft=fft, amplitudes=amplitudes)
+
+    # -- fusion protocol ---------------------------------------------
+    def traced_params(self):
+        return (np.float32(self.notch_width), np.float32(self.depth), self._lines)
+
+    def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
+        width, depth, lines = params
+        fft, amplitudes = bp.water_notch(
+            cube.fft, cube.amplitudes, cube.freq, lines, width, depth
         )
         return cube.replace(fft=fft, amplitudes=amplitudes)
 

@@ -66,12 +66,45 @@ class FilterStage:
     uuid: str = ""
     #: inactive stages pass their input through
     active: bool = True
-    #: True when apply() is a single jit-compatible pure function of
-    #: (cube, params) — such stages can be fused into one chain program
+    #: True when the stage implements the fusion protocol below — such
+    #: stages are compiled into ONE chain program with the fft/ifft by the
+    #: executor's fused interactive mode (matching the reference, where the
+    #: whole chain is likewise one pass of ``main_thread``,
+    #: ``data_thread.rs:1090-1228``)
     fusable: bool = False
 
     def config(self) -> FilterConfig:
         raise NotImplementedError
+
+    # -- fusion protocol (fusable stages only) -----------------------
+    def traced_params(self):
+        """Pytree of traced parameter leaves for :meth:`fused_apply`.
+        Changing these never recompiles the fused program."""
+        return ()
+
+    def fused_static(self, cube: ScanCube):
+        """Hashable statics baked into the fused program (part of its
+        compile-cache key), derived from parameters and/or the input
+        cube's geometry — e.g. the tilt extension step count."""
+        return ()
+
+    def fused_produces(self, cube: ScanCube) -> bool:
+        """Whether :meth:`fused_apply` returns a NEW cube for this input
+        (vs the identity pass-through object). Must be decidable on host
+        from statics, and must match the traced behavior exactly."""
+        return True
+
+    def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
+        """Pure traced stage body: must depend only on ``cube``,
+        ``params`` (the leaves from :meth:`traced_params`) and ``static``
+        (from :meth:`fused_static`) — never on mutable ``self`` state."""
+        raise NotImplementedError
+
+    def host_time_out(self, time_np: np.ndarray, static) -> np.ndarray:
+        """Host-side mirror of the stage's effect on the time axis (only
+        tilt changes it). Lets the executor track per-slot time axes
+        without a device->host read per update."""
+        return time_np
 
     def reset(self, time: np.ndarray, shape: tuple[int, ...]) -> None:
         """Called when a new scan is loaded (``data_thread.rs:1027-1060``)."""
@@ -80,13 +113,16 @@ class FilterStage:
         """Update host-side preview caches for the UI (the reference's
         ``#[static_field]`` copy-back dance, ``data_thread.rs:1322-1334``)."""
 
-    def clamp_params(self, cube: ScanCube) -> None:
+    def clamp_params(self, cube: ScanCube, time: Optional[np.ndarray] = None) -> None:
         """The one sanctioned parameter mutation point: called by the
         executor with the stage's *input* cube immediately before
         ``apply``, so range-dependent params can clamp persistently (the
         reference clamps inside ``filter`` via ``&mut self``, e.g.
         ``band_pass_td_before_fft.rs:134-138`` — here it lives outside
-        ``apply`` to keep apply pure and chain re-runs deterministic)."""
+        ``apply`` to keep apply pure and chain re-runs deterministic).
+        ``time`` is the executor's host-cached copy of ``cube.time`` —
+        use it instead of ``np.asarray(cube.time)``, which would pay a
+        device->host round-trip per interactive update."""
 
     def apply(self, cube: ScanCube, context: "StageContext") -> ScanCube:
         raise NotImplementedError
