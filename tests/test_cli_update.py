@@ -149,7 +149,11 @@ def test_cli_deconvolve(tmp_path, capsys):
     from thz_image_explorer_tpu.io import open_scan
 
     cube2, img, _md = open_scan(out)
-    assert cube2.data.shape == (20, 20, 128)
+    # the saved FILE holds the true 20x20 scan (bucket padding cropped on
+    # save); reopening bucket-pads the device grid but keeps valid_wh
+    assert img.shape == (20, 20)
+    assert tuple(np.asarray(cube2.valid_wh)) == (20, 20)
+    assert cube2.data.shape[2] == 128
     assert np.isfinite(np.asarray(cube2.data)).all()
 
 

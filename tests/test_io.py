@@ -30,10 +30,16 @@ def test_scan_roundtrip(tmp_path):
     t, cube = synthetic_scan(width=8, height=6, n_time=64)
     path = write_scan_thz(str(tmp_path / "scan.thzimg"), t, cube, dx=0.25, dy=0.75)
     loaded, img, md = open_scan(path)
-    assert loaded.width == 8 and loaded.height == 6 and loaded.n_time == 64
+    # the device grid is bucket-padded (16 quantum); the valid region and
+    # the returned image keep the true scan size
+    assert tuple(np.asarray(loaded.valid_wh)) == (8, 6)
+    assert loaded.width == 16 and loaded.height == 16 and loaded.n_time == 64
+    assert img.shape == (8, 6)
     assert loaded.dx == 0.25 and loaded.dy == 0.75
     # DC offset subtracted: first sample of every trace is 0
     np.testing.assert_allclose(np.asarray(loaded.data)[:, :, 0], 0.0, atol=1e-6)
+    # padded pixels are zero
+    np.testing.assert_allclose(np.asarray(loaded.data)[8:, :, :], 0.0, atol=0)
     # intensity = sum of squares of DC-corrected data
     expected_img = ((cube - cube[:, :, :1]) ** 2).sum(axis=-1)
     np.testing.assert_allclose(img, expected_img, rtol=1e-4)

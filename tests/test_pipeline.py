@@ -191,10 +191,13 @@ def test_scaling_and_image_upscale(tmp_path):
     ex.open_file(path)
     ex.set_downscaling(2)
     out = ex.pipeline.output
-    assert out.width == 8 and out.height == 6 and out.scaling == 2
-    assert ex.image.shape == (16, 12)  # block-upscaled for display
+    # valid region halves; the device grid is the halved bucket grid
+    assert tuple(np.asarray(out.valid_wh)) == (8, 6)
+    assert ex.pipeline.valid_for(out) == (8, 6)
+    assert out.scaling == 2
+    assert ex.image.shape == (16, 12)  # block-upscaled + cropped for display
     ex.set_downscaling(1)
-    assert ex.pipeline.output.width == 16
+    assert tuple(np.asarray(ex.pipeline.output.valid_wh)) == (16, 12)
 
 
 def test_window_change_reruns_fft(tmp_path):

@@ -67,6 +67,14 @@ class ScanCube:
     avg_fft         (F,)    c64  pixel-mean complex spectrum
     avg_signal_fft  (F,)    f32  pixel-mean amplitude
     avg_phase_fft   (F,)    f32  pixel-mean unwrapped phase
+    valid_wh        (2,)    i32  valid (width, height): the loader pads the
+                                 pixel grid up to a shape bucket so novel
+                                 scan sizes reuse compiled programs
+                                 (SURVEY §7 "bucketed/padded recompile
+                                 strategy"); padded pixels are zero and
+                                 every cross-pixel reduction masks to the
+                                 valid region. TRACED (a leaf), so cubes of
+                                 different valid sizes share programs.
 
     Static fields (pytree aux data — changing them recompiles stages):
 
@@ -85,6 +93,7 @@ class ScanCube:
     avg_fft: jax.Array
     avg_signal_fft: jax.Array
     avg_phase_fft: jax.Array
+    valid_wh: jax.Array = None  # (2,) i32; None only transiently pre-init
 
     dx: Optional[float] = static_field(default=None)
     dy: Optional[float] = static_field(default=None)
@@ -133,6 +142,24 @@ def frequency_axis(time) -> jnp.ndarray:
     return jnp.asarray(np.arange(n // 2 + 1, dtype=np.float32) / rng)
 
 
+def pixel_mask(shape2: tuple[int, int], valid_wh) -> jnp.ndarray:
+    """(X, Y) f32 mask of the valid (unpadded) pixel region."""
+    w = jnp.arange(shape2[0], dtype=jnp.int32)[:, None] < valid_wh[0]
+    h = jnp.arange(shape2[1], dtype=jnp.int32)[None, :] < valid_wh[1]
+    return (w & h).astype(jnp.float32)
+
+
+def masked_pixel_mean(x: jnp.ndarray, valid_wh) -> jnp.ndarray:
+    """Mean over the pixel axes (0, 1) restricted to the valid region —
+    exact on bucket-padded cubes (padded pixels are zero but must not
+    dilute the denominator). When the cube is sharded this is the ICI
+    ``psum`` of the pipeline."""
+    m = pixel_mask(x.shape[:2], valid_wh).astype(x.dtype)
+    count = jnp.maximum(valid_wh[0] * valid_wh[1], 1).astype(x.dtype)
+    extra = (1,) * (x.ndim - 2)
+    return jnp.sum(x * m.reshape(m.shape + extra), axis=(0, 1)) / count
+
+
 def make_cube(
     time,
     data,
@@ -141,11 +168,13 @@ def make_cube(
     x_min: Optional[float] = None,
     y_min: Optional[float] = None,
     scaling: int = 1,
+    valid_wh: Optional[tuple[int, int]] = None,
 ) -> ScanCube:
     """Build a ScanCube from a time axis and a raw (X, Y, T) array.
 
     Spectral fields are allocated zero-filled at the load-time frequency
-    resolution, mirroring ``io.rs:626-628``.
+    resolution, mirroring ``io.rs:626-628``. ``valid_wh`` marks the valid
+    pixel region of a bucket-padded grid (defaults to the full grid).
     """
     time = jnp.asarray(time, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
@@ -154,6 +183,8 @@ def make_cube(
     freq = frequency_axis(time)
     nf = freq.shape[0]
     x, y = data.shape[0], data.shape[1]
+    if valid_wh is None:
+        valid_wh = (x, y)
     zeros = lambda shape, dt: device_zeros(shape=shape, dtype=dt)
     return ScanCube(
         time=time,
@@ -166,6 +197,7 @@ def make_cube(
         avg_fft=zeros((nf,), np.complex64),
         avg_signal_fft=zeros((nf,), np.float32),
         avg_phase_fft=zeros((nf,), np.float32),
+        valid_wh=jnp.asarray(np.asarray(valid_wh, np.int32)),
         dx=dx,
         dy=dy,
         x_min=x_min,

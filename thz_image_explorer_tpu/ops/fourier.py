@@ -127,10 +127,14 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
       (``math_tools.rs:442-470``);
     * per-pixel c2r with 1/N normalization (``math_tools.rs:545-569``).
     """
+    from thz_image_explorer_tpu.data import masked_pixel_mean
+
     n_time = cube.time.shape[0]
-    avg_fft = jnp.mean(cube.fft, axis=(0, 1))
-    avg_signal_fft = jnp.mean(cube.amplitudes, axis=(0, 1))
-    avg_phase_fft = jnp.mean(cube.phases, axis=(0, 1))
+    # means restricted to the valid region of a bucket-padded grid
+    # (padded pixels are zero; they must not dilute the denominator)
+    avg_fft = masked_pixel_mean(cube.fft, cube.valid_wh)
+    avg_signal_fft = masked_pixel_mean(cube.amplitudes, cube.valid_wh)
+    avg_phase_fft = masked_pixel_mean(cube.phases, cube.valid_wh)
 
     avg_data = cube.avg_data
     if avg_in_fourier_space:

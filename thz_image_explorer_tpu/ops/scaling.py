@@ -42,6 +42,9 @@ def _scale_impl(cube: ScanCube, scale: int) -> ScanCube:
         amplitudes=_block_mean(cube.amplitudes, scale),
         phases=_block_mean(cube.phases, scale),
         fft=_block_mean(cube.fft, scale),
+        # valid region scales with the grid (blocks straddling the valid
+        # boundary land in the discarded region, like the reference's crop)
+        valid_wh=jnp.maximum(cube.valid_wh // scale, 1),
         dx=dx,
         dy=dy,
         scaling=scale,

@@ -65,9 +65,12 @@ def _dynamic_threshold(flat: jnp.ndarray) -> jnp.ndarray:
     def refine(lo, hi):
         edges = lo + (hi - lo) * jnp.arange(65, dtype=jnp.float32) / 64.0
         c = counts_ge(edges)
-        # largest edge index whose count is still <= MAX_INSTANCES
+        # smallest edge whose count is still <= MAX_INSTANCES; if NO edge
+        # satisfies the cap (pathological mass above the top edge), fall
+        # back to the TOP edge — the cap may be exceeded only by ties at
+        # the maximum, never by a silent fall-through to the low edge
         ok = c <= MAX_INSTANCES
-        idx = jnp.argmax(ok)  # edges ascend -> counts descend; first ok
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), 64)
         return edges[idx], edges[jnp.maximum(idx, 1) - 1]
 
     e1, lo1 = refine(jnp.float32(0.0), jnp.float32(1.0))
@@ -263,6 +266,7 @@ def extract_instances(
     scaling: int,
     original_dims: tuple[int, int, int],
     *,
+    valid_grid: tuple[int, int] | None = None,
     opacity_threshold: float = 0.1,
     contrast: float = 2.0,
     kernel_sigma: float = 3.0,
@@ -274,7 +278,11 @@ def extract_instances(
     Geometry (spacing computed from the *original* dims so downscaled data
     keeps the plot size, ``threed_plot.rs:156-162``; z depth scaled by the
     round-trip time-of-flight ``threed_plot.rs:153-154``); jet colors with
-    the opacity re-normalized above the dynamic threshold.
+    the opacity re-normalized above the dynamic threshold. ``valid_grid``
+    restricts extraction to the valid region of a bucket-padded grid
+    (``original_dims`` are then the true pre-scaling scan dims); the
+    device program still runs on the padded grid so it is shared across
+    scan sizes — only the host-side instance harvest filters.
     """
     kernel = jnp.asarray(gaussian_kernel1d(kernel_sigma, kernel_radius))
     opac, thr = voxel_opacities(
@@ -285,6 +293,9 @@ def extract_instances(
     thr = float(thr)
 
     gx, gy, gz = opac.shape
+    if valid_grid is not None:
+        gx, gy = min(gx, valid_grid[0]), min(gy, valid_grid[1])
+        opac = opac[:gx, :gy]
     ox, oy, oz = original_dims
     cube_width = cube_height = BASE_CUBE_SIZE
     cube_depth = BASE_CUBE_SIZE / (time_span * C_M_PER_S / 1.0e9 * 2.0)

@@ -50,6 +50,7 @@ def cube_sharding(mesh: Mesh) -> dict[str, NamedSharding]:
         "avg_fft": rep1,
         "avg_signal_fft": rep1,
         "avg_phase_fft": rep1,
+        "valid_wh": rep1,
     }
 
 

@@ -215,6 +215,15 @@ class Pipeline:
         #: host-side copy of each slot's time axis, so parameter clamping
         #: and fused planning never pay a device->host read per update
         self._host_time: dict[int, np.ndarray] = {}
+        #: host copy of slot 0's valid (width, height) when the loader
+        #: bucket-padded the grid (None = full grid valid)
+        self.valid_wh0: Optional[tuple[int, int]] = None
+        #: user-visible busy phase: "compiling" while a first-time program
+        #: for this shape/config is being built (the slow part over a
+        #: remote compile service), else None — the web UI shows it so a
+        #: first open reads as compile progress, not a hang
+        self.phase: Optional[str] = None
+        self._dispatched: set = set()
 
     # ------------------------------------------------------------------
     def index_of(self, uuid: str) -> int:
@@ -228,12 +237,24 @@ class Pipeline:
     def output(self) -> Optional[ScanCube]:
         return self.slots[-1]
 
-    def set_input(self, cube: ScanCube, *, reset_filters: bool = True):
+    def set_input(
+        self,
+        cube: ScanCube,
+        *,
+        reset_filters: bool = True,
+        valid_wh: Optional[tuple[int, int]] = None,
+    ):
         """Load a new scan: fill slot 0, reset filters, run the chain
-        (``data_thread.rs:717-720`` + ``reset_filters`` at ``:1027-1060``)."""
+        (``data_thread.rs:717-720`` + ``reset_filters`` at ``:1027-1060``).
+        ``valid_wh`` is the true scan size of a bucket-padded cube (read
+        from the device leaf when not given — one tiny transfer per load)."""
         self.slots = [cube] + [None] * (len(self.chain) - 1)
         time = np.asarray(cube.time)
         self._host_time = {0: time}
+        if valid_wh is None and cube.valid_wh is not None:
+            v = np.asarray(cube.valid_wh)
+            valid_wh = (int(v[0]), int(v[1]))
+        self.valid_wh0 = valid_wh or (cube.width, cube.height)
         if reset_filters:
             shape = (cube.width, cube.height, cube.n_time)
             for f in self.filters.values():
@@ -334,6 +355,7 @@ class Pipeline:
                         progress=self._progress_setter(name),
                         cancelled=self.cancelled,
                         psf=self.psf,
+                        valid_wh=self.valid_for(inp),
                     )
                     out = stage.apply(inp, ctx)
                 else:
@@ -448,12 +470,19 @@ class Pipeline:
 
         if self.record_timings:
             self._timer.mark_run_start()
-        outs = fn(
-            inp,
-            np.float32(cfg.fft_window[0]),
-            np.float32(cfg.fft_window[1]),
-            stage_params,
-        )
+        shape_key = (id(fn), inp.data.shape, inp.time.shape)
+        if shape_key not in self._dispatched:
+            self.phase = "compiling"
+        try:
+            outs = fn(
+                inp,
+                np.float32(cfg.fft_window[0]),
+                np.float32(cfg.fft_window[1]),
+                stage_params,
+            )
+        finally:
+            self._dispatched.add(shape_key)
+            self.phase = None
         last = None
         for off, out in enumerate(outs):
             i = start + off
@@ -514,6 +543,16 @@ class Pipeline:
         )
 
     # ------------------------------------------------------------------
+    def valid_for(self, cube: ScanCube) -> Optional[tuple[int, int]]:
+        """Host-known valid (width, height) of a pipeline cube: slot 0's
+        valid region divided by the cube's downscale factor (only the
+        scaling stage changes the grid)."""
+        if self.valid_wh0 is None:
+            return None
+        s = cube.scaling
+        return (max(self.valid_wh0[0] // s, 1), max(self.valid_wh0[1] // s, 1))
+
+    # ------------------------------------------------------------------
     def update_filter(self, uuid: str, *, force: bool = False):
         """Incremental recompute from a single filter's position
         (``UpdateFilter``, ``data_thread.rs:907-921``)."""
@@ -525,10 +564,15 @@ class Pipeline:
     # ------------------------------------------------------------------
     def current_image(self) -> Optional[np.ndarray]:
         """Intensity image of the final stage, block-upscaled to the
-        original grid when downscaled (``data_thread.rs:1242-1308``)."""
+        original grid when downscaled (``data_thread.rs:1242-1308``) and
+        cropped to the valid region of a bucket-padded grid."""
         out = self.output
         if out is None:
             return None
         if out.scaling > 1:
-            return np.asarray(upscaled_intensity_image(out.data, out.scaling))
-        return np.asarray(intensity_image(out.data))
+            img = np.asarray(upscaled_intensity_image(out.data, out.scaling))
+        else:
+            img = np.asarray(intensity_image(out.data))
+        if self.valid_wh0 is not None:
+            img = img[: self.valid_wh0[0], : self.valid_wh0[1]]
+        return img

@@ -80,14 +80,18 @@ class HouseKeeping:
                                 key, md[key])
 
     @staticmethod
-    def from_cube(cube: ScanCube) -> "HouseKeeping":
+    def from_cube(
+        cube: ScanCube, valid_wh: Optional[tuple[int, int]] = None
+    ) -> "HouseKeeping":
         hk = HouseKeeping()
         hk.dx = cube.dx if cube.dx is not None else 1.0
         hk.dy = cube.dy if cube.dy is not None else 1.0
         x0 = cube.x_min if cube.x_min is not None else 0.0
         y0 = cube.y_min if cube.y_min is not None else 0.0
-        hk.x_range = (x0, x0 + cube.width * hk.dx)
-        hk.y_range = (y0, y0 + cube.height * hk.dy)
+        # ranges span the TRUE scan size, not the bucket-padded grid
+        w, h = valid_wh if valid_wh is not None else (cube.width, cube.height)
+        hk.x_range = (x0, x0 + w * hk.dx)
+        hk.y_range = (y0, y0 + h * hk.dy)
         time = np.asarray(cube.time)
         if len(time):
             hk.t_begin = float(time[0])
@@ -184,9 +188,10 @@ class Explorer:
         for label, coords in metadata.get_rois():
             self.rois[str(_uuidlib.uuid4())] = (label, coords)
         self.pixel_selected = [0, 0]
-        self.housekeeping = HouseKeeping.from_cube(cube)
+        valid_wh = (img.shape[0], img.shape[1])  # loader crops img to valid
+        self.housekeeping = HouseKeeping.from_cube(cube, valid_wh)
         self.housekeeping.apply_metadata(metadata.md)
-        self.pipeline.set_input(cube)
+        self.pipeline.set_input(cube, valid_wh=valid_wh)
         self.publish()
 
     def open_ref(self, path: str):
@@ -258,11 +263,13 @@ class Explorer:
         if out is None or inp is None:
             return
         t = np.asarray(out.time)
+        v0 = self.pipeline.valid_wh0 or (inp.width, inp.height)
         positions, rgba, *_ = extract_instances(
             out.data,
             time_span=float(t[-1] - t[0]),
             scaling=out.scaling,
-            original_dims=(inp.width, inp.height, inp.n_time),
+            original_dims=(v0[0], v0[1], inp.n_time),
+            valid_grid=self.pipeline.valid_for(out),
             opacity_threshold=self.view3d["opacity_threshold"],
             contrast=self.view3d["contrast"],
             kernel_sigma=self.view3d["kernel_sigma"],
@@ -504,7 +511,9 @@ class Explorer:
         plot.avg_signal = host["avg_signal"]
         plot.avg_signal_fft = host["avg_signal_fft"]
         plot.avg_phase_fft = host["avg_phase_fft"]
-        self.image = host["image"]
+        img = host["image"]
+        v0 = self.pipeline.valid_wh0
+        self.image = img if v0 is None else img[: v0[0], : v0[1]]
 
         for i, (uuid, name, _poly) in enumerate(poly_rois):
             plot.roi_signal[uuid] = (name, host["roi_trace"][i])
@@ -589,11 +598,18 @@ class Explorer:
     def _roi_mask_stack(self, poly_rois, filtered: ScanCube):
         """Device-cached (R, Xf, Yf) f32 mask stack for the polygon ROIs on
         the final slot's (possibly downscaled) grid — transferred once per
-        ROI-set/grid change, not per publish."""
+        ROI-set/grid change, not per publish.
+
+        Rasterization runs on the VALID grid (the rasterizer's vertical
+        flip ``mask[y_size-1-y, x]`` is defined by the true scan height,
+        ``math_tools.rs:640-648``) and is then zero-padded to the
+        bucket-padded device grid."""
         shape = (filtered.data.shape[0], filtered.data.shape[1])
+        valid = self.pipeline.valid_for(filtered) or shape
         key = (
             tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
             shape,
+            valid,
             filtered.scaling,
         )
         cached = getattr(self, "_mask_cache", None)
@@ -603,11 +619,20 @@ class Explorer:
             stack = np.stack(
                 [
                     np.asarray(
-                        polygon_mask(poly, shape, filtered.scaling), np.float32
+                        polygon_mask(poly, valid, filtered.scaling), np.float32
                     )
                     for _u, _n, poly in poly_rois
                 ]
             )
+            if valid != shape:
+                stack = np.pad(
+                    stack,
+                    (
+                        (0, 0),
+                        (0, shape[0] - valid[0]),
+                        (0, shape[1] - valid[1]),
+                    ),
+                )
         else:
             stack = np.zeros((0,) + shape, np.float32)
         dev = jnp.asarray(stack)

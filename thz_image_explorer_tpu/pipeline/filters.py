@@ -28,6 +28,22 @@ from thz_image_explorer_tpu.pipeline.stage import (
 
 log = logging.getLogger(__name__)
 
+import jax as _jax
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("w", "h"))
+def _crop2(data, w: int, h: int):
+    """Static spatial crop (bucket-padding removal for deconvolution)."""
+    return data[:w, :h]
+
+
+@_jax.jit
+def _insert2(full, sub):
+    """Re-insert a deconvolved valid region into the padded grid (the
+    padded border stays the pass-through data)."""
+    return _jax.lax.dynamic_update_slice(full, sub, (0, 0, 0))
+
 
 @register_filter
 class TiltCompensation(FilterStage):
@@ -287,6 +303,21 @@ class Deconvolution(FilterStage):
             if psf is None or not psf.is_loaded:
                 log.error("No PSF loaded; skipping deconvolution.")
                 return cube
+            # Bucket padding: the spatial Richardson-Lucy convolutions
+            # must not see the padded zero border (the reference pads
+            # reflectively off the TRUE image edge, deconvolution.rs:
+            # 620-712), so Apply crops to the valid region, deconvolves
+            # at the exact scan size, and re-inserts. Exact-shape
+            # compilation is acceptable here: Apply is explicit and heavy.
+            vwh = context.valid_wh
+            data = cube.data
+            padded = vwh is not None and (
+                vwh[0] < cube.width or vwh[1] < cube.height
+            )
+            if padded:
+                data = _crop2(data, vwh[0], vwh[1])
+            width = vwh[0] if padded else cube.width
+            height = vwh[1] if padded else cube.height
             # Re-plan only when the inputs changed: the BandGeometry caches
             # its device-resident band stacks, so a cache hit means a rerun
             # re-transfers nothing.
@@ -299,7 +330,7 @@ class Deconvolution(FilterStage):
                 time_np.shape,
                 float(time_np[0]),
                 float(time_np[-1]),
-                (cube.width, cube.height),
+                (width, height),
                 cube.dx,
                 cube.dy,
             )
@@ -309,20 +340,22 @@ class Deconvolution(FilterStage):
             else:
                 geometry = dec.plan_bands(
                     self.params, psf, time_np,
-                    (cube.width, cube.height), cube.dx, cube.dy,
+                    (width, height), cube.dx, cube.dy,
                 )
                 self._plan_cache = (plan_key, geometry)
             if geometry is None:
                 log.warning("Deconvolution preconditions not met; skipping.")
                 return cube
             out = dec.deconvolve_cube(
-                cube.data,
+                data,
                 geometry,
                 progress=context.progress,
                 cancelled=context.cancelled,
             )
             if out is None:  # cancelled
                 return cube
+            if padded:
+                out = _insert2(cube.data, out)
             return cube.replace(data=out)
         finally:
             context.progress(None)

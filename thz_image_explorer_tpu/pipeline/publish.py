@@ -57,6 +57,7 @@ def _publish_program(
     ref_pseudo,  # (2, F) f32 amp/phase of a pseudo-ROI reference (else zeros)
     samp_pseudo,
     thickness,  # () f32
+    valid_wh,  # (2,) i32 valid region of the final slot's (padded) grid
     *,
     avg_fourier: bool,
     scaling: int,
@@ -75,7 +76,9 @@ def _publish_program(
         avg_signal = f_avg_data
     else:
         roi_trace = masked_mean_stack(f_data, masks)
-        avg_signal = jnp.mean(f_data, axis=(0, 1))
+        from thz_image_explorer_tpu.data import masked_pixel_mean
+
+        avg_signal = masked_pixel_mean(f_data, valid_wh)
 
     if scaling > 1:
         image = upscaled_intensity_image(f_data, scaling)
@@ -185,6 +188,7 @@ def gather_publish(
         opt.get("ref_pseudo", zeros2f),
         opt.get("samp_pseudo", zeros2f),
         np.float32(opt.get("thickness", 1.0)),
+        filtered.valid_wh,
         avg_fourier=avg_fourier,
         scaling=filtered.scaling,
         ref_mode=opt.get("ref_mode", "none"),

@@ -141,11 +141,14 @@ class FilterStage:
 class StageContext:
     """Per-run services handed to stages: progress reporting, cooperative
     cancellation, and shared settings (the PSF for deconvolution — the
-    reference routes it through ``gui_settings.psf``)."""
+    reference routes it through ``gui_settings.psf``). ``valid_wh`` is the
+    host-known valid (width, height) of the stage's input when the grid is
+    bucket-padded (None = the full grid is valid)."""
 
     progress: Callable[[float], None] = lambda _f: None
     cancelled: Callable[[], bool] = lambda: False
     psf: Optional[object] = None
+    valid_wh: Optional[tuple[int, int]] = None
 
     def check_cancel(self) -> bool:
         return self.cancelled()

@@ -126,6 +126,7 @@ class WebApp:
             "image_shape": list(img_shape),
             "pixel": ex.pixel_selected,
             "busy": not self.worker._idle.is_set(),
+            "phase": pipeline.phase,
             "config": {
                 "fft_window": pipeline.config.fft_window,
                 "fft_window_type": pipeline.config.fft_window_type.value,
@@ -528,11 +529,13 @@ class WebApp:
             opacity_threshold=float(threshold),
         )
         t = np.asarray(out.time)
+        v0 = ex.pipeline.valid_wh0 or (inp.width, inp.height)
         positions, rgba, cw, ch, cd, thr = extract_instances(
             out.data,
             time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
             scaling=out.scaling,
-            original_dims=(inp.width, inp.height, inp.n_time),
+            original_dims=(v0[0], v0[1], inp.n_time),
+            valid_grid=ex.pipeline.valid_for(out),
             opacity_threshold=float(threshold),
             contrast=float(contrast),
             kernel_sigma=float(sigma),
@@ -915,7 +918,8 @@ function drawSeries(ctx, xs, series, colors, overlayLines) {
 }
 function render() {
   if (!S) return;
-  el('fileinfo').textContent = (S.file||'no scan loaded') + (S.busy ? '  ⏳' : '');
+  el('fileinfo').textContent = (S.file||'no scan loaded') +
+    (S.busy ? (S.phase === 'compiling' ? '  ⏳ compiling (first run at this scan shape)' : '  ⏳') : '');
   // image
   if (S.image) {
     const c = el('img'), ctx = c.getContext('2d'), im = new Image();
