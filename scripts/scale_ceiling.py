@@ -89,6 +89,7 @@ def main():
     ap.add_argument("--skip-aot", action="store_true")
     ap.add_argument("--skip-exec", action="store_true")
     ap.add_argument("--exec-shape", default="512,512,1024")
+    ap.add_argument("--with-deconv", action="store_true")
     args = ap.parse_args()
 
     mesh = make_mesh()
@@ -101,7 +102,7 @@ def main():
     out = {"mesh_devices": n_dev}
 
     if args.skip_aot:
-        print(json.dumps(run_exec(out, mesh, params, cfg, args.exec_shape)))
+        print(json.dumps(run_exec(out, mesh, params, cfg, args.exec_shape, with_deconv=args.with_deconv)))
         return
 
     # --- part 1+2: XLA per-device memory for the full ceiling shape
@@ -146,17 +147,31 @@ def main():
     out["mesh_feasibility"] = feas
 
     if not args.skip_exec:
-        out = run_exec(out, mesh, params, cfg, args.exec_shape)
+        out = run_exec(out, mesh, params, cfg, args.exec_shape, with_deconv=args.with_deconv)
     print(json.dumps(out))
 
 
-def run_exec(out, mesh, params, cfg, shape):
+def run_exec(out, mesh, params, cfg, shape, with_deconv=False):
     # --- part 3: executed sharded update — the largest shape that runs
     # in reasonable wall time on this host's single CPU core (the full
     # 1000x1000x4096 program is compile-checked in part 1; execution
-    # scales linearly in pixels x time)
+    # scales linearly in pixels x time). Validates the memory model by
+    # EXECUTION: XLA's predicted per-device peak at this exact shape vs
+    # the process's measured resident-set peak (all virtual devices share
+    # host RAM, so host MaxRSS bounds the sum over devices).
+    import resource
+
     w2, h2, t2 = (int(x) for x in shape.split(","))
     n_dev = len(jax.devices())
+
+    # prediction first (cheap CPU compile of the exact program)
+    abs_cube = abstract_sharded_cube(w2, h2, t2, mesh)
+    f = jax.jit(lambda c, p: interactive_update(c, p, cfg))
+    ma = f.lower(abs_cube, params).compile().memory_analysis()
+    resident = ma.argument_size_in_bytes + ma.output_size_in_bytes
+    predicted_total = max(ma.peak_memory_in_bytes, resident) * n_dev
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
     log(f"building {w2}x{h2}x{t2} cube...")
     rng = np.random.default_rng(0)
     t = (np.arange(t2) * 0.05).astype(np.float32)
@@ -170,6 +185,7 @@ def run_exec(out, mesh, params, cfg, shape):
     with mesh:
         res, img = interactive_update(sc, params, cfg)
     img_np = np.asarray(img)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     out["executed"] = {
         "shape": f"{w2}x{h2}x{t2}",
         "cube_gb": round(w2 * h2 * t2 * 4 / GB, 2),
@@ -177,7 +193,52 @@ def run_exec(out, mesh, params, cfg, shape):
         "wall_s_single_cpu_core": round(time.perf_counter() - t0, 1),
         "sharded_output": not img.sharding.is_fully_replicated
         or img.sharding.num_devices == n_dev,
+        "predicted_peak_gb_all_devices": round(predicted_total / GB, 2),
+        "measured_maxrss_gb": round(rss1 / GB, 2),
+        "maxrss_before_gb": round(rss0 / GB, 2),
+        "prediction_delta_gb": round((rss1 - predicted_total) / GB, 2),
+        "note": "MaxRSS includes the Python runtime + the host copy made "
+                "during cube construction; XLA's prediction covers device "
+                "buffers only, so measured >= predicted is expected — the "
+                "model is validated if measured stays within a small "
+                "constant of predicted + one cube",
     }
+
+    if with_deconv:
+        # sharded deconvolution at the same scale, reduced band/iteration
+        # counts to bound single-core wall time (band count scales cost
+        # linearly; memory is what we validate here)
+        import os
+
+        psf_path = "/root/reference/sample_data/psf.npz"
+        if os.path.exists(psf_path):
+            from thz_image_explorer_tpu.io import load_psf
+            from thz_image_explorer_tpu.ops.deconvolution import (
+                DeconvolutionParams,
+                deconvolve_cube,
+                plan_bands,
+            )
+
+            psf = load_psf(psf_path)
+            geo = plan_bands(
+                DeconvolutionParams(
+                    n_iterations=2, n_filters=2, start_freq=0.25, end_freq=3.0
+                ),
+                psf, np.asarray(sc.time), (w2, h2), 1.0, 1.0,
+            )
+            if geo is not None:
+                log("running sharded deconvolution...")
+                t0 = time.perf_counter()
+                with mesh:
+                    dout = deconvolve_cube(sc.data, geo, chunk_size=2)
+                jax.block_until_ready(dout)
+                rss2 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+                out["executed"]["deconv"] = {
+                    "bands": 2, "iters": 2,
+                    "wall_s": round(time.perf_counter() - t0, 1),
+                    "finite": bool(np.isfinite(np.asarray(dout[:2, :2, :8])).all()),
+                    "maxrss_after_gb": round(rss2 / GB, 2),
+                }
     return out
 
 

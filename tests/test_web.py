@@ -88,6 +88,7 @@ def test_filter_param_command(app):
     uuid = "frequency_band_pass"
     f = ex.pipeline.filters[uuid]
     app.command("set_filter_param", [uuid, "low", 0.4], {})
+    app.worker.join_idle()  # param mutations ride the worker queue now
     assert f.low == 0.4
 
 
@@ -143,6 +144,7 @@ def test_revert_metadata(app):
     (left_panel.rs:718-736)."""
     ex = app.worker.explorer
     app.command("set_metadata_attr", ["Scratch", "1"], {})
+    app.worker.join_idle()  # metadata edits ride the worker queue now
     assert ex.metadata.md["Scratch"] == "1"
     app.command("revert_metadata", [], {})
     app.worker.join_idle()
@@ -206,3 +208,119 @@ def test_embedded_js_wellformed(page):
                 f"unbalanced {o}{c} in {page} script: "
                 f"{code.count(o)} vs {code.count(c)}"
             )
+
+
+def test_no_explorer_writes_from_request_thread(app):
+    """Write-barrier (VERDICT r2 #7): state() and voxels() must execute
+    on the WORKER thread, never touching the Explorer from the calling
+    (HTTP) thread — the reference's Arc<RwLock> strictness
+    (config.rs:219-304)."""
+    import threading
+
+    worker_thread = app.worker._thread
+    seen = {}
+    orig_build = app._build_state
+
+    def probe(ex):
+        seen["state_thread"] = threading.current_thread()
+        return orig_build(ex)
+
+    app._build_state = probe
+    app.state()
+    assert seen["state_thread"] is worker_thread
+
+    # voxels: its builder closure also runs on the worker (view3d mutation
+    # included); verify via the worker.call seam
+    calls = {}
+    orig_call = app.worker.call
+
+    def spy(fn, **kw):
+        def wrapped(ex):
+            calls["thread"] = threading.current_thread()
+            return fn(ex)
+
+        return orig_call(wrapped, **kw)
+
+    app.worker.call = spy
+    app.voxels(threshold=0.5)
+    assert calls["thread"] is worker_thread
+    app.worker.call = orig_call
+
+
+def test_state_falls_back_to_snapshot_when_worker_busy(app):
+    """A long-running command must not block the UI poll: state() serves
+    the last snapshot with busy=true (the reference GUI's try_read +
+    skip-a-frame, center_panel.rs:32)."""
+    import threading
+
+    import time as _t
+
+    fresh = app.state()
+    assert not fresh.get("stale")
+    gate = threading.Event()
+    # a closure that parks the worker, standing in for a long Apply
+    app.worker.queue.put((lambda ex: gate.wait(10), (), {}))
+    _t.sleep(0.1)
+    stale = app.state()  # 2 s call timeout -> snapshot fallback
+    assert stale["file"] == fresh["file"]
+    assert stale["busy"] is True and stale["stale"] is True
+    gate.set()
+    app.worker.join_idle(30)
+    assert not app.state().get("stale")
+
+
+def test_logs_endpoint_level_filter(app):
+    import logging
+
+    log = logging.getLogger("thz_image_explorer_tpu.test")
+    log.info("an info line xyzzy")
+    log.warning("a warning line plugh")
+    out = app.logs("info", 100)
+    assert any("xyzzy" in l for l in out["lines"])
+    assert any("plugh" in l for l in out["lines"])
+    out = app.logs("warning", 100)
+    assert not any("xyzzy" in l for l in out["lines"])
+    assert any("plugh" in l for l in out["lines"])
+
+
+def test_browse_endpoint(app, tmp_path):
+    d = tmp_path / "sub"
+    d.mkdir()
+    (tmp_path / "x.thzimg").write_bytes(b"00")
+    (tmp_path / "notes.txt").write_text("no")
+    out = app.browse(str(tmp_path))
+    assert out["path"] == str(tmp_path)
+    assert "sub" in out["dirs"]
+    names = [f["name"] for f in out["files"]]
+    assert "x.thzimg" in names and "scan.thzimg" in names
+    assert "notes.txt" not in names  # only openable extensions
+    up = app.browse(str(d))
+    assert up["parent"] == str(tmp_path)
+
+
+def test_origin_check_blocks_cross_site():
+    """State-changing endpoints reject non-loopback Origin/Host (the
+    round-2 advisor's CSRF finding on /api/update_install and /api/drop)."""
+    from thz_image_explorer_tpu.web import WebApp, make_handler
+
+    app = WebApp()
+    try:
+        handler_cls = make_handler(app)
+        probe = handler_cls.__new__(handler_cls)
+
+        class H(dict):
+            def get(self, k, d=None):
+                return super().get(k, d)
+
+        probe.headers = H({"Host": "127.0.0.1:8080"})
+        assert probe._origin_ok()
+        probe.headers = H({"Host": "127.0.0.1:8080",
+                           "Origin": "http://localhost:8080"})
+        assert probe._origin_ok()
+        probe.headers = H({"Host": "127.0.0.1:8080",
+                           "Origin": "https://evil.example"})
+        assert not probe._origin_ok()
+        probe.headers = H({"Host": "evil.example"})  # DNS rebinding
+        assert not probe._origin_ok()
+    finally:
+        app.worker.close()

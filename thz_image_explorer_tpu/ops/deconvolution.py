@@ -497,6 +497,45 @@ def deconvolve_cube(
     ``sum_b g_b * filtered_b`` (``_spectral_band_sum``) instead of B
     cube-sized multiply-accumulates.
     """
+    plan = _plan_dispatch(data, geometry, chunk_size, rl_impl)
+    chunk_list = plan["chunk_list"]
+    spec, power, xh, xt = _prepare_spectra(
+        data, fft_len=plan["fft_len"], hseg=plan["hseg"], tseg=plan["tseg"]
+    )
+    gain_stacks = []
+    for i, ch in enumerate(chunk_list):
+        if cancelled():
+            return None
+        progress(i / (len(chunk_list) + 1))
+        gain_stacks.append(
+            _gains_chunk(
+                power, xh, xt,
+                *ch,
+                shape=data.shape,
+                pad_r_max=plan["pad_r_max"],
+                pad_c_max=plan["pad_c_max"],
+                use_pallas=plan["use_pallas"],
+            )
+        )
+    progress(len(chunk_list) / (len(chunk_list) + 1))
+    out = _spectral_band_sum(
+        spec,
+        plan["taps_ri_dev"],
+        *gain_stacks,
+        fft_len=plan["fft_len"],
+        shift=plan["shift"],
+        n_time=plan["n_time"],
+        n_bands=plan["n_bands"],
+        shape=(data.shape[0], data.shape[1]),
+    )
+    progress(1.0)
+    return out
+
+
+def _plan_dispatch(data, geometry, chunk_size: int, rl_impl: str | None):
+    """Shared dispatch planning for :func:`deconvolve_cube` and
+    :func:`deconv_cost_analysis`: shape math, RL-implementation choice and
+    the (geometry-cached) host->device transfer of the band stacks."""
     n_bands, ntaps = geometry.taps.shape
     n_time = data.shape[-1]
     shift = (ntaps - 1) // 2
@@ -604,36 +643,67 @@ def deconvolve_cube(
         geometry._device_chunks[cache_key] = chunks
 
     chunk_list, taps_ri_dev = chunks
-    hseg = min(shift, n_time)
-    tseg = min(ntaps - 1 - shift, n_time)
-    spec, power, xh, xt = _prepare_spectra(
-        data, fft_len=fft_len, hseg=hseg, tseg=tseg
+    return {
+        "chunk_list": chunk_list,
+        "taps_ri_dev": taps_ri_dev,
+        "fft_len": fft_len,
+        "shift": shift,
+        "hseg": min(shift, n_time),
+        "tseg": min(ntaps - 1 - shift, n_time),
+        "pad_r_max": pad_r_max,
+        "pad_c_max": pad_c_max,
+        "use_pallas": use_pallas,
+        "n_bands": n_bands,
+        "n_time": n_time,
+    }
+
+
+def deconv_cost_analysis(data, geometry, chunk_size: int = 5,
+                         rl_impl: str | None = None) -> Optional[float]:
+    """Total XLA-reported FLOPs of one :func:`deconvolve_cube` run (the
+    bench roofline/MFU denominator): sums ``cost_analysis()['flops']`` of
+    the three compiled programs (spectra prep, gains chunks, spectral band
+    sum) at the exact shapes a run dispatches. AOT compiles here hit the
+    persistent compilation cache when the run itself already compiled."""
+    import jax
+
+    plan = _plan_dispatch(data, geometry, chunk_size, rl_impl)
+
+    def flops_of(compiled) -> float:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    sds = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+    total = 0.0
+    prep = _prepare_spectra.lower(
+        sds(data), fft_len=plan["fft_len"], hseg=plan["hseg"],
+        tseg=plan["tseg"],
+    ).compile()
+    total += flops_of(prep)
+    spec, power, xh, xt = jax.eval_shape(
+        _prepare_spectra, sds(data), fft_len=plan["fft_len"],
+        hseg=plan["hseg"], tseg=plan["tseg"],
     )
-    gain_stacks = []
-    for i, ch in enumerate(chunk_list):
-        if cancelled():
-            return None
-        progress(i / (len(chunk_list) + 1))
-        gain_stacks.append(
-            _gains_chunk(
-                power, xh, xt,
-                *ch,
-                shape=data.shape,
-                pad_r_max=pad_r_max,
-                pad_c_max=pad_c_max,
-                use_pallas=use_pallas,
-            )
-        )
-    progress(len(chunk_list) / (len(chunk_list) + 1))
-    out = _spectral_band_sum(
-        spec,
-        taps_ri_dev,
-        *gain_stacks,
-        fft_len=fft_len,
-        shift=shift,
-        n_time=n_time,
-        n_bands=n_bands,
+    ch = plan["chunk_list"][0]
+    gains_lowered = _gains_chunk.lower(
+        power, xh, xt, *map(sds, ch),
+        shape=data.shape, pad_r_max=plan["pad_r_max"],
+        pad_c_max=plan["pad_c_max"], use_pallas=plan["use_pallas"],
+    )
+    total += flops_of(gains_lowered.compile()) * len(plan["chunk_list"])
+    gains_shape = jax.eval_shape(
+        _gains_chunk, power, xh, xt, *map(sds, ch),
+        shape=data.shape, pad_r_max=plan["pad_r_max"],
+        pad_c_max=plan["pad_c_max"], use_pallas=plan["use_pallas"],
+    )
+    ssum = _spectral_band_sum.lower(
+        spec, sds(plan["taps_ri_dev"]),
+        *([gains_shape] * len(plan["chunk_list"])),
+        fft_len=plan["fft_len"], shift=plan["shift"],
+        n_time=plan["n_time"], n_bands=plan["n_bands"],
         shape=(data.shape[0], data.shape[1]),
-    )
-    progress(1.0)
-    return out
+    ).compile()
+    total += flops_of(ssum)
+    return total

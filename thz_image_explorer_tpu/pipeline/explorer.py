@@ -395,6 +395,27 @@ class Explorer:
         self.pipeline.update_all()
         self.publish()
 
+    def set_filter_param(self, uuid: str, key: str, value):
+        """Set one filter parameter (the UI slider path; always executed
+        on the worker thread — request threads must never mutate filter
+        state directly)."""
+        f = self.pipeline.filters[uuid]
+        if hasattr(f, "params") and hasattr(f.params, key):
+            setattr(f.params, key, value)
+        elif hasattr(f, key):
+            setattr(f, key, value)
+
+    def set_metadata_field(self, key: str, value):
+        """Edit a top-level metadata field (``left_panel.rs:693-1009``)."""
+        if hasattr(self.metadata, key) and key != "md":
+            setattr(self.metadata, key, str(value))
+
+    def set_metadata_attr(self, key: str, value):
+        self.metadata.md[str(key)] = str(value)
+
+    def delete_metadata_attr(self, key: str):
+        self.metadata.md.pop(str(key), None)
+
     def set_filter_active(self, uuid: str, active: bool):
         """Toggle a filter. Deconvolution special-case: enabling it does
         NOT trigger a recompute — the user must hit Apply

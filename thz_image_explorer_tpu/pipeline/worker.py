@@ -68,6 +68,12 @@ COALESCE_BY_METHOD_AND_ARG = frozenset(
     {"update_filter", "set_filter_active"}
 )
 
+#: per (method, first two args) — e.g. one pending value per
+#: (filter uuid, param name) while a filter slider drags
+COALESCE_BY_METHOD_AND_TWO_ARGS = frozenset(
+    {"set_filter_param", "set_metadata_field", "set_metadata_attr"}
+)
+
 
 def coalesce_key(method: str, args: tuple) -> Optional[tuple]:
     """Coalescing key for a command, or None for lossless one-shots."""
@@ -75,6 +81,8 @@ def coalesce_key(method: str, args: tuple) -> Optional[tuple]:
         return (method,)
     if method in COALESCE_BY_METHOD_AND_ARG:
         return (method, args[0] if args else None)
+    if method in COALESCE_BY_METHOD_AND_TWO_ARGS:
+        return (method,) + tuple(args[:2])
     return None  # open/save/ROI/apply commands are never dropped
 
 
@@ -201,6 +209,37 @@ class ExplorerWorker:
             self._idle.clear()
             self.queue.put((method, args, kwargs), key=coalesce_key(method, args))
 
+    def call(self, fn: Callable[[Explorer], Any], *, timeout: float = 2.0):
+        """Run ``fn(explorer)`` ON the worker thread and return its result.
+
+        The single-writer discipline for HTTP/state readers: instead of
+        touching the Explorer from a request thread (the latent race the
+        round-2 review flagged — the reference is strict about this,
+        ``config.rs:219-304``), readers enqueue a closure and wait. On
+        timeout — e.g. a long deconvolution Apply owns the worker — raises
+        ``TimeoutError``; callers fall back to their last snapshot,
+        mirroring the reference GUI's ``try_read`` + skip-a-frame behavior
+        (``center_panel.rs:32``)."""
+        done = threading.Event()
+        box: dict[str, Any] = {}
+
+        def run(ex):
+            try:
+                box["result"] = fn(ex)
+            except Exception as e:  # noqa: BLE001
+                box["error"] = e
+            finally:
+                done.set()
+
+        with self._idle_lock:
+            self._idle.clear()
+            self.queue.put((run, (), {}))
+        if not done.wait(timeout):
+            raise TimeoutError("worker busy")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
     def abort(self):
         """Abort in-flight work and drain pending commands
         (``data_thread.rs:163-172``)."""
@@ -231,9 +270,12 @@ class ExplorerWorker:
             self.abort_flag.clear()
             method, args, kwargs = cmd
             try:
-                getattr(self.explorer, method)(*args, **kwargs)
-                for cb in self._on_update:
-                    cb(self.explorer)
+                if callable(method):  # closure from call()
+                    method(self.explorer)
+                else:
+                    getattr(self.explorer, method)(*args, **kwargs)
+                    for cb in self._on_update:
+                        cb(self.explorer)
             except Exception:  # noqa: BLE001 — worker must survive bad commands
                 import traceback
 

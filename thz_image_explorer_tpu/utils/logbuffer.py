@@ -26,7 +26,7 @@ class LogRingBuffer(logging.Handler):
 
     def emit(self, record: logging.LogRecord):
         with self._lock2:
-            self.records.append(self.format(record))
+            self.records.append((record.levelno, self.format(record)))
             if record.levelno >= logging.WARNING:
                 self._last_warning = record
 
@@ -42,9 +42,13 @@ class LogRingBuffer(logging.Handler):
         with self._lock2:
             self._last_warning = None
 
-    def tail(self, n: int = 100) -> list[str]:
+    def tail(self, n: int = 100, min_level: int = 0) -> list[str]:
+        """Last ``n`` formatted lines at or above ``min_level`` — the
+        level-filtered scrollable view of ``egui_logger``
+        (``settings_window.rs:268-483``)."""
         with self._lock2:
-            return list(self.records)[-n:]
+            lines = [m for lvl, m in self.records if lvl >= min_level]
+        return lines[-n:]
 
 
 _installed: Optional[LogRingBuffer] = None

@@ -80,7 +80,31 @@ class WebApp:
 
     # ------------------------------------------------------------- state
     def state(self) -> dict:
-        ex = self.worker.explorer
+        """State snapshot for the UI poll.
+
+        Built ON the worker thread (single-writer discipline: request
+        threads never read Explorer state directly — the reference's
+        ``Arc<RwLock>`` strictness, ``config.rs:219-304``); when the
+        worker is busy with a long command the last snapshot is served
+        with ``busy: true`` — the reference GUI's ``try_read`` +
+        skip-a-frame (``center_panel.rs:32``)."""
+        try:
+            snap = self.worker.call(self._build_state, timeout=2.0)
+            with self._lock:
+                self._snapshot = snap
+            return snap
+        except TimeoutError:
+            with self._lock:
+                snap = dict(self._snapshot) if getattr(self, "_snapshot", None) else {
+                    "file": None, "image": None, "image_shape": [0, 0],
+                    "filters": {}, "rois": {}, "plots": {}, "log": [],
+                    "phase": None,
+                }
+            snap["busy"] = True
+            snap["stale"] = True
+            return snap
+
+    def _build_state(self, ex) -> dict:
         plot = ex.plot
         pipeline = ex.pipeline
         log_plot = pipeline.config.fft_log_plot
@@ -125,7 +149,10 @@ class WebApp:
             "image": image_b64,
             "image_shape": list(img_shape),
             "pixel": ex.pixel_selected,
-            "busy": not self.worker._idle.is_set(),
+            # built on the worker thread itself, so "busy" = more commands
+            # queued behind this snapshot (a long in-flight command is
+            # covered by the TimeoutError fallback in state())
+            "busy": not self.worker.queue.empty(),
             "phase": pipeline.phase,
             "config": {
                 "fft_window": pipeline.config.fft_window,
@@ -220,7 +247,53 @@ class WebApp:
         "update_material_calculation", "open_sibling", "update_metadata",
         "set_fft_resolution", "set_3d_contrast", "set_kernel_sigma",
         "set_kernel_radius", "set_opacity_threshold", "revert_metadata",
+        "set_filter_param", "set_metadata_field", "set_metadata_attr",
+        "delete_metadata_attr",
     }
+
+    def logs(self, level: str = "info", limit: int = 400) -> dict:
+        """Level-filtered scrollable log view (``egui_logger``'s settings-
+        window viewer, ``settings_window.rs:268-483``)."""
+        import logging as _logging
+
+        lvl = getattr(_logging, str(level).upper(), _logging.INFO)
+        return {
+            "lines": self.logbuf.tail(int(limit), min_level=lvl),
+            "level": str(level).lower(),
+        }
+
+    def browse(self, path: str = "") -> dict:
+        """Directory listing for the open dialog (the reference's native
+        file pickers, ``left_panel.rs:326-352``): subdirectories plus
+        openable files (.thz/.thzimg/.npz) with sizes."""
+        import os
+
+        path = os.path.abspath(os.path.expanduser(path or os.getcwd()))
+        if not os.path.isdir(path):
+            path = os.path.dirname(path) or "/"
+        dirs, files = [], []
+        try:
+            for name in sorted(os.listdir(path)):
+                if name.startswith("."):
+                    continue
+                full = os.path.join(path, name)
+                if os.path.isdir(full):
+                    dirs.append(name)
+                elif name.lower().endswith((".thz", ".thzimg", ".npz")):
+                    try:
+                        size = os.path.getsize(full)
+                    except OSError:
+                        size = 0
+                    files.append({"name": name, "size": size})
+        except PermissionError:
+            return {"path": path, "error": "permission denied",
+                    "dirs": [], "files": []}
+        return {
+            "path": path,
+            "parent": os.path.dirname(path) if path != "/" else None,
+            "dirs": dirs,
+            "files": files,
+        }
 
     def preview(self, path: str) -> dict:
         """Metadata preview without opening the scan — the file-dialog
@@ -267,31 +340,13 @@ class WebApp:
         return {"saved": path}
 
     def command(self, method: str, args: list, kwargs: dict):
-        ex = self.worker.explorer
-        if method == "set_filter_param":
-            uuid, key, value = args
-            f = ex.pipeline.filters[uuid]
-            if hasattr(f, "params") and hasattr(f.params, key):
-                setattr(f.params, key, value)
-            elif hasattr(f, key):
-                setattr(f, key, value)
-            return
+        # Every Explorer mutation rides the worker queue — request threads
+        # own only WebApp-local display state (self.view, under _lock).
         if method == "set_view":
             key, value = args
-            if key in self.view:
-                self.view[key] = bool(value) if key == "bw" else float(value)
-            return
-        if method == "set_metadata_field":
-            key, value = args
-            if hasattr(ex.metadata, key) and key != "md":
-                setattr(ex.metadata, key, str(value))
-            return
-        if method == "set_metadata_attr":
-            key, value = args
-            ex.metadata.md[str(key)] = str(value)
-            return
-        if method == "delete_metadata_attr":
-            ex.metadata.md.pop(str(args[0]), None)
+            with self._lock:
+                if key in self.view:
+                    self.view[key] = bool(value) if key == "bw" else float(value)
             return
         if method == "set_fft_window_type":
             from thz_image_explorer_tpu.ops.windows import WindowType
@@ -515,32 +570,41 @@ class WebApp:
         base64 for compact transfer, subsampled to ``max_points``."""
         from thz_image_explorer_tpu.ops.voxel import extract_instances
 
-        ex = self.worker.explorer
-        out = ex.pipeline.output
-        inp = ex.pipeline.input
-        if out is None or inp is None:
+        def build(ex):
+            out = ex.pipeline.output
+            inp = ex.pipeline.input
+            if out is None or inp is None:
+                return None
+            # keep the Explorer's 3D settings in sync so SaveVTU exports
+            # what the view shows (Set3DContrast/SetKernelSigma/...);
+            # running on the worker thread, so this mutation is safe
+            ex.view3d.update(
+                contrast=float(contrast),
+                kernel_sigma=float(sigma),
+                kernel_radius=int(radius),
+                opacity_threshold=float(threshold),
+            )
+            t = np.asarray(out.time)
+            v0 = ex.pipeline.valid_wh0 or (inp.width, inp.height)
+            return extract_instances(
+                out.data,
+                time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
+                scaling=out.scaling,
+                original_dims=(v0[0], v0[1], inp.n_time),
+                valid_grid=ex.pipeline.valid_for(out),
+                opacity_threshold=float(threshold),
+                contrast=float(contrast),
+                kernel_sigma=float(sigma),
+                kernel_radius=int(radius),
+            )
+
+        try:
+            res = self.worker.call(build, timeout=30.0)
+        except TimeoutError:
+            return {"n": 0, "busy": True}
+        if res is None:
             return {"n": 0}
-        # keep the Explorer's 3D settings in sync so SaveVTU exports what
-        # the view shows (Set3DContrast/SetKernelSigma/SetKernelRadius)
-        ex.view3d.update(
-            contrast=float(contrast),
-            kernel_sigma=float(sigma),
-            kernel_radius=int(radius),
-            opacity_threshold=float(threshold),
-        )
-        t = np.asarray(out.time)
-        v0 = ex.pipeline.valid_wh0 or (inp.width, inp.height)
-        positions, rgba, cw, ch, cd, thr = extract_instances(
-            out.data,
-            time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
-            scaling=out.scaling,
-            original_dims=(v0[0], v0[1], inp.n_time),
-            valid_grid=ex.pipeline.valid_for(out),
-            opacity_threshold=float(threshold),
-            contrast=float(contrast),
-            kernel_sigma=float(sigma),
-            kernel_radius=int(radius),
-        )
+        positions, rgba, cw, ch, cd, thr = res
         n = len(positions)
         if n > max_points:
             idx = np.random.default_rng(0).choice(n, max_points, replace=False)
@@ -572,7 +636,27 @@ def make_handler(app: WebApp):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _origin_ok(self) -> bool:
+            """Reject cross-site requests: the server binds to loopback,
+            but any web page the browser has open could still POST here
+            (CSRF) or read state after a DNS rebind. Both the Host and —
+            when a browser sends one — the Origin header must be
+            loopback."""
+            from urllib.parse import urlparse
+
+            host = (self.headers.get("Host") or "").split(":")[0]
+            if host not in ("127.0.0.1", "localhost", "[::1]", ""):
+                return False
+            origin = self.headers.get("Origin")
+            if origin and origin != "null":
+                if urlparse(origin).hostname not in ("127.0.0.1", "localhost", "::1"):
+                    return False
+            return True
+
         def do_GET(self):
+            if not self._origin_ok():
+                self._json({"error": "forbidden origin"}, 403)
+                return
             if self.path == "/" or self.path.startswith("/index"):
                 body = PAGE.encode()
                 self.send_response(200)
@@ -626,6 +710,27 @@ def make_handler(app: WebApp):
                     self._json(app.preview(q.get("path", [""])[0]))
                 except Exception as e:  # noqa: BLE001
                     self._json({"error": str(e)}, 400)
+            elif self.path.startswith("/api/logs"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._json(
+                        app.logs(
+                            q.get("level", ["info"])[0],
+                            int(q.get("limit", ["400"])[0]),
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
+            elif self.path.startswith("/api/browse"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._json(app.browse(q.get("path", [""])[0]))
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
             elif self.path.startswith("/api/update_check"):
                 try:
                     from thz_image_explorer_tpu import __version__
@@ -657,6 +762,9 @@ def make_handler(app: WebApp):
                 self.send_error(404)
 
         def do_POST(self):
+            if not self._origin_ok():
+                self._json({"error": "forbidden origin"}, 403)
+                return
             length = int(self.headers.get("Content-Length", 0))
             if self.path.startswith("/api/drop"):
                 from urllib.parse import parse_qs, urlparse
@@ -766,9 +874,15 @@ PAGE = r"""<!DOCTYPE html>
   <div id="fileinfo" style="font-size:12px">no scan loaded</div>
   <input id="path" style="width:240px" placeholder="/path/to/scan.thzimg"
     onchange="loadPreview(this.value)">
+  <button class="off" onclick="openBrowse()">Browse…</button>
   <button onclick="cmd('open_file',[el('path').value])">Load</button>
   <button onclick="cmd('open_ref',[el('path').value])">Load Ref</button>
   <button onclick="cmd('open_psf',[el('path').value])">Load PSF</button>
+  <div id="browsedlg" style="display:none;border:1px solid #2a2e36;border-radius:4px;padding:6px;margin-top:4px">
+   <div id="bpath" style="font-size:11px;color:#999"></div>
+   <div id="blist" style="max-height:220px;overflow:auto;font-size:12px"></div>
+   <button class="off" onclick="el('browsedlg').style.display='none'">close</button>
+  </div>
   <div id="mdpreview" style="font-size:11px;color:#999;max-height:120px;overflow:auto"></div>
   <div style="font-size:10px;color:#666">drop a .thz/.thzimg (scan) or .npz (PSF) anywhere to open it</div><br>
   <button class="off" onclick="cmd('open_sibling',[-1])">◀ prev</button>
@@ -841,8 +955,13 @@ PAGE = r"""<!DOCTYPE html>
   </div>
  </div>
  <div class="panel"><h3>Stage timings</h3><div id="timings" style="font-size:12px"></div></div>
- <div class="panel"><details><summary>Log</summary><pre id="logpane"
-   style="font-size:11px;max-height:180px;overflow:auto;color:#aaa"></pre></details></div>
+ <div class="panel"><details><summary>Log</summary>
+  <select id="loglevel" onchange="refreshLogs()">
+   <option value="info">info+</option><option value="warning">warning+</option>
+   <option value="error">error</option></select>
+  <button class="off" onclick="refreshLogs()">refresh</button>
+  <pre id="logpane"
+   style="font-size:11px;max-height:260px;overflow:auto;color:#aaa"></pre></details></div>
 </div>
 <div id="right">
  <div class="panel"><h3>FFT settings</h3>
@@ -1002,7 +1121,10 @@ function render() {
             hk.sample_temperature, 0, 400, false, 'K', 'T_S');
   drawGauge('gauge_p0', meas.includes('ambient_pressure'),
             hk.ambient_pressure, 1e-8, 1e3, true, 'mbar', 'p0');
-  el('logpane').textContent = (S.log||[]).join('\n');
+  // the poll refreshes the inline tail only at the default level; a
+  // user-selected filter view persists until they hit refresh
+  if (el('loglevel').value === 'info')
+    el('logpane').textContent = (S.log||[]).join('\n');
   const wb = el('warnbar');
   if (S.last_warning) { wb.style.display='block'; wb.textContent=S.last_warning; wb.style.background='#a52'; }
   else wb.style.display='none';
@@ -1277,6 +1399,42 @@ async function loadPreview(path) {
     box.innerHTML = rows.filter(([,v]) => v)
       .map(([k,v]) => `${escH(k)}: ${escH(String(v))}`).join('<br>');
   } catch (e) { box.textContent = ''; }
+}
+
+// ---- directory browser (the reference's native file pickers,
+// left_panel.rs:326-352) + level-filtered log view (settings_window.rs)
+async function openBrowse(p) {
+  const seed = p !== undefined ? p : (el('path').value || '');
+  try {
+    const j = await (await fetch('/api/browse?path=' + encodeURIComponent(seed))).json();
+    if (j.error && !j.dirs.length && !j.files.length) return;
+    el('browsedlg').style.display = 'block';
+    el('bpath').textContent = j.path;
+    let h = '';
+    const item = (label, act) =>
+      `<div style="cursor:pointer;padding:1px 2px" onclick="${act}">${label}</div>`;
+    if (j.parent) h += item('📁 ..', `openBrowse('${escJ(j.parent)}')`);
+    const join = (d) => (j.path === '/' ? '/' : j.path + '/') + d;
+    for (const d of (j.dirs || []))
+      h += item('📁 ' + escH(d), `openBrowse('${escJ(join(d))}')`);
+    for (const f of (j.files || []))
+      h += item(escH(f.name) +
+        ` <span style="color:#777">${(f.size / 1e6).toFixed(1)} MB</span>`,
+        `pickFile('${escJ(join(f.name))}')`);
+    el('blist').innerHTML = h || '<span style="color:#777">empty</span>';
+  } catch (e) {}
+}
+function pickFile(p) {
+  el('path').value = p;
+  loadPreview(p);
+  el('browsedlg').style.display = 'none';
+}
+async function refreshLogs() {
+  const lv = el('loglevel').value;
+  try {
+    const j = await (await fetch('/api/logs?level=' + lv + '&limit=800')).json();
+    el('logpane').textContent = (j.lines || []).join('\n');
+  } catch (e) {}
 }
 
 // ---- drag & drop (left_panel.rs:281-322): .npz -> PSF, else open scan
