@@ -147,3 +147,93 @@ def test_deconvolve_cancellation():
         jnp.asarray(cube), geo, cancelled=cancelled, chunk_size=1
     )
     assert out is None
+
+
+# -------------------------------------------- realistic-geometry parity
+def _vectorized_convolve1d_oracle(data, taps):
+    """Batched version of oracle_deconv.convolve1d_oracle (same math:
+    f64 FFT convolution, pow2 padding, centre extraction) so the
+    realistic-geometry case stays affordable."""
+    w, h, n = data.shape
+    conv_size = n + len(taps) - 1
+    fft_size = 1
+    while fft_size < conv_size:
+        fft_size *= 2
+    shift = (len(taps) - 1) // 2
+    a = np.fft.fft(data.reshape(-1, n).astype(np.float64), fft_size, axis=-1)
+    b = np.fft.fft(taps.astype(np.float64), fft_size)
+    full = np.fft.ifft(a * b[None, :], axis=-1).real
+    return full[:, shift : n + shift].astype(np.float32).reshape(w, h, n)
+
+
+def _realistic_case(n_filters=10, n_iterations=12, w=64, h=64, n=256):
+    """VERDICT r2 #5: >=10 bands, 499 taps, 64x64 image, mixed
+    direct+FFT-conv bands, skewed per-band iteration counts, and a band
+    count that is NOT a multiple of the dispatch chunk (exercising the
+    inert-band padding)."""
+    psf = load_psf(REF_PSF)
+    rng = np.random.default_rng(11)
+    t = (np.arange(n) * 0.05).astype(np.float32)
+    cube = np.zeros((w, h, n), np.float32)
+    cube[:, :, 20] = rng.uniform(0.5, 1.0, (w, h))
+    cube[:, :, 60] = 0.4 * rng.uniform(0.2, 1.0, (w, h))
+    cube += 0.01 * rng.normal(size=cube.shape).astype(np.float32)
+    params = DeconvolutionParams(
+        n_iterations=n_iterations, n_filters=n_filters,
+        start_freq=0.25, end_freq=4.0,
+    )
+    geo = plan_bands(params, psf, t, (w, h), 1.0, 1.0)
+    assert geo is not None
+    assert geo.taps.shape == (n_filters, 499)
+    return t, cube, geo
+
+
+@needs_psf
+def test_deconvolve_matches_oracle_realistic_geometry():
+    import oracle_deconv as od
+
+    t, cube, geo = _realistic_case()
+    # the case genuinely mixes the reference's two convolution regimes
+    # (direct correlation for small kernels, FFT convolution for large,
+    # deconvolution.rs:472-545) ...
+    assert geo.use_fft_conv.any() and (~geo.use_fft_conv).any()
+    # ... and the per-band iteration counts are skewed (deconvolution.rs:
+    # 969-971 scales by relative beam width)
+    assert int(geo.n_iter.min()) < int(geo.n_iter.max())
+
+    # chunk_size=4 with 10 bands -> padded to 12 with 2 inert bands
+    got = np.asarray(deconvolve_cube(jnp.asarray(cube), geo, chunk_size=4))
+
+    # oracle with the vectorized FIR stage (identical numerics)
+    acc = np.zeros_like(cube, np.float64)
+    for b in range(geo.taps.shape[0]):
+        filtered = _vectorized_convolve1d_oracle(cube, geo.taps[b])
+        img = (filtered.astype(np.float64) ** 2).sum(axis=-1).astype(np.float32)
+        pad_r, pad_c = int(geo.pad_r[b]), int(geo.pad_c[b])
+        canvas = geo.psfs[b]
+        r0 = (canvas.shape[0] - (2 * pad_r + 1)) // 2
+        c0 = (canvas.shape[1] - (2 * pad_c + 1)) // 2
+        psf_k = canvas[r0 : r0 + 2 * pad_r + 1, c0 : c0 + 2 * pad_c + 1]
+        u = od.richardson_lucy_oracle(img, psf_k, int(geo.n_iter[b]))
+        gains = np.sqrt(np.maximum(u, 0.0) / img)
+        acc += (filtered * gains[:, :, None]).astype(np.float64)
+    expected = acc.astype(np.float32)
+
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got / scale, expected / scale, atol=5e-3)
+
+
+@needs_psf
+def test_pallas_matches_scan_realistic_geometry(monkeypatch):
+    """The production pallas RL kernel agrees with the SPMD scan path on
+    the same realistic geometry (interpret mode on CPU)."""
+    t, cube, geo = _realistic_case(n_filters=6, n_iterations=5)
+    scan = np.asarray(
+        deconvolve_cube(jnp.asarray(cube), geo, chunk_size=4, rl_impl="scan")
+    )
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    pallas = np.asarray(
+        deconvolve_cube(jnp.asarray(cube), geo, chunk_size=4, rl_impl="pallas")
+    )
+    scale = np.abs(scan).max()
+    np.testing.assert_allclose(pallas / scale, scan / scale, atol=2e-3)

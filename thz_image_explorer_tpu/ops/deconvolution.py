@@ -413,10 +413,16 @@ def _gains_chunk(power, xh, xt, w2, gh, gt, prs, pcs, rs, cs, n_iter,
         # VMEM-resident RL (ops/pallas_rl.rl_bands_separable): pad all
         # bands with two batched matmuls, run every band's full RL
         # recurrence on-chip, crop + gain-map in one batched epilogue.
+        import os
+
         from thz_image_explorer_tpu.ops.pallas_rl import rl_bands_separable
 
+        # THZ_PALLAS_INTERPRET=1 runs the pallas kernel in interpret mode
+        # (CPU tests of the production kernel path); read at trace time
+        interp = os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"
+
         padded = mm(mm(prs, imgs), jnp.transpose(pcs, (0, 2, 1)))
-        u = rl_bands_separable(padded, rs, cs, n_iter)
+        u = rl_bands_separable(padded, rs, cs, n_iter, interpret=interp)
         u = u[:, pad_r_max : pad_r_max + x, pad_c_max : pad_c_max + y]
         # 0/0 -> NaN, as in the reference
         return jnp.sqrt(jnp.maximum(u, 0.0) / imgs)
