@@ -1,0 +1,70 @@
+"""Python mirrors of the browser-side pure functions.
+
+No JS engine exists in the build/test environment, so the small amount of
+logic that must live in the browser (click geometry, the ROI auto-close
+rule, gauge value mapping) is mirrored here 1:1 and pinned by
+``tests/test_jslogic.py``: the tests (a) exercise these mirrors on edge
+cases and (b) assert the embedded JS source in
+:mod:`thz_image_explorer_tpu.web` contains the exact same constants and
+formulas, so the two cannot drift silently.
+
+References: ``matrix_plot.rs:569-637`` (5%-close rule, click mapping with
+the vertical flip), ``gauge_widget.rs:15-209`` (arc −45°..150°, log ticks).
+"""
+
+from __future__ import annotations
+
+import math
+
+#: auto-close tolerance as a fraction of the larger image dimension
+ROI_CLOSE_FRACTION = 0.05
+
+#: gauge arc span in degrees (gauge_widget.rs)
+GAUGE_A0 = -45.0
+GAUGE_A1 = 150.0
+
+
+def roi_click_closes(
+    first_vertex: tuple[float, float],
+    click: tuple[float, float],
+    image_shape: tuple[int, int],
+) -> bool:
+    """True when a shift-click closes the polygon draft: within 5% of the
+    larger image dimension of the FIRST vertex (``matrix_plot.rs:569-637``;
+    JS: ``Math.hypot(fx-x, fy-y) < 0.05*Math.max(...)``)."""
+    tol = ROI_CLOSE_FRACTION * max(image_shape[0], image_shape[1])
+    return math.hypot(first_vertex[0] - click[0], first_vertex[1] - click[1]) < tol
+
+
+def display_to_pixel(
+    client_x: float, client_y: float, img_scale: float, image_h: int
+) -> tuple[int, int]:
+    """Canvas click -> data pixel: x is the column, y is vertically
+    flipped (the reference renders ``img[(y, x)]`` from ``data[(x, y)]``
+    with the flip, ``matrix_plot.rs:409-426``)."""
+    x = math.floor(client_x / img_scale)
+    y = image_h - 1 - math.floor(client_y / img_scale)
+    return x, y
+
+
+def gauge_fraction(value: float, min_i: float, max_i: float, log: bool) -> float:
+    """Value -> [0, 1] arc fraction; log10 mapping for the pressure gauge
+    (JS ``frac`` in ``drawGauge``). Unclamped, like the JS."""
+    if log:
+        return (math.log10(max(value, min_i)) - math.log10(min_i)) / (
+            math.log10(max_i) - math.log10(min_i)
+        )
+    return (value - min_i) / (max_i - min_i)
+
+
+def gauge_value_deg(value: float, min_i: float, max_i: float, log: bool) -> float:
+    """The filled arc's end angle in gauge degrees (clamped fraction)."""
+    frac = max(0.0, min(1.0, gauge_fraction(value, min_i, max_i, log)))
+    return GAUGE_A0 + frac * (GAUGE_A1 - GAUGE_A0)
+
+
+def gauge_angle_rad(deg: float) -> float:
+    """Gauge degrees -> canvas radians (JS ``ang``): the reference's
+    ``x = -cos(phi)`` convention puts 0° at the left, increasing
+    counter-clockwise."""
+    return (180.0 - deg) * math.pi / 180.0
