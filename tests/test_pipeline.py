@@ -568,3 +568,37 @@ def test_fused_incremental_from_fft(tmp_path):
     exact.open_file(path)
     exact.set_fft_window_low(2.5)
     _cube_close(p.output, exact.pipeline.output)
+
+
+def test_warmup_precompiles_all_dirty_ranges(tmp_path):
+    """serve --precompile: warmup() builds the fused program for every
+    dirty-range start, so a later slider drag triggers no new compile."""
+    import jax
+    import logging
+
+    path, *_ = _scan_file(tmp_path, width=16, height=12, n_time=64)
+    ex = Explorer()
+    ex.open_file(path)
+    ex.warmup()
+    ex.pipeline._timer.drain()
+
+    msgs = []
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            msgs.append(r.getMessage())
+
+    h = _H()
+    lg = logging.getLogger("jax._src.interpreters.pxla")
+    lg.addHandler(h)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        ex.set_fft_window_low(1.3)          # from fft_index
+        ex.set_downscaling(1)               # from scaling_index (no-op scale)
+        ex.update_filter("time_band_pass_after_fft")
+        ex.pipeline._timer.drain()
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        lg.removeHandler(h)
+    compiles = [m for m in msgs if m.startswith("Compiling ")]
+    assert compiles == [], compiles

@@ -229,7 +229,7 @@ def _cmd_psf_fit(args):
 def _cmd_serve(args):
     from thz_image_explorer_tpu.web import serve
 
-    serve(port=args.port, scan=args.scan)
+    serve(port=args.port, scan=args.scan, precompile=args.precompile)
     return 0
 
 
@@ -323,6 +323,9 @@ def main(argv=None):
     p = sub.add_parser("serve", help="interactive web frontend")
     p.add_argument("scan", nargs="?", default=None)
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--precompile", action="store_true",
+                   help="compile every dirty-range program for the opened "
+                        "scan's shape bucket in the background at startup")
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("update", help="check for (and install) a newer release")

@@ -345,6 +345,22 @@ class Explorer:
         """ApplyPSF from the PSF tool (``data_thread.rs:787-796``)."""
         self.pipeline.psf = psf
 
+    def warmup(self):
+        """Precompile the fused interactive programs for every dirty-range
+        start point at the current scan shape/active-set (``serve
+        --precompile`` enqueues this right after the first open, so the
+        first slider drag of a session hits already-compiled code; results
+        land in the persistent compile cache for future sessions). Each
+        run recomputes slots to identical values — no user-visible state
+        changes, no publish."""
+        p = self.pipeline
+        if p.input is None:
+            return
+        starts = {1, p.scaling_index, p.fft_index, p.ifft_index}
+        starts.update(p.index_of(uuid) for uuid in p.filters)
+        for s in sorted(starts):
+            p.run_from(s)
+
     # ------------------------------------------------------- fft config
     def set_fft_window_low(self, low: float):
         self.pipeline.config.fft_window[0] = low

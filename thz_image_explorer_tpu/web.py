@@ -818,10 +818,16 @@ def make_handler(app: WebApp):
     return Handler
 
 
-def serve(port: int = 8080, scan: str | None = None, open_worker=None):
+def serve(port: int = 8080, scan: str | None = None, open_worker=None,
+          precompile: bool = False):
     app = WebApp(open_worker)
     if scan:
         app.worker.send("open_file", scan)
+        if precompile:
+            # background warmup: compile every dirty-range program for
+            # this scan's bucket while the user looks at the first image
+            # (the busy state shows the 'compiling' phase)
+            app.worker.send("warmup")
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(app))
     print(f"THz Image Explorer (TPU) serving on http://127.0.0.1:{port}")
     try:
