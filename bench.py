@@ -390,6 +390,9 @@ def bench_explorer(t, data):
         g.create_dataset("ds1", data=t)
         g.create_dataset("ds2", data=data)
 
+    import jax
+    import jax.numpy as jnp
+
     ex = Explorer()
     ex.open_file(path)
     for uuid in ("time_band_pass_before_fft", "frequency_band_pass",
@@ -399,21 +402,40 @@ def bench_explorer(t, data):
     ex.set_fft_window_low(1.0)  # compile the fused from-fft program
     ex.pipeline._timer.drain()
 
+    # device time of the PRODUCT fused program, measured like the
+    # pipelined headline: N back-to-back dispatches of the executor's
+    # fused dirty-range run (no publish), ONE completion barrier at the
+    # end — comparable 1:1 with pipelined_update_ms
+    p = ex.pipeline
+    _sum = jax.jit(jnp.sum)
+    p.record_timings = False  # no probe dispatches between runs
+    t0 = time.perf_counter()
+    for i in range(RUNS):
+        p.config.fft_window[0] = 1.0 + 0.001 * i
+        p.run_from(p.fft_index)
+    float(_sum(p.output.data))
+    device_s = (time.perf_counter() - t0) / RUNS
+    p.record_timings = True
+
+    # full product update wall p50: slider command incl. the one-transfer
+    # publish (pays the tunnel round-trip per update in this harness)
     walls = []
     for i in range(RUNS):
         t0 = time.perf_counter()
-        ex.set_fft_window_low(1.0 + 0.001 * i)
+        ex.set_fft_window_low(1.05 + 0.001 * i)
         walls.append(time.perf_counter() - t0)
     ex.pipeline._timer.drain()
-    chain_ms = ex.pipeline.timings.get("chain")
     padded = ex.pipeline.input.data.shape
+    px = padded[0] * padded[1]
     return {
-        "explorer_update_ms": None if chain_ms is None else round(chain_ms * 1e3, 3),
+        "explorer_update_ms": round(device_s * 1e3, 3),
         "explorer_update_p50_wall_ms": round(float(np.median(walls)) * 1e3, 2),
         "padded_grid": f"{padded[0]}x{padded[1]}x{padded[2]}",
-        "note": "explorer_update_ms = fused chain program device time on the "
-                "product path (completion probe); wall p50 adds the publish "
-                "gather + one host<->device round-trip of the tunnel",
+        "padded_overhead": round(px / (WIDTH * HEIGHT) - 1.0, 3),
+        "note": "explorer_update_ms = per-update device time of the product "
+                "executor's fused dirty-range program (N async dispatches, "
+                "one barrier), on the bucket-padded grid; wall p50 adds the "
+                "publish gather + one tunnel round-trip per update",
     }
 
 
@@ -562,6 +584,13 @@ def main():
         # delivers) and wall p50 including this harness's ~30 ms tunnel RTT
         extra["vs_baseline_pinned"] = round(pinned_ms / 1e3 / pipelined_s, 1)
         extra["vs_baseline_pinned_incl_rtt"] = round(pinned_ms / 1e3 / tpu_s, 1)
+        extra["vs_baseline_note"] = (
+            "pinned = best-of-8 quiet-host torch denominator "
+            "(BASELINE_CPU.json); vs_baseline_pinned is the device basis "
+            "(what a production-local TPU delivers per update); the "
+            "incl_rtt basis additionally carries this harness's ~27 ms "
+            "tunnel round-trip per update, absent on a local chip"
+        )
     if chain_flops is not None:
         extra["chain_gflops_per_update"] = round(chain_flops / 1e9, 2)
         extra["mfu"] = round(chain_flops / pipelined_s / PEAK_BF16_FLOPS, 4)

@@ -36,10 +36,11 @@ def _norm_close(got, expected, atol=1e-4, label=""):
     )
 
 
-def _build(tmp_path, avg_fourier):
+def _build(tmp_path, avg_fourier, fused=True):
     t, cube = synthetic_scan(width=32, height=32, n_time=128, seed=7)
     path = write_scan_thz(str(tmp_path / "scan.thzimg"), t, cube, dx=0.5, dy=0.5)
     ex = Explorer()
+    ex.pipeline.fused_mode = fused
     ex.open_file(path)
     ex.set_avg_in_fourier_space(avg_fourier)
     ex.set_selected_pixel(*PIXEL)
@@ -126,7 +127,10 @@ def _filter_params(p):
 
 @pytest.mark.parametrize("avg_fourier", [False, True])
 def test_whole_chain_slots_match_oracle(tmp_path, avg_fourier):
-    ex, t, cube = _build(tmp_path, avg_fourier)
+    # exact per-stage mode: every slot is materialized for the golden
+    # per-slot comparison (fused mode virtualizes intermediates; its
+    # product surfaces are covered by the publish test below)
+    ex, t, cube = _build(tmp_path, avg_fourier, fused=False)
     p = ex.pipeline
     slots_exp, freq = _oracle_chain(t, cube, avg_fourier, _filter_params(p))
 

@@ -151,13 +151,20 @@ def pixel_mask(shape2: tuple[int, int], valid_wh) -> jnp.ndarray:
 
 def masked_pixel_mean(x: jnp.ndarray, valid_wh) -> jnp.ndarray:
     """Mean over the pixel axes (0, 1) restricted to the valid region —
-    exact on bucket-padded cubes (padded pixels are zero but must not
-    dilute the denominator). When the cube is sharded this is the ICI
-    ``psum`` of the pipeline."""
-    m = pixel_mask(x.shape[:2], valid_wh).astype(x.dtype)
+    exact on bucket-padded cubes (padded pixels must not dilute the
+    denominator). When the cube is sharded this is the ICI ``psum`` of
+    the pipeline.
+
+    No mask pass is needed: padded pixels are EXACTLY zero by
+    construction (the loader pads with zeros; DC-offset subtraction maps
+    0 to 0; every pipeline stage is linear or multiplicative in the pixel
+    values — window/band-pass multiplies, DFT matmuls, tilt's gather with
+    zero head-fill — so zeros are preserved through the whole chain and
+    the plain sum already equals the valid-region sum). Measured: the
+    mask-multiply variant cost ~1.2 ms/update at the 200x200x1024 bench
+    shape (three extra passes over the spectra)."""
     count = jnp.maximum(valid_wh[0] * valid_wh[1], 1).astype(x.dtype)
-    extra = (1,) * (x.ndim - 2)
-    return jnp.sum(x * m.reshape(m.shape + extra), axis=(0, 1)) / count
+    return jnp.sum(x, axis=(0, 1)) / count
 
 
 def make_cube(

@@ -159,6 +159,44 @@ class _Meta:
         self.width, self.height, self.dx, self.dy = width, height, dx, dy
 
 
+class _Virtual:
+    """Sentinel for a slot the fused mode did NOT materialize: its value
+    is recomputable (stages are pure) from the nearest materialized
+    ancestor, and nothing reads it directly — keeping it out of HBM is
+    what makes the fused update as cheap as the benchmark step."""
+
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return "<virtual slot>"
+
+
+VIRTUAL = _Virtual()
+
+
+class RawFDView:
+    """Publisher-facing view of the raw-spectrum slot (``fft_index+1`` —
+    the reference's "raw spectrum" source, ``data_thread.rs:1365-1380``)
+    when that slot is virtualized: only the arrays the publisher reads
+    (amplitudes, phases, freq) are materialized by the fused program."""
+
+    __slots__ = ("amplitudes", "phases", "freq", "scaling")
+
+    def __init__(self, amplitudes, phases, freq, scaling: int):
+        self.amplitudes = amplitudes
+        self.phases = phases
+        self.freq = freq
+        self.scaling = scaling
+
+    @property
+    def width(self) -> int:
+        return self.amplitudes.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.amplitudes.shape[1]
+
+
 class Pipeline:
     """Ordered stage chain with dirty-index incremental recompute.
 
@@ -218,6 +256,8 @@ class Pipeline:
         #: host copy of slot 0's valid (width, height) when the loader
         #: bucket-padded the grid (None = full grid valid)
         self.valid_wh0: Optional[tuple[int, int]] = None
+        #: partial raw-spectrum view when slot fft_index+1 is virtual
+        self._raw_fd_partial: Optional[RawFDView] = None
         #: user-visible busy phase: "compiling" while a first-time program
         #: for this shape/config is being built (the slow part over a
         #: remote compile service), else None — the web UI shows it so a
@@ -235,7 +275,32 @@ class Pipeline:
 
     @property
     def output(self) -> Optional[ScanCube]:
-        return self.slots[-1]
+        out = self.slots[-1]
+        return None if out is VIRTUAL else out
+
+    def _is_materialized(self, i: int) -> bool:
+        s = self.slots[i]
+        return s is not None and s is not VIRTUAL
+
+    def _resolve_start(self, start: int) -> int:
+        """Largest start' <= start whose input slot is materialized.
+        Virtual slots are recomputable (stages are pure), so running the
+        extra prefix with unchanged parameters reproduces them exactly —
+        and in fused mode the prefix costs no extra HBM materialization."""
+        a = start - 1
+        while a > 0 and not self._is_materialized(a):
+            a -= 1
+        return a + 1
+
+    def raw_fd_view(self):
+        """The raw-spectrum source the publisher reads (slot
+        ``fft_index+1``): the full cube when materialized (exact mode),
+        else the fused run's partial view."""
+        i = min(self.fft_index + 1, len(self.slots) - 1)
+        s = self.slots[i]
+        if s is not None and s is not VIRTUAL:
+            return s
+        return self._raw_fd_partial
 
     def set_input(
         self,
@@ -289,7 +354,7 @@ class Pipeline:
         """
         if block_timings is None:
             block_timings = force_all
-        start = max(start_idx, 1)
+        start = self._resolve_start(max(start_idx, 1))
         run_deconvolution = True
         if fused is None:
             fused = self.fused_mode and not block_timings
@@ -399,11 +464,14 @@ class Pipeline:
     def _run_fused(self, start: int, end: int):
         """Execute ``chain[start:end]`` as ONE jit-compiled program.
 
-        The program returns a list with one entry per stage: a new cube
-        where the stage produced one, ``None`` where it was identity —
-        identity slots then share their predecessor's Python object, so
-        HBM holds exactly the distinct cubes (same residency as the
-        per-stage path, minus the inter-stage dispatches)."""
+        The program materializes ONLY what is consumed: the cube at
+        ``end-1`` (the publisher's final slot / the per-stage tail's
+        input) and — when slot ``fft_index+1`` lies in the range — that
+        slot's amplitudes/phases/freq (all the publisher reads from the
+        raw-spectrum source). Every other slot becomes :data:`VIRTUAL`:
+        recomputable on demand, never written to HBM. This keeps the
+        product update's HBM traffic at the benchmark step's level —
+        materializing every intermediate slot measured ~2.3x slower."""
         names = tuple(self.chain[start:end])
         inp = self.slots[start - 1]
         time_np = self._host_time.get(start - 1)
@@ -412,7 +480,7 @@ class Pipeline:
             self._host_time[start - 1] = time_np
 
         # host walk: clamp params, collect statics + traced params, and
-        # mirror the time axis through the range
+        # mirror the time axis / downscale factor through the range
         cfg = self.config
         meta = _Meta(inp.width, inp.height, inp.dx, inp.dy)
         host_times: list[np.ndarray] = []
@@ -420,7 +488,9 @@ class Pipeline:
         actives: list[bool] = []
         stage_params: dict[str, object] = {}
         t_np = time_np
-        for name in names:
+        rawfd_scaling = inp.scaling
+        rawfd_idx = self.fft_index + 1
+        for k, name in enumerate(names):
             if name == "scaling":
                 s = cfg.scale_factor
                 if s > 1 and meta.width // s > 0 and meta.height // s > 0:
@@ -430,6 +500,8 @@ class Pipeline:
                         None if meta.dx is None else meta.dx * s,
                         None if meta.dy is None else meta.dy * s,
                     )
+                    if start + k <= rawfd_idx:
+                        rawfd_scaling = s
                 statics.append(())
                 actives.append(True)
             elif name in ("fft", "ifft"):
@@ -465,6 +537,8 @@ class Pipeline:
                 cfg.fft_window_type,
                 int(cfg.scale_factor),
                 bool(cfg.avg_in_fourier_space),
+                start,
+                rawfd_idx,
             )
             self._fused_cache[key] = fn
 
@@ -474,7 +548,7 @@ class Pipeline:
         if shape_key not in self._dispatched:
             self.phase = "compiling"
         try:
-            outs = fn(
+            final, rawfd = fn(
                 inp,
                 np.float32(cfg.fft_window[0]),
                 np.float32(cfg.fft_window[1]),
@@ -483,27 +557,35 @@ class Pipeline:
         finally:
             self._dispatched.add(shape_key)
             self.phase = None
-        last = None
-        for off, out in enumerate(outs):
-            i = start + off
-            self.slots[i] = self.slots[i - 1] if out is None else out
-            self._host_time[i] = host_times[off]
-            if out is not None:
-                last = out
-        if self.record_timings and last is not None:
+        for off in range(len(names) - 1):
+            self.slots[start + off] = VIRTUAL
+            self._host_time[start + off] = host_times[off]
+        self.slots[end - 1] = final
+        self._host_time[end - 1] = host_times[-1]
+        if rawfd is not None:
+            self._raw_fd_partial = RawFDView(
+                rawfd[0], rawfd[1], rawfd[2], rawfd_scaling
+            )
+        if self.record_timings:
             # one program = one honest device-time number; per-stage ms
             # keep their last exact-mode values (class docstring)
-            self._timer.record("chain", last.data)
+            self._timer.record("chain", final.data)
 
-    def _build_fused(self, names, actives, statics, window_type, scale, avg_flag):
+    def _build_fused(self, names, actives, statics, window_type, scale,
+                     avg_flag, start, rawfd_idx):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
-        from the traced ``stage_params`` dict (stage.py protocol)."""
+        from the traced ``stage_params`` dict (stage.py protocol).
+        Returns ``(final_cube, rawfd)`` where ``rawfd`` is the
+        (amplitudes, phases, freq) of slot ``rawfd_idx`` when it lies in
+        the range, else None."""
         filters = self.filters
 
         def fn(cube: ScanCube, window_low, window_high, stage_params):
-            outs = []
-            for name, active, static in zip(names, actives, statics):
+            rawfd = None
+            for k, (name, active, static) in enumerate(
+                zip(names, actives, statics)
+            ):
                 prev = cube
                 if name == "scaling":
                     cube = scale_cube(cube, scale)
@@ -517,8 +599,9 @@ class Pipeline:
                     )
                 if cube is not prev and cube.n_time != prev.n_time:
                     cube = self._replan(cube)
-                outs.append(None if cube is prev else cube)
-            return outs
+                if start + k == rawfd_idx:
+                    rawfd = (cube.amplitudes, cube.phases, cube.freq)
+            return cube, rawfd
 
         return jax.jit(fn)
 

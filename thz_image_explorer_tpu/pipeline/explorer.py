@@ -505,8 +505,8 @@ class Explorer:
             self.plot = plot
             return
 
-        raw_fd = slots[min(self.pipeline.fft_index + 1, len(slots) - 1)]
-        filtered = slots[-1]
+        raw_fd = self.pipeline.raw_fd_view()
+        filtered = self.pipeline.output
         if raw_fd is None or filtered is None:
             # mid-failure fallback: still publish the raw trace so the GUI
             # shows *something* (the reference publishes per-slot too)
