@@ -409,12 +409,15 @@ def bench_explorer(t, data):
     p = ex.pipeline
     _sum = jax.jit(jnp.sum)
     p.record_timings = False  # no probe dispatches between runs
-    t0 = time.perf_counter()
-    for i in range(RUNS):
-        p.config.fft_window[0] = 1.0 + 0.001 * i
-        p.run_from(p.fft_index)
-    float(_sum(p.output.data))
-    device_s = (time.perf_counter() - t0) / RUNS
+    windows = []
+    for w in range(3):  # best-of-3: the tunnelled worker has transient stalls
+        t0 = time.perf_counter()
+        for i in range(RUNS):
+            p.config.fft_window[0] = 1.0 + 0.001 * (w * RUNS + i)
+            p.run_from(p.fft_index)
+        float(_sum(p.output.data))
+        windows.append((time.perf_counter() - t0) / RUNS)
+    device_s = min(windows)
     p.record_timings = True
 
     # full product update wall p50: slider command incl. the one-transfer
