@@ -324,3 +324,60 @@ def test_origin_check_blocks_cross_site():
         assert not probe._origin_ok()
     finally:
         app.worker.close()
+
+
+def test_settings_persist_across_sessions(tmp_path, monkeypatch):
+    """The reference restores GuiSettingsContainer (incl. the serialized
+    PSF) at startup and autosaves on exit (main.rs:144-161, :116-126);
+    here: apply_settings/collect_settings + Settings JSON round-trip."""
+    from thz_image_explorer_tpu.io import load_psf
+    from thz_image_explorer_tpu.utils.settings import Settings
+    from thz_image_explorer_tpu.web import WebApp
+
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    app = WebApp()
+    try:
+        app.worker.call(
+            lambda ex: ex.apply_settings(
+                Settings(
+                    avg_in_fourier_space=True,
+                    downscaling=2,
+                    sample_thickness=0.42,
+                    kernel_radius=5,
+                    psf=load_psf("/root/reference/sample_data/psf.npz"),
+                )
+            )
+        )
+        app.save_settings()
+    finally:
+        app.worker.close()
+
+    # "next session": a fresh app with load_settings=True restores it all
+    app2 = WebApp(load_settings=True)
+    try:
+        app2.worker.join_idle(60)
+        ex = app2.worker.explorer
+        assert ex.pipeline.config.avg_in_fourier_space is True
+        assert ex.pipeline.config.scale_factor == 2
+        assert ex.sample_thickness == 0.42
+        assert ex.view3d["kernel_radius"] == 5
+        assert ex.pipeline.psf is not None and ex.pipeline.psf.is_loaded
+    finally:
+        app2.worker.close()
+
+
+def test_psf_tool_state_persists(tmp_path, monkeypatch):
+    """PSF-tool parameters survive a restart (app.rs:33-69)."""
+    from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
+
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    t1 = PsfToolApp(persist=True)
+    t1.x_path = "/data/knife_x.thz"
+    t1.filter_params.n_filters = 7
+    t1.fit_params.w_max = 12.5
+    t1.save_state()
+
+    t2 = PsfToolApp(persist=True)
+    assert t2.x_path == "/data/knife_x.thz"
+    assert t2.filter_params.n_filters == 7
+    assert t2.fit_params.w_max == 12.5

@@ -345,6 +345,42 @@ class Explorer:
         """ApplyPSF from the PSF tool (``data_thread.rs:787-796``)."""
         self.pipeline.psf = psf
 
+    def apply_settings(self, s):
+        """Apply persisted user preferences at startup — the reference
+        loads ``GuiSettingsContainer`` (incl. the serialized PSF) before
+        the first frame (``main.rs:144-161``,
+        ``gui/application.rs:134-170``)."""
+        cfg = self.pipeline.config
+        cfg.fft_log_plot = bool(s.fft_log_plot)
+        cfg.avg_in_fourier_space = bool(s.avg_in_fourier_space)
+        cfg.scale_factor = int(s.downscaling)
+        self.sample_thickness = float(s.sample_thickness)
+        self.view3d.update(
+            opacity_threshold=float(s.opacity_threshold),
+            contrast=float(s.contrast_3d),
+            kernel_sigma=float(s.kernel_sigma),
+            kernel_radius=int(s.kernel_radius),
+        )
+        if s.psf is not None and s.psf.is_loaded:
+            self.pipeline.psf = s.psf
+
+    def collect_settings(self):
+        """Current preferences for the exit autosave (``main.rs:116-126``)."""
+        from thz_image_explorer_tpu.utils.settings import Settings
+
+        cfg = self.pipeline.config
+        return Settings(
+            fft_log_plot=bool(cfg.fft_log_plot),
+            avg_in_fourier_space=bool(cfg.avg_in_fourier_space),
+            downscaling=int(cfg.scale_factor),
+            sample_thickness=float(self.sample_thickness),
+            opacity_threshold=float(self.view3d["opacity_threshold"]),
+            contrast_3d=float(self.view3d["contrast"]),
+            kernel_sigma=float(self.view3d["kernel_sigma"]),
+            kernel_radius=int(self.view3d["kernel_radius"]),
+            psf=self.pipeline.psf,
+        )
+
     def warmup(self):
         """Precompile the fused interactive programs for every dirty-range
         start point at the current scan shape/active-set (``serve

@@ -239,11 +239,32 @@ class PsfToolApp:
     """Threaded orchestration with param-hash auto-recompute, cancellation
     and stale-result guards (``app.rs:155-413,759-840``)."""
 
-    def __init__(self):
+    def __init__(self, persist_dir: Optional[str] = None,
+                 persist: bool = False):
         self.filter_params = FilterParams()
         self.fit_params = BeamFitParams()
         self.x_path: Optional[str] = None
         self.y_path: Optional[str] = None
+        # persisted parameters (the reference's JSON state at
+        # <config>/psf_tool_state.json, app.rs:33-69)
+        self._persist_dir = persist_dir
+        self._persist = persist
+        if persist:
+            from thz_image_explorer_tpu.utils.settings import PsfToolState
+
+            st = PsfToolState.load(persist_dir)
+            self.x_path = st.knife_edge_x_path or None
+            self.y_path = st.knife_edge_y_path or None
+            self.filter_params = FilterParams(
+                n_filters=st.n_filters, low_cut=st.low_cut,
+                high_cut=st.high_cut, start_freq=st.start_freq,
+                end_freq=st.end_freq, win_width=st.win_width,
+                frequency_spacing=st.frequency_spacing,
+            )
+            self.fit_params = BeamFitParams(
+                w_max=st.w_max,
+                use_monotonicity_constraint=st.use_monotonicity_constraint,
+            )
         self.result: Optional[PsfComputeResult] = None
         self.diagnostics: Optional[DiagnosticResults] = None
         self.error: Optional[str] = None
@@ -276,8 +297,31 @@ class PsfToolApp:
         self.start_computation()
         return True
 
+    def save_state(self):
+        """Persist the tool parameters (``app.rs:33-69``: the reference
+        writes its JSON state whenever parameters change)."""
+        if not self._persist:
+            return
+        from thz_image_explorer_tpu.utils.settings import PsfToolState
+
+        f, b = self.filter_params, self.fit_params
+        try:
+            PsfToolState(
+                knife_edge_x_path=self.x_path or "",
+                knife_edge_y_path=self.y_path or "",
+                n_filters=f.n_filters, low_cut=f.low_cut,
+                high_cut=f.high_cut, start_freq=f.start_freq,
+                end_freq=f.end_freq, win_width=f.win_width,
+                frequency_spacing=f.frequency_spacing,
+                w_max=b.w_max,
+                use_monotonicity_constraint=b.use_monotonicity_constraint,
+            ).save(self._persist_dir)
+        except OSError:  # pragma: no cover - config dir not writable
+            pass
+
     def start_computation(self):
         """Cancel any in-flight run and start a new one."""
+        self.save_state()
         self.cancel()
         self._cancel = threading.Event()
         self._run_id += 1

@@ -68,7 +68,8 @@ def _series(arr, limit=2048):
 
 
 class WebApp:
-    def __init__(self, worker: ExplorerWorker | None = None):
+    def __init__(self, worker: ExplorerWorker | None = None,
+                 load_settings: bool = False):
         self.worker = worker or ExplorerWorker()
         self._lock = threading.Lock()
         # colorbar / display state (matrix_plot.rs:68-314): clipping
@@ -77,6 +78,20 @@ class WebApp:
         from thz_image_explorer_tpu.utils.logbuffer import install_log_buffer
 
         self.logbuf = install_log_buffer()
+        if load_settings:
+            # the reference restores GuiSettingsContainer (incl. the
+            # serialized PSF) before the first frame (main.rs:144-161)
+            from thz_image_explorer_tpu.utils.settings import Settings
+
+            self.worker.send("apply_settings", Settings.load())
+
+    def save_settings(self):
+        """Exit autosave (``main.rs:116-126``)."""
+        try:
+            s = self.worker.call(lambda ex: ex.collect_settings(), timeout=10)
+            s.save()
+        except Exception:  # noqa: BLE001 — never block shutdown on this
+            pass
 
     # ------------------------------------------------------------- state
     def state(self) -> dict:
@@ -384,7 +399,9 @@ class WebApp:
         if not hasattr(self, "_psf_tool"):
             from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
 
-            self._psf_tool = PsfToolApp()
+            # the app context persists tool parameters across sessions
+            # (<config>/psf_tool_state.json, app.rs:33-69)
+            self._psf_tool = PsfToolApp(persist=True)
         return self._psf_tool
 
     def psf_state(self) -> dict:
@@ -481,6 +498,7 @@ class WebApp:
         if method == "set_path":
             axis, path = args
             setattr(tool, f"{axis}_path", path or None)
+            tool.save_state()
         elif method == "set_filter_param":
             key, value = args
             cur = getattr(tool.filter_params, key)
@@ -489,10 +507,12 @@ class WebApp:
                 key,
                 type(cur)(value) if not isinstance(cur, str) else str(value),
             )
+            tool.save_state()
         elif method == "set_fit_param":
             key, value = args
             cur = getattr(tool.fit_params, key)
             setattr(tool.fit_params, key, type(cur)(value))
+            tool.save_state()
         elif method == "run":
             tool.start_computation()
         elif method == "cancel":
@@ -820,7 +840,7 @@ def make_handler(app: WebApp):
 
 def serve(port: int = 8080, scan: str | None = None, open_worker=None,
           precompile: bool = False):
-    app = WebApp(open_worker)
+    app = WebApp(open_worker, load_settings=True)
     if scan:
         app.worker.send("open_file", scan)
         if precompile:
@@ -835,6 +855,7 @@ def serve(port: int = 8080, scan: str | None = None, open_worker=None,
     except KeyboardInterrupt:
         pass
     finally:
+        app.save_settings()  # exit autosave (main.rs:116-126)
         app.worker.close()
 
 
