@@ -30,7 +30,12 @@ def _cmd_info(args):
 
     cube, img, md = open_scan(args.scan)
     print(f"file:      {args.scan}")
-    print(f"scan:      {cube.width} x {cube.height} pixels x {cube.n_time} samples")
+    # img is cropped to the TRUE scan size (the device grid is
+    # bucket-padded; users should never see the padding)
+    print(
+        f"scan:      {img.shape[0]} x {img.shape[1]} pixels x "
+        f"{cube.n_time} samples"
+    )
     print(f"dx/dy:     {cube.dx} / {cube.dy} mm")
     t = np.asarray(cube.time)
     print(f"time:      {t[0]:.2f} .. {t[-1]:.2f} ps (dt {t[1]-t[0]:.4f})")
@@ -130,15 +135,15 @@ def _export_vtu(ex, path):
 
     out = ex.pipeline.output
     t = np.asarray(out.time)
+    v0 = ex.pipeline.valid_wh0 or (
+        ex.pipeline.input.width, ex.pipeline.input.height
+    )
     positions, rgba, *_ = extract_instances(
         out.data,
         time_span=float(t[-1] - t[0]),
         scaling=out.scaling,
-        original_dims=(
-            ex.pipeline.input.width,
-            ex.pipeline.input.height,
-            ex.pipeline.input.n_time,
-        ),
+        original_dims=(v0[0], v0[1], ex.pipeline.input.n_time),
+        valid_grid=ex.pipeline.valid_for(out),
     )
     export_to_vtk(positions, rgba, path)
     print(f"exported {len(positions)} voxels -> {path}")
