@@ -396,6 +396,27 @@ class Explorer:
         starts.update(p.index_of(uuid) for uuid in p.filters)
         for s in sorted(starts):
             p.run_from(s)
+        # also warm the 3-D voxel program (its remote compile is ~1 min —
+        # longer than the web call timeout — so the first 3-D tab view
+        # would otherwise show the busy fallback until compiled)
+        out = p.output
+        if out is not None:
+            from thz_image_explorer_tpu.ops.voxel import (
+                gaussian_kernel1d,
+                voxel_opacities,
+            )
+            import jax.numpy as jnp
+
+            kernel = jnp.asarray(
+                gaussian_kernel1d(
+                    self.view3d["kernel_sigma"], self.view3d["kernel_radius"]
+                )
+            )
+            voxel_opacities(
+                out.data, kernel, np.float32(self.view3d["contrast"]),
+                np.float32(self.view3d["opacity_threshold"]),
+                self.view3d["kernel_radius"],
+            )
 
     # ------------------------------------------------------- fft config
     def set_fft_window_low(self, low: float):

@@ -376,22 +376,33 @@ class WebApp:
 
     def _window_shape(self):
         """The FFT window's live shape for the settings plot
-        (``right_panel.rs:214-299``)."""
+        (``right_panel.rs:214-299``). Cached per (time axis, window
+        params): the state poll runs several times per second and a
+        device read costs a full tunnel round-trip."""
         ex = self.worker.explorer
         inp = ex.pipeline.input
         if inp is None:
             return []
+        cfg = ex.pipeline.config
+        key = (
+            id(inp.time), cfg.fft_window_type,
+            float(cfg.fft_window[0]), float(cfg.fft_window[1]),
+        )
+        cached = getattr(self, "_window_shape_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         from thz_image_explorer_tpu.ops.windows import window_array
         import jax as _jax
 
-        cfg = ex.pipeline.config
         w = _jax.jit(window_array, static_argnames=("window_type",))(
             inp.time,
             cfg.fft_window_type,
             np.float32(cfg.fft_window[0]),
             np.float32(cfg.fft_window[1]),
         )
-        return _series(np.asarray(w), limit=512)
+        out = _series(np.asarray(w), limit=512)
+        self._window_shape_cache = (key, out)
+        return out
 
     # ---------------------------------------------------------- PSF tool
     @property
