@@ -381,3 +381,18 @@ def test_psf_tool_state_persists(tmp_path, monkeypatch):
     assert t2.x_path == "/data/knife_x.thz"
     assert t2.filter_params.n_filters == 7
     assert t2.fit_params.w_max == 12.5
+
+
+def test_secondary_window_routes():
+    """/diagnostics, /fits and /visualizer serve the PSF page focused on
+    one section — the web analog of the reference's five concurrent OS
+    windows (secondary_windows.rs:22-342)."""
+    from thz_image_explorer_tpu import web
+
+    # the section map covers exactly the panels the page defines
+    for pid in ("pnl_widths", "pnl_centers", "pnl_fits", "pnl_vis",
+                "pnl_diag", "diagplots"):
+        assert f'id="{pid}"' in web.PSF_PAGE, pid
+    for route in ("/diagnostics", "/fits", "/visualizer"):
+        assert f"'{route}'" in web.PSF_PAGE  # section switch
+        assert f'href="{route}"' in web.PSF_PAGE  # opener link

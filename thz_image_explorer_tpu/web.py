@@ -695,7 +695,12 @@ def make_handler(app: WebApp):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            elif self.path.startswith("/psf"):
+            elif self.path.split("?")[0] in (
+                "/psf", "/diagnostics", "/fits", "/visualizer"
+            ) or self.path.startswith("/psf"):
+                # /psf plus the focused secondary-window routes
+                # (secondary_windows.rs:22-342 — each section in its own
+                # browser window, sharing the polled state)
                 body = PSF_PAGE.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -1542,21 +1547,26 @@ PSF_PAGE = r"""<!DOCTYPE html>
   <button onclick="pcmd('apply',[])">Use for deconvolution</button>
   <a href="/" style="font-size:12px">← back to explorer</a>
  </div>
+ <div class="panel"><h3>Windows</h3>
+  <a href="/diagnostics" target="_blank" style="font-size:12px">Diagnostics ↗</a><br>
+  <a href="/fits" target="_blank" style="font-size:12px">Individual fits ↗</a><br>
+  <a href="/visualizer" target="_blank" style="font-size:12px">PSF visualizer ↗</a>
+ </div>
 </div>
 <div id="main">
- <div class="panel"><h3>Beam widths vs frequency</h3><canvas id="widths" width="760" height="240"></canvas></div>
- <div class="panel"><h3>Beam centers vs frequency</h3><canvas id="centers" width="760" height="170"></canvas></div>
- <div class="panel"><h3>Individual band fit
+ <div class="panel" id="pnl_widths"><h3>Beam widths vs frequency</h3><canvas id="widths" width="760" height="240"></canvas></div>
+ <div class="panel" id="pnl_centers"><h3>Beam centers vs frequency</h3><canvas id="centers" width="760" height="170"></canvas></div>
+ <div class="panel" id="pnl_fits"><h3>Individual band fit
    axis <select id="bandaxis"><option>x</option><option>y</option></select>
    band <input type="number" id="bandidx" value="0" min="0" style="width:60px">
    <button class="off" onclick="loadBand()">Show</button>
    <span id="bandinfo" style="font-size:12px;color:#999"></span></h3>
   <canvas id="bandfit" width="760" height="200"></canvas></div>
- <div class="panel"><h3>PSF preview
+ <div class="panel" id="pnl_vis"><h3>PSF preview
    f(THz) <input type="range" id="pf" min="0.2" max="5" step="0.1" value="1.0" onchange="loadPsfImage()">
    <span id="pfv"></span><span id="pext" style="font-size:11px;color:#999"></span></h3>
   <img id="psfimg" width="256" height="256" style="border:1px solid #333"></div>
- <div class="panel"><h3>Diagnostics</h3><pre id="diag"></pre></div>
+ <div class="panel" id="pnl_diag"><h3>Diagnostics</h3><pre id="diag"></pre></div>
  <div class="panel" id="diagplots" style="display:none"><h3>Diagnostic plots</h3>
   <div style="font-size:12px;color:#999">1. Beam waist w0 vs frequency — <span style="color:#e66">measured</span>, <span style="color:#888">theory (D_eff const)</span></div>
   <canvas id="dg_w0f_x" width="370" height="160"></canvas><canvas id="dg_w0f_y" width="370" height="160"></canvas>
@@ -1573,6 +1583,18 @@ PSF_PAGE = r"""<!DOCTYPE html>
 <script>
 const el = id => document.getElementById(id);
 let P = null;
+// ---- independent secondary windows (secondary_windows.rs:22-342): the
+// /diagnostics, /fits and /visualizer routes serve this page focused on
+// one section — each opens in its own browser window/tab, all polling
+// the same shared state (the reference's five concurrent OS windows).
+const SECTION = {'/diagnostics': ['pnl_diag','diagplots'],
+                 '/fits': ['pnl_fits'],
+                 '/visualizer': ['pnl_vis']}[location.pathname] || null;
+if (SECTION) window.addEventListener('DOMContentLoaded', () => {
+  el('left').style.display = 'none';
+  for (const p of ['pnl_widths','pnl_centers','pnl_fits','pnl_vis','pnl_diag','diagplots'])
+    if (!SECTION.includes(p)) el(p).style.display = 'none';
+});
 async function pcmd(method, args) {
   const r = await fetch('/api/psf_command', {method:'POST', body: JSON.stringify({method, args})});
   const j = await r.json();
