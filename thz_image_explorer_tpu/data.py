@@ -142,13 +142,6 @@ def frequency_axis(time) -> jnp.ndarray:
     return jnp.asarray(np.arange(n // 2 + 1, dtype=np.float32) / rng)
 
 
-def pixel_mask(shape2: tuple[int, int], valid_wh) -> jnp.ndarray:
-    """(X, Y) f32 mask of the valid (unpadded) pixel region."""
-    w = jnp.arange(shape2[0], dtype=jnp.int32)[:, None] < valid_wh[0]
-    h = jnp.arange(shape2[1], dtype=jnp.int32)[None, :] < valid_wh[1]
-    return (w & h).astype(jnp.float32)
-
-
 def masked_pixel_mean(x: jnp.ndarray, valid_wh) -> jnp.ndarray:
     """Mean over the pixel axes (0, 1) restricted to the valid region —
     exact on bucket-padded cubes (padded pixels must not dilute the

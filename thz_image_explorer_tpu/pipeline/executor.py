@@ -150,8 +150,8 @@ class _AsyncStageTimer:
 
 
 class _Meta:
-    """Host-side cube geometry handed to ``fused_static`` /
-    ``fused_produces`` (duck-types the ScanCube fields they read)."""
+    """Host-side cube geometry handed to ``fused_static`` (duck-types
+    the ScanCube fields it reads)."""
 
     __slots__ = ("width", "height", "dx", "dy")
 

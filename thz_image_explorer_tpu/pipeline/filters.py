@@ -84,9 +84,6 @@ class TiltCompensation(FilterStage):
             ),
         )
 
-    def fused_produces(self, cube: ScanCube) -> bool:
-        return cube.dx is not None and cube.dy is not None
-
     def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
         from thz_image_explorer_tpu.ops.tilt import _tilt_kernel
 

@@ -88,12 +88,6 @@ class FilterStage:
         cube's geometry — e.g. the tilt extension step count."""
         return ()
 
-    def fused_produces(self, cube: ScanCube) -> bool:
-        """Whether :meth:`fused_apply` returns a NEW cube for this input
-        (vs the identity pass-through object). Must be decidable on host
-        from statics, and must match the traced behavior exactly."""
-        return True
-
     def fused_apply(self, cube: ScanCube, params, static) -> ScanCube:
         """Pure traced stage body: must depend only on ``cube``,
         ``params`` (the leaves from :meth:`traced_params`) and ``static``
