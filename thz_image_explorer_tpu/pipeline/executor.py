@@ -390,7 +390,7 @@ class Pipeline:
         for i in range(start_idx, len(self.chain)):
             name = self.chain[i]
             inp = self.slots[i - 1]
-            if inp is None or inp.time.shape[0] == 0:
+            if inp is None or inp is VIRTUAL or inp.time.shape[0] == 0:
                 log.warning("input for stage %s is empty; skipping", name)
                 continue
             t_start = _time.perf_counter()
