@@ -656,3 +656,52 @@ def test_warmup_precompiles_all_dirty_ranges(tmp_path):
         lg.removeHandler(h)
     compiles = [m for m in msgs if m.startswith("Compiling ")]
     assert compiles == [], compiles
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_matches_exact_random_configs(tmp_path, seed):
+    """Property-style sweep: random active-sets, parameters, downscale and
+    window types must produce identical product surfaces (final slot,
+    raw-spectrum view, published image) in fused and exact modes."""
+    rng = np.random.default_rng(seed)
+    path, *_ = _scan_file(
+        tmp_path, width=int(rng.integers(9, 20)),
+        height=int(rng.integers(9, 20)), n_time=96,
+    )
+    wtypes = list(WindowType)
+
+    def configure(ex):
+        p = ex.pipeline
+        p.config.fft_window = [float(rng2.uniform(0, 2)), float(rng2.uniform(3, 7))]
+        p.config.fft_window_type = wtypes[int(rng2.integers(len(wtypes)))]
+        p.config.scale_factor = int(rng2.integers(1, 3))
+        p.config.avg_in_fourier_space = bool(rng2.integers(2))
+        for uuid in ("tilt_compensation", "time_band_pass_before_fft",
+                     "frequency_band_pass", "water_vapor_notch",
+                     "time_band_pass_after_fft"):
+            p.filters[uuid].active = bool(rng2.integers(2))
+        p.filters["tilt_compensation"].tilt_x = float(rng2.uniform(-6, 6))
+        p.filters["frequency_band_pass"].low = float(rng2.uniform(0.1, 0.5))
+        p.filters["frequency_band_pass"].high = float(rng2.uniform(2.0, 6.0))
+        p.filters["time_band_pass_before_fft"].high = float(rng2.uniform(3, 6))
+        p.run_from(1)
+
+    rng2 = np.random.default_rng(seed + 100)
+    exf = Explorer()
+    exf.open_file(path)
+    configure(exf)
+
+    rng2 = np.random.default_rng(seed + 100)  # identical random draws
+    exe = Explorer()
+    exe.pipeline.fused_mode = False
+    exe.open_file(path)
+    configure(exe)
+
+    _cube_close(exf.pipeline.output, exe.pipeline.output, atol=1e-4)
+    fv, ev = exf.pipeline.raw_fd_view(), exe.pipeline.raw_fd_view()
+    np.testing.assert_allclose(
+        np.asarray(fv.amplitudes), np.asarray(ev.amplitudes),
+        rtol=1e-4, atol=1e-4,
+    )
+    exf.publish(); exe.publish()
+    np.testing.assert_allclose(exf.image, exe.image, rtol=1e-4, atol=1e-4)
