@@ -86,6 +86,33 @@ def test_bucketed_scaling_valid_region(tmp_path):
     assert ex.image.shape == (20, 18)
 
 
+def test_bucketed_scaling_non_multiple_keeps_zero_invariant(tmp_path, monkeypatch):
+    """Round-3 review finding: when the valid size is NOT a multiple of
+    the scale factor, the boundary block mixes valid pixels with padded
+    zeros — it must be zeroed or every published average is corrupted
+    (masked_pixel_mean relies on padded-pixels-are-exactly-zero)."""
+    path = _scan(tmp_path, "scan.thzimg", 13, 11)
+
+    ex_pad = Explorer()
+    _drive(ex_pad, path)
+    ex_pad.set_downscaling(2)
+
+    monkeypatch.setenv("THZ_SHAPE_BUCKET", "1")
+    ex_raw = Explorer()
+    _drive(ex_raw, path)
+    ex_raw.set_downscaling(2)
+
+    out = ex_pad.pipeline.output
+    d = np.asarray(out.data)
+    vw, vh = ex_pad.pipeline.valid_for(out)
+    assert (d[vw:] == 0).all() and (d[:, vh:] == 0).all()
+    for field in ("avg_signal", "avg_signal_fft", "avg_phase_fft"):
+        np.testing.assert_allclose(
+            getattr(ex_pad.plot, field), getattr(ex_raw.plot, field),
+            rtol=2e-4, atol=1e-5, err_msg=field,
+        )
+
+
 def test_same_bucket_second_open_zero_compiles(tmp_path):
     """Opening a second scan whose shape lands in the SAME bucket must
     trigger zero new XLA compiles (VERDICT round-2, next-step #3) — both

@@ -705,3 +705,37 @@ def test_fused_matches_exact_random_configs(tmp_path, seed):
     )
     exf.publish(); exe.publish()
     np.testing.assert_allclose(exf.image, exe.image, rtol=1e-4, atol=1e-4)
+
+
+def test_active_deconv_does_not_break_fusion(tmp_path, monkeypatch):
+    """Round-3 review finding: an ACTIVE deconvolution whose suppression
+    is guaranteed (another custom stage precedes it) must be fused over
+    as identity, not degrade the whole update to per-stage dispatch —
+    and must still never execute without an explicit Apply."""
+    from thz_image_explorer_tpu.pipeline.executor import VIRTUAL
+
+    path, *_ = _scan_file(tmp_path, width=16, height=16, n_time=64)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    p.filters["frequency_band_pass"].active = True
+    deconv = p.filters["deconvolution"]
+    deconv.active = True
+    calls = {"n": 0}
+    monkeypatch.setattr(
+        deconv, "fused_apply",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("must not run")),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        deconv, "apply", lambda cube, ctx: calls.__setitem__("n", calls["n"] + 1) or cube
+    )
+    out_before = np.asarray(p.output.data).copy()
+    ex.set_fft_window_low(1.4)  # interactive update through the deconv index
+    assert calls["n"] == 0  # suppression held
+    # the whole range fused: every intermediate is virtual, final is real
+    assert all(
+        p.slots[i] is VIRTUAL for i in range(1, len(p.chain) - 1)
+    )
+    assert p.output is not None
+    assert not np.allclose(np.asarray(p.output.data), out_before)

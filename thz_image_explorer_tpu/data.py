@@ -155,7 +155,8 @@ def masked_pixel_mean(x: jnp.ndarray, valid_wh) -> jnp.ndarray:
     zero head-fill — so zeros are preserved through the whole chain and
     the plain sum already equals the valid-region sum). Measured: the
     mask-multiply variant cost ~1.2 ms/update at the 200x200x1024 bench
-    shape (three extra passes over the spectra)."""
+    shape — three extra passes over the spectra
+    (scripts/profile_fused.py)."""
     count = jnp.maximum(valid_wh[0] * valid_wh[1], 1).astype(x.dtype)
     return jnp.sum(x, axis=(0, 1)) / count
 

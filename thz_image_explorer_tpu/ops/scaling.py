@@ -34,20 +34,37 @@ def _scale_impl(cube: ScanCube, scale: int) -> ScanCube:
     ``scale`` is static (changing it changes output shapes → recompile, same
     as the reference re-allocating). A no-op for ``scale <= 1`` or when the
     result would be empty (``math_tools.rs:244-256``).
+
+    On a bucket-padded grid whose valid size is NOT a multiple of
+    ``scale``, the boundary block mixes valid pixels with padded zeros and
+    block-means to a NONZERO value outside the scaled valid region — that
+    would break the padded-pixels-are-exactly-zero invariant
+    ``masked_pixel_mean`` relies on (data.py) and corrupt every published
+    average. Such blocks are explicitly zeroed (the reference crops to a
+    multiple of ``scale``, so they don't exist there).
     """
     dx = cube.dx * scale if cube.dx is not None else None
     dy = cube.dy * scale if cube.dy is not None else None
-    return cube.replace(
+    valid = jnp.maximum(cube.valid_wh // scale, 1)
+    out = cube.replace(
         data=_block_mean(cube.data, scale),
         amplitudes=_block_mean(cube.amplitudes, scale),
         phases=_block_mean(cube.phases, scale),
         fft=_block_mean(cube.fft, scale),
-        # valid region scales with the grid (blocks straddling the valid
-        # boundary land in the discarded region, like the reference's crop)
-        valid_wh=jnp.maximum(cube.valid_wh // scale, 1),
+        valid_wh=valid,
         dx=dx,
         dy=dy,
         scaling=scale,
+    )
+    nx, ny = out.data.shape[0], out.data.shape[1]
+    w = jnp.arange(nx, dtype=jnp.int32)[:, None] < valid[0]
+    h = jnp.arange(ny, dtype=jnp.int32)[None, :] < valid[1]
+    m = (w & h)[:, :, None]
+    return out.replace(
+        data=jnp.where(m, out.data, 0.0),
+        amplitudes=jnp.where(m, out.amplitudes, 0.0),
+        phases=jnp.where(m, out.phases, 0.0),
+        fft=jnp.where(m, out.fft, 0.0),
     )
 
 

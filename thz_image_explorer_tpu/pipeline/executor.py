@@ -204,13 +204,15 @@ class Pipeline:
 
     * **fused** (default, interactive): the longest prefix of the dirty
       range whose stages implement the fusion protocol is compiled into
-      ONE jit program that returns every *distinct* downstream slot cube
-      (identity stages share their predecessor's Python object, so no
-      HBM is duplicated); remaining stages (deconvolution, custom
-      extensions) run per-stage after it. This matches the reference,
-      where one ``main_thread`` pass IS the whole chain
-      (``data_thread.rs:1090-1228``) — and removes the per-stage dispatch
-      + HBM round-trips the round-2 review flagged.
+      ONE jit program that materializes only the slots actually consumed
+      — the final cube and the raw-spectrum partial view; every
+      intermediate slot becomes :data:`VIRTUAL` (recomputable on demand:
+      a later update resolves its start to the nearest materialized
+      ancestor). Remaining stages (custom non-fusable extensions) run
+      per-stage after it. This matches the reference, where one
+      ``main_thread`` pass IS the whole chain (``data_thread.rs:
+      1090-1228``) — and removes the per-stage dispatch + HBM
+      round-trips the round-2 review flagged (scripts/profile_fused.py).
     * **exact** (per-stage; Apply / Calculate-All, or
       ``THZ_FUSED_EXEC=0``): one dispatch per stage with blocking
       per-stage ms — the reference's per-filter compute-time display
@@ -359,7 +361,7 @@ class Pipeline:
         if fused is None:
             fused = self.fused_mode and not block_timings
         if fused:
-            end, has_custom = self._fused_range_end(start)
+            end, has_custom, forced_identity = self._fused_range_end(start)
             inp = self.slots[start - 1]
             usable = (
                 end - start >= 2
@@ -367,25 +369,36 @@ class Pipeline:
                 and inp.time.shape[0] > 0
             )
             if usable:
-                self._run_fused(start, end)
+                self._run_fused(start, end, forced_identity)
                 run_deconvolution = not has_custom
                 start = end
                 if start >= len(self.chain):
                     return
+                # the fused run's chain probe is the tail's timing
+                # baseline: a fresh host-time mark here would double-count
+                # the fused program's still-executing device time into the
+                # first tail stage's ms
+                fresh_timer = False
+            else:
+                fresh_timer = True
+        else:
+            fresh_timer = True
         self._run_stages(
             start,
             force_all=force_all,
             block_timings=block_timings,
             run_deconvolution=run_deconvolution,
+            fresh_timer=fresh_timer,
         )
 
     def _run_stages(
         self, start_idx: int, *, force_all: bool,
         block_timings: bool, run_deconvolution: bool = True,
+        fresh_timer: bool = True,
     ):
         """Per-stage dispatch of ``chain[start_idx:]`` (the exact/debug
         mode, and the tail after a fused prefix)."""
-        if self.record_timings and not block_timings:
+        if self.record_timings and not block_timings and fresh_timer:
             self._timer.mark_run_start()
         for i in range(start_idx, len(self.chain)):
             name = self.chain[i]
@@ -441,27 +454,38 @@ class Pipeline:
             self.slots[i] = out
 
     # ---------------------------------------------------- fused mode
-    def _fused_range_end(self, start: int) -> tuple[int, bool]:
+    def _fused_range_end(self, start: int) -> tuple[int, bool, frozenset]:
         """Longest fusable prefix of ``chain[start:]``: builtin stages,
         fusable stages, and inactive stages (identity) are fusable; the
-        first *active non-fusable* stage (deconvolution, custom
-        extensions) ends the range. Also reports whether any custom
-        non-deconvolution stage lies in the range (the deconvolution
-        suppression bookkeeping of the exact path)."""
+        first *active non-fusable* stage (a custom extension) ends the
+        range. An ACTIVE deconvolution whose suppression is already
+        guaranteed (another custom stage precedes it in the range, and
+        fused mode is never the force/Apply path) is included as a forced
+        identity instead of breaking the range — otherwise merely enabling
+        the deconvolution toggle would degrade every interactive update to
+        per-stage dispatch. Also reports whether any custom
+        non-deconvolution stage lies in the range (the suppression
+        bookkeeping of the exact path)."""
         end = start
         has_custom = False
+        forced_identity = set()
         while end < len(self.chain):
             name = self.chain[end]
             if name not in ("scaling", "fft", "ifft"):
                 stage = self.filters[name]
-                if "Deconvolution" not in stage.name:
+                is_deconv = "Deconvolution" in stage.name
+                if not is_deconv:
                     has_custom = True
                 if stage.active and not stage.fusable:
-                    break
+                    if is_deconv and has_custom:
+                        forced_identity.add(end)
+                    else:
+                        break
             end += 1
-        return end, has_custom
+        return end, has_custom, frozenset(forced_identity)
 
-    def _run_fused(self, start: int, end: int):
+    def _run_fused(self, start: int, end: int,
+                   forced_identity: frozenset = frozenset()):
         """Execute ``chain[start:end]`` as ONE jit-compiled program.
 
         The program materializes ONLY what is consumed: the cube at
@@ -471,7 +495,8 @@ class Pipeline:
         raw-spectrum source). Every other slot becomes :data:`VIRTUAL`:
         recomputable on demand, never written to HBM. This keeps the
         product update's HBM traffic at the benchmark step's level —
-        materializing every intermediate slot measured ~2.3x slower."""
+        materializing every intermediate slot measured ~2.3x slower
+        (scripts/profile_fused.py)."""
         names = tuple(self.chain[start:end])
         inp = self.slots[start - 1]
         time_np = self._host_time.get(start - 1)
@@ -509,8 +534,9 @@ class Pipeline:
                 actives.append(True)
             else:
                 stage = self.filters[name]
-                actives.append(bool(stage.active))
-                if stage.active:
+                active = bool(stage.active) and (start + k) not in forced_identity
+                actives.append(active)
+                if active:
                     stage.clamp_params(inp, time=t_np)
                     st = stage.fused_static(meta)
                     statics.append(st)

@@ -78,6 +78,13 @@ class WebApp:
         from thz_image_explorer_tpu.utils.logbuffer import install_log_buffer
 
         self.logbuf = install_log_buffer()
+        # seed the snapshot with a REAL empty-state build (complete key
+        # set), so the very first poll during a long first open degrades
+        # to a render-complete skeleton instead of a partial dict
+        try:
+            self._snapshot = self.worker.call(self._build_state, timeout=5)
+        except Exception:  # noqa: BLE001 — worker already busy; best effort
+            self._snapshot = None
         if load_settings:
             # the reference restores GuiSettingsContainer (incl. the
             # serialized PSF) before the first frame (main.rs:144-161)
@@ -110,13 +117,21 @@ class WebApp:
             return snap
         except TimeoutError:
             with self._lock:
-                snap = dict(self._snapshot) if getattr(self, "_snapshot", None) else {
-                    "file": None, "image": None, "image_shape": [0, 0],
-                    "filters": {}, "rois": {}, "plots": {}, "log": [],
-                    "phase": None,
-                }
+                snap = (
+                    dict(self._snapshot)
+                    if getattr(self, "_snapshot", None)
+                    else {  # last resort: the init snapshot also failed
+                        "file": None, "image": None, "image_shape": [0, 0],
+                        "filters": {}, "rois": {}, "plots": {}, "log": [],
+                        "phase": None,
+                    }
+                )
             snap["busy"] = True
             snap["stale"] = True
+            # the busy phase must be readable WHILE the worker is blocked
+            # compiling (that is its whole point): a single attribute read
+            # of an immutable str is safe cross-thread
+            snap["phase"] = self.worker.explorer.pipeline.phase
             return snap
 
     def _build_state(self, ex) -> dict:
@@ -384,8 +399,16 @@ class WebApp:
         if inp is None:
             return []
         cfg = ex.pipeline.config
+        # identity from the host time-axis mirror, never id() (a reloaded
+        # scan's array can reuse a dead object's address)
+        t0 = ex.pipeline._host_time.get(0)
+        taxis = (
+            (len(t0), float(t0[0]), float(t0[-1]))
+            if t0 is not None and len(t0)
+            else (inp.time.shape[0],)
+        )
         key = (
-            id(inp.time), cfg.fft_window_type,
+            taxis, cfg.fft_window_type,
             float(cfg.fft_window[0]), float(cfg.fft_window[1]),
         )
         cached = getattr(self, "_window_shape_cache", None)
@@ -1050,6 +1073,9 @@ function pointInPoly(x, y, poly) {
 const escH = s => String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
   .replace(/>/g,'&gt;').replace(/"/g,'&quot;').replace(/'/g,'&#39;');
 const escJ = s => JSON.stringify(String(s)).slice(1,-1).replace(/'/g,"\\'");
+// for inline event-handler attributes: JS-escape THEN HTML-escape, or a
+// quote inside file-derived text breaks out of the attribute
+const escA = s => escH(escJ(s));
 async function cmd(method, args) {
   await fetch('/api/command', {method:'POST', body: JSON.stringify({method, args})});
   setTimeout(refresh, 150);
@@ -1080,6 +1106,17 @@ function drawSeries(ctx, xs, series, colors, overlayLines) {
 }
 function render() {
   if (!S) return;
+  // defensive defaults: a degraded busy-fallback snapshot must still
+  // render every panel (plots/roi maps may be absent on the first poll)
+  S.plots = S.plots || {};
+  S.plots.roi_signals = S.plots.roi_signals || {};
+  S.plots.roi_ffts = S.plots.roi_ffts || {};
+  S.rois = S.rois || {}; S.filters = S.filters || {};
+  S.timings_ms = S.timings_ms || {};
+  S.config = S.config || {fft_window:[1,7]};
+  S.housekeeping = S.housekeeping || {measured:[]};
+  S.readouts = S.readouts || {dr_db:0, ptp:0};
+  S.selection = S.selection || {available_references:[], available_samples:[]};
   el('fileinfo').textContent = (S.file||'no scan loaded') +
     (S.busy ? (S.phase === 'compiling' ? '  ⏳ compiling (first run at this scan shape)' : '  ⏳') : '');
   // image
@@ -1147,7 +1184,7 @@ function render() {
   const curBase = S.file ? S.file.split('/').pop() : '';
   el('siblist').innerHTML = S.siblings.length > 1 ? S.siblings.map((n, i) =>
     `<div style="cursor:pointer;${n===curBase?'color:#9ecbff;font-weight:bold':''}"
-       onclick="cmd('open_file',['${escJ(S.sibling_paths[i])}'])">${escH(n)}</div>`).join('') : '';
+       onclick="cmd('open_file',['${escA(S.sibling_paths[i])}'])">${escH(n)}</div>`).join('') : '';
   const hk = S.housekeeping;
   // ambient/sample conditions appear only when the file's metadata
   // carried them (hk.measured); defaults are never shown as measurements
@@ -1176,7 +1213,7 @@ function render() {
   el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
       .map(([k,v])=>`<label>${escH(k)} <input type="number" step="0.1" value="${v}"
-        onchange="setParam('${escJ(u)}','${escJ(k)}',this.value)"></label>`).join(' ');
+        onchange="setParam('${escA(u)}','${escA(k)}',this.value)"></label>`).join(' ');
     const doi = f.hyperlink && f.hyperlink.length
       ? ` <a href="${escH(f.hyperlink[1])}" target="_blank" title="${escH(f.description)}">ℹ</a>` : '';
     const prog = (f.progress!=null)
@@ -1184,14 +1221,14 @@ function render() {
     return `<div style="margin-bottom:8px"><b title="${escH(f.description)}">${escH(f.name)}</b>${doi}${prog}
       <span class="ms">${f.time_ms} ms</span><br>
       <span class="switch ${f.active?'on':''}" title="${f.active?'active':'inactive'}"
-        onclick="cmd('set_filter_active',['${escJ(u)}',${!f.active}])"><span class="knob"></span></span>
-      <button onclick="cmd('update_filter',['${escJ(u)}'],)">Apply</button> ${params}</div>`;
+        onclick="cmd('set_filter_active',['${escA(u)}',${!f.active}])"><span class="knob"></span></span>
+      <button onclick="cmd('update_filter',['${escA(u)}'],)">Apply</button> ${params}</div>`;
   }).join('');
   // ROI list with inline rename (left_panel.rs:601-690)
   el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
     `<input type="text" value="${escH(r.name)}" style="width:80px"
-       onchange="renameRoi('${escJ(u)}',this.value)">
-     <button class="off" onclick="cmd('delete_roi',['${escJ(u)}'])">x</button>`).join(' ');
+       onchange="renameRoi('${escA(u)}',this.value)">
+     <button class="off" onclick="cmd('delete_roi',['${escA(u)}'])">x</button>`).join(' ');
   for (const sel of ['refsel','sampsel']) {
     const opts = (sel==='refsel'?S.selection.available_references:S.selection.available_samples);
     const cur = sel==='refsel'?S.selection.reference:S.selection.sample;
@@ -1419,14 +1456,14 @@ function renderMetadata() {
   // must survive the poll loop) — render() skips us via mdEdit guard
   el('mdfields').innerHTML = Object.entries(S.metadata.fields).map(([k,v])=>
     `<div class="mdrow">${escH(k)} <input type="text" value="${escH(mdStaged.fields[k] ?? v)}" style="width:200px"
-      onchange="mdStaged.fields['${escJ(k)}']=this.value"></div>`).join('');
+      onchange="mdStaged.fields['${escA(k)}']=this.value"></div>`).join('');
   el('mdattrs').innerHTML = Object.entries({...S.metadata.md, ...mdStaged.attrs})
     .filter(([k]) => !mdStaged.dels.includes(k)).map(([k,v])=>
     `<div class="mdrow">${escH(k)}: <input type="text" value="${escH(mdStaged.attrs[k] ?? v)}" style="width:160px"
       ${mdUnlocked || !(k in S.metadata.md) ? '' : 'disabled'}
-      onchange="mdStaged.attrs['${escJ(k)}']=this.value">
+      onchange="mdStaged.attrs['${escA(k)}']=this.value">
       <button class="off" ${mdUnlocked ? '' : 'disabled'}
-        onclick="mdStaged.dels.push('${escJ(k)}');renderMetadata()">x</button></div>`).join('');
+        onclick="mdStaged.dels.push('${escA(k)}');renderMetadata()">x</button></div>`).join('');
 }
 
 // ---- file-dialog metadata preview (application.rs:861-900)
@@ -1454,16 +1491,18 @@ async function openBrowse(p) {
     el('browsedlg').style.display = 'block';
     el('bpath').textContent = j.path;
     let h = '';
+    // onclick lives in a double-quoted HTML attribute: escA (JS- then
+    // HTML-escape) keeps hostile filenames inside it (round-3 review)
     const item = (label, act) =>
       `<div style="cursor:pointer;padding:1px 2px" onclick="${act}">${label}</div>`;
-    if (j.parent) h += item('📁 ..', `openBrowse('${escJ(j.parent)}')`);
+    if (j.parent) h += item('📁 ..', `openBrowse('${escA(j.parent)}')`);
     const join = (d) => (j.path === '/' ? '/' : j.path + '/') + d;
     for (const d of (j.dirs || []))
-      h += item('📁 ' + escH(d), `openBrowse('${escJ(join(d))}')`);
+      h += item('📁 ' + escH(d), `openBrowse('${escA(join(d))}')`);
     for (const f of (j.files || []))
       h += item(escH(f.name) +
         ` <span style="color:#777">${(f.size / 1e6).toFixed(1)} MB</span>`,
-        `pickFile('${escJ(join(f.name))}')`);
+        `pickFile('${escA(join(f.name))}')`);
     el('blist').innerHTML = h || '<span style="color:#777">empty</span>';
   } catch (e) {}
 }
