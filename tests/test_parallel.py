@@ -139,3 +139,41 @@ def test_sharded_large_grid_matches_unsharded():
         rtol=1e-5, atol=1e-6,
     )
     assert not out_sh.fft.sharding.is_fully_replicated
+
+
+@needs_mesh
+def test_product_executor_sharded_matches_unsharded():
+    """The PRODUCT pipeline (fused executor with sparse materialization)
+    runs SPMD on the mesh: feeding a pixel-sharded cube through
+    Pipeline.set_input reproduces the unsharded run, outputs keep the
+    pixel sharding, and the raw-spectrum partial view is served."""
+    from thz_image_explorer_tpu.pipeline.executor import Pipeline
+
+    def build(cube):
+        p = Pipeline(record_timings=False)
+        for uuid in ("time_band_pass_before_fft", "frequency_band_pass",
+                     "water_vapor_notch", "time_band_pass_after_fft"):
+            p.filters[uuid].active = True
+        p.set_input(cube)
+        p.config.fft_window[0] = 1.5
+        p.run_from(p.fft_index)  # a slider-style fused update
+        return p
+
+    cube = _cube(w=32, h=32, n=64, seed=3)
+    p_ref = build(cube)
+
+    mesh = make_mesh()
+    sharded = shard_cube(cube, mesh)
+    with mesh:
+        p_sh = build(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(p_sh.output.data), np.asarray(p_ref.output.data),
+        rtol=1e-5, atol=1e-5,
+    )
+    v_sh, v_ref = p_sh.raw_fd_view(), p_ref.raw_fd_view()
+    np.testing.assert_allclose(
+        np.asarray(v_sh.amplitudes), np.asarray(v_ref.amplitudes),
+        rtol=1e-5, atol=1e-5,
+    )
+    assert not p_sh.output.data.sharding.is_fully_replicated

@@ -237,7 +237,11 @@ class WaterVaporNotch(FilterStage):
         self.notch_width = 0.02  # THz half-width per line
         self.depth = 1.0  # 1 = full suppression
         self.active = False
-        self._lines = jnp.asarray(np.asarray(WATER_LINES_THZ, np.float32))
+        # host numpy, NOT an eager device array: construction must not
+        # pin the lines to the ambient default device (a Pipeline built
+        # next to a real TPU but run on a virtual CPU mesh would mix
+        # platforms); jit transfers it to the right backend per program
+        self._lines = np.asarray(WATER_LINES_THZ, np.float32)
 
     def config(self) -> FilterConfig:
         return FilterConfig(
