@@ -153,3 +153,41 @@ def test_same_bucket_second_open_zero_compiles(tmp_path):
         logger.removeHandler(h)
     compiles = [m for m in msgs if m.startswith("Compiling ")]
     assert compiles == [], f"unexpected compiles: {compiles}"
+
+
+def test_roi_count_bucketing_avoids_recompiles(tmp_path):
+    """The mask stack's ROI count is part of the publish program's static
+    shape; bucketing it to multiples of 4 means adding the 2nd..4th ROI
+    triggers ZERO new compiles (each was a multi-second remote compile)."""
+    import jax
+
+    path = _scan(tmp_path, "scan.thzimg", 24, 20)
+    ex = Explorer()
+    ex.open_file(path)
+    ex.add_roi("u-0", "r0", [(1, 1), (8, 1), (8, 8)])  # compiles R=4 bucket
+    ex.set_reference("r0")
+    ex.set_sample("Selected Pixel")
+
+    msgs: list[str] = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            msgs.append(record.getMessage())
+
+    h = _H()
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(h)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for i in (1, 2, 3):
+            ex.add_roi(f"u-{i}", f"r{i}", [(2 + i, 2), (9, 2), (9, 9)])
+        ex.delete_roi("u-2")
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(h)
+    compiles = [m for m in msgs if m.startswith("Compiling ")]
+    assert compiles == [], compiles
+    # all remaining ROI series are published and exact rows are served
+    assert set(ex.plot.roi_signal_fft) == {"u-0", "u-1", "u-3"}
+    for _u, (_n, y) in ex.plot.roi_signal_fft.items():
+        assert np.isfinite(y).all()

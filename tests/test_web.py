@@ -396,3 +396,51 @@ def test_secondary_window_routes():
     for route in ("/diagnostics", "/fits", "/visualizer"):
         assert f"'{route}'" in web.PSF_PAGE  # section switch
         assert f'href="{route}"' in web.PSF_PAGE  # opener link
+
+
+def test_concurrent_polls_and_commands_lossless(app):
+    """Stress the two-lane queue + call seam: 4 threads hammer state()
+    while sliders and one-shot ROI commands stream in — no exceptions,
+    and EVERY one-shot command applies (the round-2 loss bug would drop
+    some ROIs under exactly this load)."""
+    import threading
+
+    errors = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                app.state()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=poll) for _ in range(4)]
+    for th in threads:
+        th.start()
+    n = 12
+    try:
+        for i in range(n):
+            app.command("set_fft_window_low", [0.5 + 0.01 * i], {})
+            app.command(
+                "add_roi",
+                [f"u-{i}", f"r{i}", [[1, 1], [6, 1], [6, 6]]],
+                {},
+            )
+            app.command("set_selected_pixel", [i % 10, i % 8], {})
+    finally:
+        # pollers keep one state-build queued at all times, so the queue
+        # only drains after they stop (matches the product: busy stays
+        # honest while the UI polls)
+        stop.set()
+        for th in threads:
+            th.join(timeout=30)
+    assert app.worker.join_idle(180)
+    assert not errors, errors[:3]
+    rois = app.worker.explorer.rois
+    assert all(f"u-{i}" in rois for i in range(n)), (
+        f"lost {[i for i in range(n) if f'u-{i}' not in rois]}"
+    )
+    assert app.worker.explorer.pipeline.config.fft_window[0] == pytest.approx(
+        0.5 + 0.01 * (n - 1)
+    )

@@ -727,6 +727,14 @@ class Explorer:
                         (0, shape[1] - valid[1]),
                     ),
                 )
+            # bucket the ROI COUNT to a multiple of 4 with all-zero masks
+            # (masked_mean_stack yields zeros for them): the mask-stack
+            # shape is static in the publish program, so without this
+            # every added/removed ROI recompiles it — tens of seconds per
+            # ROI on a remote-compile TPU
+            r_pad = -len(poly_rois) % 4
+            if r_pad:
+                stack = np.pad(stack, ((0, r_pad), (0, 0), (0, 0)))
         else:
             stack = np.zeros((0,) + shape, np.float32)
         dev = jnp.asarray(stack)
