@@ -1,0 +1,249 @@
+"""Round-4 robustness regressions.
+
+Covers the round-3 review findings:
+
+* the deconvolution plan cache keys on PSF *content*, not ``id(psf)``
+  (a new PSF at a freed object's address must never reuse stale band
+  geometry);
+* deconvolution special semantics attach to the ``is_deconvolution``
+  marker, not the display name — a user extension named "Deconvolution
+  Sharpen" behaves as a normal filter (the reference keys suppression on
+  the concrete filter, ``data_thread.rs:1139-1150``);
+* tilt compensation derives its geometry (center, time extension) from
+  the TRUE scan size, so output does not depend on ``THZ_SHAPE_BUCKET``
+  (``tilt_compensation.rs:104-143`` uses the real scan dims);
+* ``scale_cube`` no-ops when the VALID region is smaller than the scale
+  factor, even when the padded grid is not (``math_tools.rs:244-256``
+  checks the true width).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from thz_image_explorer_tpu.data import make_cube
+from thz_image_explorer_tpu.ops import deconvolution as dec
+from thz_image_explorer_tpu.ops.scaling import scale_cube
+from thz_image_explorer_tpu.ops.tilt import extension_steps, tilt_compensate
+from thz_image_explorer_tpu.pipeline import Explorer
+from thz_image_explorer_tpu.pipeline.filters import Deconvolution
+from thz_image_explorer_tpu.pipeline.stage import StageContext
+
+from make_sample import synthetic_scan, write_scan_thz
+
+REF_PSF = "/root/reference/sample_data/psf.npz"
+
+
+# ---------------------------------------------------------------- plan key
+def _deconv_cube(w=16, h=16, n=64):
+    t, cube = synthetic_scan(width=w, height=h, n_time=n)
+    return make_cube(t, cube, dx=0.5, dy=0.5)
+
+
+def test_plan_key_is_content_not_identity(monkeypatch):
+    """Equal-content PSF objects share a plan; changed content replans.
+    (Keying on ``id(psf)`` would fail the first assertion whenever the
+    two loads produce distinct objects, and could silently PASS the
+    second via address reuse — the round-3 hazard.)"""
+    from thz_image_explorer_tpu.io.psf_npz import load_psf
+
+    calls = {"n": 0}
+    real = dec.plan_bands
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dec, "plan_bands", counted)
+    stage = Deconvolution()
+    stage.params.n_filters = 3
+    stage.params.n_iterations = 4
+    cube = _deconv_cube()
+
+    psf_a = load_psf(REF_PSF)
+    out_a = stage.apply(cube, StageContext(psf=psf_a))
+    assert calls["n"] == 1
+
+    del psf_a  # a fresh object may reuse the freed address
+    psf_b = load_psf(REF_PSF)  # same content, different object
+    out_b = stage.apply(cube, StageContext(psf=psf_b))
+    assert calls["n"] == 1, "equal-content PSF must hit the plan cache"
+    np.testing.assert_allclose(
+        np.asarray(out_a.data), np.asarray(out_b.data), atol=1e-6
+    )
+
+    psf_c = load_psf(REF_PSF)
+    psf_c.wx_fit.base_a = psf_c.wx_fit.base_a + 0.05  # new band geometry
+    stage.apply(cube, StageContext(psf=psf_c))
+    assert calls["n"] == 2, "changed PSF content must replan"
+
+
+def test_psf_fingerprint_tracks_content():
+    from thz_image_explorer_tpu.io.psf_npz import load_psf
+
+    a, b = load_psf(REF_PSF), load_psf(REF_PSF)
+    assert a is not b and a.fingerprint() == b.fingerprint()
+    b.y0_spline.values = b.y0_spline.values + 1.0
+    assert a.fingerprint() != b.fingerprint()
+
+
+# ------------------------------------------------------------- name marker
+def test_deconvolution_named_extension_is_normal_filter(tmp_path, monkeypatch):
+    """A user filter whose display name contains "Deconvolution" must get
+    NONE of the special semantics: it runs on upstream changes (no
+    suppression / no Apply-only gating) and its own toggle triggers an
+    update."""
+    from thz_image_explorer_tpu.pipeline.stage import (
+        _REGISTRY,
+        FilterConfig,
+        FilterDomain,
+        FilterStage,
+        register_filter,
+    )
+
+    @register_filter
+    class DeconvolutionSharpen(FilterStage):
+        def __init__(self):
+            self.active = False
+            self.runs = 0
+
+        def config(self):
+            return FilterConfig(
+                name="Deconvolution Sharpen",
+                description="user extension with a confusing name",
+                domain=FilterDomain.TIME_AFTER_FFT,
+            )
+
+        def apply(self, cube, ctx):
+            self.runs += 1
+            return cube.replace(data=cube.data * 1.5)
+
+    try:
+        t, raw = synthetic_scan(width=8, height=8, n_time=64)
+        path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+        ex = Explorer()
+        ex.open_file(path)
+        p = ex.pipeline
+        assert not p.filters["deconvolution_sharpen"].is_deconvolution
+        assert p.filters["deconvolution"].is_deconvolution
+
+        # enabling via the toggle triggers a run (deconvolution would not)
+        ex.set_filter_active("deconvolution_sharpen", True)
+        assert p.filters["deconvolution_sharpen"].runs >= 1
+        runs0 = p.filters["deconvolution_sharpen"].runs
+
+        # an upstream change re-runs it (a real deconvolution is suppressed)
+        p.filters["frequency_band_pass"].active = True
+        ex.update_filter("frequency_band_pass")
+        assert p.filters["deconvolution_sharpen"].runs > runs0
+    finally:
+        _REGISTRY.pop("deconvolution_sharpen", None)
+
+
+# --------------------------------------------------------- padded geometry
+def _impulse(w, h, n, pad_to=None):
+    data = np.zeros((w, h, n), np.float32)
+    data[:, :, n // 2] = 1.0
+    valid = None
+    if pad_to is not None:
+        pw, ph = pad_to
+        data = np.pad(data, ((0, pw - w), (0, ph - h), (0, 0)))
+        valid = (w, h)
+    t = (np.arange(n) * 0.05).astype(np.float32)
+    return make_cube(t, data, dx=2.0, dy=1.0, valid_wh=valid)
+
+
+def test_tilt_padded_matches_unpadded():
+    """Tilt output on the valid region must be identical whether or not
+    the loader bucket-padded the grid — geometry comes from valid_wh."""
+    w, h, n = 10, 6, 64
+    plain = _impulse(w, h, n)
+    padded = _impulse(w, h, n, pad_to=(16, 16))
+
+    out_plain = tilt_compensate(plain, 12.0, 4.0)
+    out_padded = tilt_compensate(padded, 12.0, 4.0, valid_wh=(w, h))
+
+    # identical time extension (padded grid must not inflate it)
+    assert out_padded.data.shape[-1] == out_plain.data.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(out_padded.time), np.asarray(out_plain.time), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_padded.data)[:w, :h],
+        np.asarray(out_plain.data),
+        atol=1e-6,
+    )
+    # padded border stays exactly zero (masked-mean invariant)
+    border = np.asarray(out_padded.data)[w:, :, :]
+    assert np.all(border == 0.0)
+    assert np.all(np.asarray(out_padded.data)[:, h:, :] == 0.0)
+
+
+def test_tilt_extension_uses_valid_dims():
+    # a 16x16 padded grid at 15 deg would extend further than the true
+    # 10x6 scan; the steps must come from the valid dims
+    steps_valid = extension_steps(10, 6, 2.0, 1.0, 15.0, 0.0)
+    steps_padded = extension_steps(16, 16, 2.0, 1.0, 15.0, 0.0)
+    assert steps_padded > steps_valid  # the bug would be observable
+    padded = _impulse(10, 6, 64, pad_to=(16, 16))
+    out = tilt_compensate(padded, 15.0, 0.0, valid_wh=(10, 6))
+    assert out.data.shape[-1] == 64 + 2 * steps_valid
+
+
+def test_tilt_through_pipeline_padded_invariant(tmp_path, monkeypatch):
+    """End-to-end: the same scan opened with bucket 1 (no padding) and
+    bucket 16 (padded) must publish identical tilt-compensated spectra —
+    tilt output must not depend on THZ_SHAPE_BUCKET."""
+
+    def run(bucket):
+        monkeypatch.setenv("THZ_SHAPE_BUCKET", str(bucket))
+        t, raw = synthetic_scan(width=10, height=9, n_time=64)
+        path = write_scan_thz(str(tmp_path / f"s{bucket}.thzimg"), t, raw)
+        ex = Explorer()
+        ex.open_file(path)
+        f = ex.pipeline.filters["tilt_compensation"]
+        f.tilt_x, f.tilt_y = 10.0, 5.0
+        ex.set_filter_active("tilt_compensation", True)
+        return ex
+
+    ex1, ex16 = run(1), run(16)
+    np.testing.assert_allclose(
+        ex16.plot.filtered_time, ex1.plot.filtered_time, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        ex16.plot.filtered_signal, ex1.plot.filtered_signal, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        ex16.plot.avg_signal_fft, ex1.plot.avg_signal_fft,
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+# ------------------------------------------------------------ scaling noop
+def test_scale_noop_small_valid_region():
+    """valid 8x8 padded to 16x16, scale 12: the padded grid passes the
+    old check (16//12 == 1) but the true scan collapses (8//12 == 0) —
+    must be a no-op like the reference."""
+    data = np.zeros((16, 16, 8), np.float32)
+    data[:8, :8] = 1.0
+    t = np.linspace(0.0, 1.0, 8, dtype=np.float32)
+    cube = make_cube(t, data, valid_wh=(8, 8))
+    assert scale_cube(cube, 12, valid_wh=(8, 8)) is cube
+    # sanity: a feasible scale still downscales
+    out = scale_cube(cube, 2, valid_wh=(8, 8))
+    assert out.width == 8 and tuple(np.asarray(out.valid_wh)) == (4, 4)
+
+
+def test_scale_noop_small_valid_through_pipeline(tmp_path, monkeypatch):
+    """Product path: an 8x8 scan bucket-padded to 16x16 with downscale 12
+    must publish the UNscaled image (reference no-ops), not a zero-diluted
+    1x1 block."""
+    monkeypatch.setenv("THZ_SHAPE_BUCKET", "16")
+    t, raw = synthetic_scan(width=8, height=8, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    base = ex.image.copy()
+    ex.set_downscaling(12)
+    assert ex.pipeline.output.scaling == 1  # no-op applied
+    np.testing.assert_allclose(ex.image, base, atol=1e-6)

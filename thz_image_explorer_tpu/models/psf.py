@@ -175,6 +175,29 @@ class PSF:
         (``deconvolution.rs:790``)."""
         return len(self.wx_fit.correction.knots) > 0
 
+    def fingerprint(self) -> str:
+        """Content digest of every coefficient array and base value.
+        Used as the deconvolution plan-cache key component: two PSF
+        objects with equal content share plans, and a *new* PSF reusing a
+        freed object's memory address can never alias a stale plan."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for fit in (self.wx_fit, self.wy_fit):
+            h.update(np.float32(fit.base_a).tobytes())
+            h.update(np.float32(fit.base_b).tobytes())
+        for spline in (
+            self.wx_fit.correction,
+            self.wy_fit.correction,
+            self.x0_spline,
+            self.y0_spline,
+        ):
+            for f in dataclasses.fields(spline):
+                arr = np.asarray(getattr(spline, f.name), np.float32)
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes())
+        return h.hexdigest()
+
 
 def gaussian(x: np.ndarray, x0: float, w: float) -> np.ndarray:
     """Gaussian with the reference's normalization

@@ -68,11 +68,21 @@ def _scale_impl(cube: ScanCube, scale: int) -> ScanCube:
     )
 
 
-def scale_cube(cube: ScanCube, scale: int) -> ScanCube:
+def scale_cube(cube: ScanCube, scale: int, valid_wh=None) -> ScanCube:
     """Public entry: no-op (same object) for ``scale <= 1`` or when the
-    result would be empty; otherwise one jitted block-mean program."""
+    result would be empty; otherwise one jitted block-mean program.
+
+    ``valid_wh`` is the host-known TRUE scan size of a bucket-padded
+    grid: the no-op check must use it (the reference no-ops on true
+    ``width // scale == 0``, ``math_tools.rs:244-256``) — otherwise a
+    valid region smaller than the scale factor on a large-enough padded
+    grid would publish a zero-diluted boundary-block mean."""
     if scale <= 1:
         return cube
     if cube.width // scale == 0 or cube.height // scale == 0:
+        return cube
+    if valid_wh is not None and (
+        valid_wh[0] // scale == 0 or valid_wh[1] // scale == 0
+    ):
         return cube
     return _scale_impl(cube, scale)

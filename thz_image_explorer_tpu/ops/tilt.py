@@ -41,7 +41,8 @@ def extension_steps(
 
 
 @partial(jax.jit, static_argnames=("num_steps",))
-def _tilt_kernel(data, time, tilt_x_deg, tilt_y_deg, dx, dy, num_steps: int):
+def _tilt_kernel(data, time, valid_wh, tilt_x_deg, tilt_y_deg, dx, dy,
+                 num_steps: int):
     width, height, n_time = data.shape
     tsx = tilt_x_deg / 180.0 * jnp.pi
     tsy = tilt_y_deg / 180.0 * jnp.pi
@@ -56,11 +57,18 @@ def _tilt_kernel(data, time, tilt_x_deg, tilt_y_deg, dx, dy, num_steps: int):
         new_time = time
     ext_t = n_time + 2 * num_steps
 
-    # per-pixel shift in ps -> discrete steps (tilt_compensation.rs:156-175)
+    # per-pixel shift in ps -> discrete steps (tilt_compensation.rs:156-175).
+    # The tilt center is the TRUE scan center (``valid_wh``, traced), not
+    # the bucket-padded grid's — the reference uses the real scan dims
+    # (tilt_compensation.rs:104-143), so output must not depend on
+    # THZ_SHAPE_BUCKET. Padded pixels are zero and stay zero (zero
+    # head-fill below), whatever shift they get.
+    vw = valid_wh[0].astype(jnp.float32)
+    vh = valid_wh[1].astype(jnp.float32)
     i = jnp.arange(width, dtype=jnp.float32)[:, None]
     j = jnp.arange(height, dtype=jnp.float32)[None, :]
-    x_off = (i - width / 2.0) * dx * tsx / C_MM_PER_PS
-    y_off = (j - height / 2.0) * dy * tsy / C_MM_PER_PS
+    x_off = (i - vw / 2.0) * dx * tsx / C_MM_PER_PS
+    y_off = (j - vh / 2.0) * dy * tsy / C_MM_PER_PS
     delta_steps = jnp.floor((x_off + y_off) / DT_PS).astype(jnp.int32)
     insert = jnp.maximum(num_steps + delta_steps, 0)  # (W, H)
 
@@ -82,17 +90,26 @@ def _tilt_kernel(data, time, tilt_x_deg, tilt_y_deg, dx, dy, num_steps: int):
     return out, new_time
 
 
-def tilt_compensate(cube: ScanCube, tilt_x_deg: float, tilt_y_deg: float) -> ScanCube:
+def tilt_compensate(
+    cube: ScanCube,
+    tilt_x_deg: float,
+    tilt_y_deg: float,
+    valid_wh=None,
+) -> ScanCube:
     """Apply tilt compensation; a no-op when dx/dy are unknown
-    (``tilt_compensation.rs:111``)."""
+    (``tilt_compensation.rs:111``). ``valid_wh`` is the host-known true
+    scan size of a bucket-padded cube — the geometry (tilt center, time
+    extension) is derived from it, never from the padded grid."""
     if cube.dx is None or cube.dy is None:
         return cube
+    vw, vh = valid_wh if valid_wh is not None else (cube.width, cube.height)
     num_steps = extension_steps(
-        cube.width, cube.height, cube.dx, cube.dy, tilt_x_deg, tilt_y_deg
+        vw, vh, cube.dx, cube.dy, tilt_x_deg, tilt_y_deg
     )
     data, new_time = _tilt_kernel(
         cube.data,
         cube.time,
+        cube.valid_wh,
         np.float32(tilt_x_deg),
         np.float32(tilt_y_deg),
         np.float32(cube.dx),

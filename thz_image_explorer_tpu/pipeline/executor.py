@@ -137,9 +137,15 @@ class _AsyncStageTimer:
                     # poll the runtime's ready flag instead of
                     # materialising the scalar: a device->host read from a
                     # second thread can deadlock some PJRT clients, a
-                    # status query cannot
+                    # status query cannot. Exponential backoff (0.2 ms ->
+                    # 1 ms cap): on a 1-core host a hot 200 µs spin would
+                    # steal cycles from the worker during every
+                    # interactive burst; a <=1 ms overshoot keeps the ms
+                    # display honest to ~10% at typical stage times.
+                    delay = 0.0002
                     while not b.is_ready() and not self._stop:
-                        _time.sleep(0.0002)
+                        _time.sleep(delay)
+                        delay = min(delay * 2.0, 0.001)
                 except Exception:  # pragma: no cover
                     continue
                 now = _time.perf_counter()
@@ -151,12 +157,15 @@ class _AsyncStageTimer:
 
 class _Meta:
     """Host-side cube geometry handed to ``fused_static`` (duck-types
-    the ScanCube fields it reads)."""
+    the ScanCube fields it reads). ``valid_wh`` is the host-known TRUE
+    scan size (tuple) of a bucket-padded grid — unlike ScanCube's traced
+    device leaf — so stages can derive static geometry from it."""
 
-    __slots__ = ("width", "height", "dx", "dy")
+    __slots__ = ("width", "height", "dx", "dy", "valid_wh")
 
-    def __init__(self, width, height, dx, dy):
+    def __init__(self, width, height, dx, dy, valid_wh=None):
         self.width, self.height, self.dx, self.dy = width, height, dx, dy
+        self.valid_wh = valid_wh if valid_wh is not None else (width, height)
 
 
 class _Virtual:
@@ -408,7 +417,10 @@ class Pipeline:
                 continue
             t_start = _time.perf_counter()
             if name == "scaling":
-                out = scale_cube(inp, self.config.scale_factor)
+                out = scale_cube(
+                    inp, self.config.scale_factor,
+                    valid_wh=self.valid_for(inp),
+                )
             elif name == "fft":
                 out = forward_fft(
                     inp,
@@ -420,7 +432,7 @@ class Pipeline:
                 out = inverse_fft(inp, self.config.avg_in_fourier_space)
             else:
                 stage = self.filters[name]
-                is_deconv = "Deconvolution" in stage.name
+                is_deconv = stage.is_deconvolution
                 if not is_deconv:
                     # any other custom filter in the range suppresses a
                     # deconvolution rerun (data_thread.rs:1144-1147)
@@ -473,7 +485,7 @@ class Pipeline:
             name = self.chain[end]
             if name not in ("scaling", "fft", "ifft"):
                 stage = self.filters[name]
-                is_deconv = "Deconvolution" in stage.name
+                is_deconv = stage.is_deconvolution
                 if not is_deconv:
                     has_custom = True
                 if stage.active and not stage.fusable:
@@ -507,7 +519,8 @@ class Pipeline:
         # host walk: clamp params, collect statics + traced params, and
         # mirror the time axis / downscale factor through the range
         cfg = self.config
-        meta = _Meta(inp.width, inp.height, inp.dx, inp.dy)
+        meta = _Meta(inp.width, inp.height, inp.dx, inp.dy,
+                     self.valid_for(inp))
         host_times: list[np.ndarray] = []
         statics: list[tuple] = []
         actives: list[bool] = []
@@ -515,15 +528,36 @@ class Pipeline:
         t_np = time_np
         rawfd_scaling = inp.scaling
         rawfd_idx = self.fft_index + 1
+        # effective downscale factor: no-op when either the padded grid or
+        # the TRUE scan size would collapse to zero (the reference no-ops
+        # on true width // scale == 0, math_tools.rs:244-256) — a mixed
+        # valid+pad boundary block must never be clamped INTO the valid
+        # region as a zero-diluted mean
+        s_cfg = cfg.scale_factor
+        s_eff = (
+            s_cfg
+            if (
+                s_cfg > 1
+                and meta.width // s_cfg > 0
+                and meta.height // s_cfg > 0
+                and meta.valid_wh[0] // s_cfg > 0
+                and meta.valid_wh[1] // s_cfg > 0
+            )
+            else 1
+        )
         for k, name in enumerate(names):
             if name == "scaling":
-                s = cfg.scale_factor
-                if s > 1 and meta.width // s > 0 and meta.height // s > 0:
+                s = s_eff
+                if s > 1:
                     meta = _Meta(
                         meta.width // s,
                         meta.height // s,
                         None if meta.dx is None else meta.dx * s,
                         None if meta.dy is None else meta.dy * s,
+                        (
+                            max(meta.valid_wh[0] // s, 1),
+                            max(meta.valid_wh[1] // s, 1),
+                        ),
                     )
                     if start + k <= rawfd_idx:
                         rawfd_scaling = s
@@ -551,7 +585,7 @@ class Pipeline:
             tuple(actives),
             tuple(statics),
             cfg.fft_window_type,
-            int(cfg.scale_factor),
+            int(s_eff),
             bool(cfg.avg_in_fourier_space),
         )
         fn = self._fused_cache.get(key)
@@ -561,7 +595,7 @@ class Pipeline:
                 tuple(actives),
                 tuple(statics),
                 cfg.fft_window_type,
-                int(cfg.scale_factor),
+                int(s_eff),
                 bool(cfg.avg_in_fourier_space),
                 start,
                 rawfd_idx,

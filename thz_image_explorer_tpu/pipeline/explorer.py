@@ -498,7 +498,7 @@ class Explorer:
         stage = self.pipeline.filters[uuid]
         changed = stage.active != active
         stage.active = active
-        if changed and ("Deconvolution" not in stage.name or not active):
+        if changed and (not stage.is_deconvolution or not active):
             self.update_filter(uuid)
 
     # ------------------------------------------------------- selection

@@ -66,7 +66,9 @@ class TiltCompensation(FilterStage):
         )
 
     def apply(self, cube: ScanCube, context: StageContext) -> ScanCube:
-        return tilt_compensate(cube, self.tilt_x, self.tilt_y)
+        return tilt_compensate(
+            cube, self.tilt_x, self.tilt_y, valid_wh=context.valid_wh
+        )
 
     # -- fusion protocol ---------------------------------------------
     def traced_params(self):
@@ -77,10 +79,15 @@ class TiltCompensation(FilterStage):
 
         if cube.dx is None or cube.dy is None:
             return (None,)
+        # geometry from the TRUE scan size (meta.valid_wh), not the
+        # bucket-padded grid — see tilt_compensate
+        vwh = getattr(cube, "valid_wh", None)
+        if not isinstance(vwh, tuple):
+            vwh = (cube.width, cube.height)
+        vw, vh = vwh
         return (
             extension_steps(
-                cube.width, cube.height, cube.dx, cube.dy,
-                self.tilt_x, self.tilt_y,
+                vw, vh, cube.dx, cube.dy, self.tilt_x, self.tilt_y,
             ),
         )
 
@@ -91,7 +98,7 @@ class TiltCompensation(FilterStage):
         if num_steps is None:  # dx/dy unknown: no-op (tilt_compensation.rs:111)
             return cube
         data, new_time = _tilt_kernel(
-            cube.data, cube.time, params[0], params[1],
+            cube.data, cube.time, cube.valid_wh, params[0], params[1],
             np.float32(cube.dx), np.float32(cube.dy), num_steps,
         )
         return cube.replace(data=data, time=new_time)
@@ -279,6 +286,8 @@ class Deconvolution(FilterStage):
     auto-run — only an explicit Apply triggers it (``deconvolution.rs:
     1113-1116``); the executor reproduces the rerun-suppression rule."""
 
+    is_deconvolution = True
+
     def __init__(self):
         self.params = dec.DeconvolutionParams()
         self.active = False
@@ -327,7 +336,10 @@ class Deconvolution(FilterStage):
             time_np = np.asarray(cube.time)
             plan_key = (
                 _dc.astuple(self.params),
-                id(psf),
+                # content fingerprint, NOT id(): a different PSF allocated
+                # at a freed PSF's address must never hit the cache with
+                # stale band geometry
+                psf.fingerprint(),
                 time_np.shape,
                 float(time_np[0]),
                 float(time_np[-1]),

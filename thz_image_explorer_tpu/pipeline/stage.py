@@ -72,6 +72,12 @@ class FilterStage:
     #: whole chain is likewise one pass of ``main_thread``,
     #: ``data_thread.rs:1090-1228``)
     fusable: bool = False
+    #: marker for the deconvolution stage's special semantics (Apply-only
+    #: trigger + rerun suppression, ``data_thread.rs:1139-1150``). A class
+    #: attribute, NOT a display-name match: the reference keys the
+    #: suppression on the concrete filter, so a user extension named
+    #: "Deconvolution Sharpen" must behave as a normal filter.
+    is_deconvolution: bool = False
 
     def config(self) -> FilterConfig:
         raise NotImplementedError

@@ -121,9 +121,12 @@ class WebApp:
                     dict(self._snapshot)
                     if getattr(self, "_snapshot", None)
                     else {  # last resort: the init snapshot also failed
+                        # must cover every key render() dereferences
+                        # unguarded (siblings.length, metadata.fields, …)
                         "file": None, "image": None, "image_shape": [0, 0],
                         "filters": {}, "rois": {}, "plots": {}, "log": [],
-                        "phase": None,
+                        "phase": None, "siblings": [], "sibling_paths": [],
+                        "metadata": {"fields": {}, "md": {}},
                     }
                 )
             snap["busy"] = True
