@@ -59,6 +59,34 @@ def main():
         return round(float(np.median(ts)) * 1e3, 2)
 
     out = {"xla_ms": bench("xla")}
+
+    # product seam (round-4): the live view's full fetch — dense path
+    # (full 164 MB opacity volume d2h + threshold read + host np.nonzero
+    # harvest + subsample) vs the single-transfer device top-k compaction
+    # (~1 MB: values + indices + threshold in ONE device_get)
+    from thz_image_explorer_tpu.ops.voxel import (
+        extract_instances,
+        extract_instances_topk,
+    )
+
+    def bench_wall(fn):
+        fn()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(float(np.median(ts)) * 1e3, 2)
+
+    kw = dict(time_span=51.2, scaling=1, original_dims=(200, 200, 1024),
+              opacity_threshold=0.1, contrast=2.0, kernel_sigma=3.0,
+              kernel_radius=9)
+    out["dense_fetch_ms"] = bench_wall(
+        lambda: extract_instances(data, **kw)
+    )
+    out["topk_fetch_ms"] = bench_wall(
+        lambda: extract_instances_topk(data, max_points=120_000, **kw)
+    )
     try:
         out["pallas_ms"] = bench("pallas")
         ox, tx = voxel_opacities(data, k, np.float32(2.0), np.float32(0.1),

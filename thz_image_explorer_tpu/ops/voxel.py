@@ -251,6 +251,111 @@ def _envelope_pallas(flat, w, contrast, thr, *, interpret: bool = False):
     return out[:n]
 
 
+@partial(jax.jit, static_argnames=("radius", "use_pallas", "k"))
+def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
+                     radius: int, use_pallas: bool, k: int):
+    """Opacity pipeline + on-device sparse compaction: the ``k`` brightest
+    voxels' (values, flat indices) plus the 2M-cap threshold, so ONE
+    small transfer replaces shipping the whole opacity volume to the host
+    (~1 MB vs 164 MB at 41M voxels; the host's ``np.nonzero`` harvest
+    disappears too). ``approx_max_k`` is the TPU-native binned top-k —
+    ~recall 0.95 against an exact sort, invisible in a point-cloud view;
+    exact ``top_k`` over 41M elements measured ~150 ms (sort-bound),
+    approx runs in single-digit ms."""
+    normalized, threshold = _voxel_opacities_impl(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    )
+    flat = normalized.reshape(-1)
+    k = min(k, flat.shape[0])
+    vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    return vals, idx.astype(jnp.int32), threshold
+
+
+def extract_instances_topk(
+    data: jnp.ndarray,
+    time_span: float,
+    scaling: int,
+    original_dims: tuple[int, int, int],
+    *,
+    max_points: int,
+    valid_grid: tuple[int, int] | None = None,
+    opacity_threshold: float = 0.1,
+    contrast: float = 2.0,
+    kernel_sigma: float = 3.0,
+    kernel_radius: int = 9,
+) -> tuple[np.ndarray, np.ndarray, float, float, float, float]:
+    """Single-round-trip voxel extraction for the live 3-D view.
+
+    Same geometry/colors as :func:`extract_instances`, but the device
+    program compacts to the ``max_points`` brightest voxels and ONE
+    ``device_get`` fetches (values, indices, threshold) together —
+    replacing the round-3 path's full-volume transfer + second threshold
+    read (the review's two-round-trip finding, ``threed_plot.rs:132-270``).
+    Selection is top-N by opacity — the reference's own cap semantics
+    (``select_nth_unstable``, ``threed_plot.rs:207-214``) — instead of the
+    old host-side random subsample. The dense path remains for VTU export
+    (up to the full 2M instances).
+    """
+    import os
+
+    impl = os.environ.get("THZ_VOXEL_IMPL", "auto")
+    sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
+    t = data.shape[-1]
+    vmem = 2 * (2 * t * 4 * _PALLAS_LINES) + 2 * (2 * t * t)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and not sharded
+        and vmem <= 10 * 1024 * 1024
+    )
+    kernel = jnp.asarray(gaussian_kernel1d(kernel_sigma, kernel_radius))
+    if use_pallas:
+        kernel = _band_matrix_bf16(kernel, t, kernel_radius)
+    vals, idx, thr = jax.device_get(
+        _voxel_topk_impl(
+            data, kernel, np.float32(contrast),
+            np.float32(opacity_threshold), kernel_radius, use_pallas,
+            int(max_points),
+        )
+    )
+    thr = float(thr)
+
+    gx, gy, gz = data.shape
+    xs = idx // (gy * gz)
+    rem = idx - xs * (gy * gz)
+    ys = rem // gz
+    zs = rem - ys * gz
+    # keep: above the 2M-cap threshold, nonzero, and inside the valid grid
+    keep = (vals >= max(thr, 1e-30)) & (vals > 0.0)
+    if valid_grid is not None:
+        keep &= (xs < valid_grid[0]) & (ys < valid_grid[1])
+        gx, gy = min(gx, valid_grid[0]), min(gy, valid_grid[1])
+    xs, ys, zs, opacity = xs[keep], ys[keep], zs[keep], vals[keep]
+
+    ox, oy, oz = original_dims
+    cube_width = cube_height = BASE_CUBE_SIZE
+    cube_depth = BASE_CUBE_SIZE / (time_span * C_M_PER_S / 1.0e9 * 2.0)
+    spacing_w = (ox * cube_width) / gx
+    spacing_h = (oy * cube_height) / gy
+    spacing_d = (oz * cube_depth) / gz
+    half_w = ox * BASE_CUBE_SIZE / 2.0
+    half_h = oy * BASE_CUBE_SIZE / 2.0
+    half_d = oz * cube_depth / 2.0
+    positions = np.stack(
+        [
+            ys * spacing_h - half_h,
+            half_w - xs * spacing_w,
+            half_d - zs * spacing_d,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    rgb = jet_colormap((opacity - thr) / (1.0 - thr)) if thr < 1.0 else (
+        jet_colormap(np.zeros_like(opacity))
+    )
+    rgba = np.concatenate([rgb, opacity[:, None]], axis=-1).astype(np.float32)
+    return positions, rgba, cube_width, cube_height, cube_depth, thr
+
+
 def jet_colormap(value: np.ndarray) -> np.ndarray:
     """(N,) opacity -> (N, 3) rgb (``threed_plot.rs:123-130``)."""
     v4 = 4.0 * np.asarray(value)

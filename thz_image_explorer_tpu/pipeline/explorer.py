@@ -401,21 +401,22 @@ class Explorer:
         # would otherwise show the busy fallback until compiled)
         out = p.output
         if out is not None:
-            from thz_image_explorer_tpu.ops.voxel import (
-                gaussian_kernel1d,
-                voxel_opacities,
-            )
-            import jax.numpy as jnp
+            from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
 
-            kernel = jnp.asarray(
-                gaussian_kernel1d(
-                    self.view3d["kernel_sigma"], self.view3d["kernel_radius"]
-                )
-            )
-            voxel_opacities(
-                out.data, kernel, np.float32(self.view3d["contrast"]),
-                np.float32(self.view3d["opacity_threshold"]),
-                self.view3d["kernel_radius"],
+            inp = p.input
+            t = np.asarray(out.time)
+            v0 = self.pipeline.valid_wh0 or (inp.width, inp.height)
+            extract_instances_topk(
+                out.data,
+                time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
+                scaling=out.scaling,
+                original_dims=(v0[0], v0[1], inp.n_time),
+                max_points=120_000,
+                valid_grid=p.valid_for(out),
+                opacity_threshold=self.view3d["opacity_threshold"],
+                contrast=self.view3d["contrast"],
+                kernel_sigma=self.view3d["kernel_sigma"],
+                kernel_radius=self.view3d["kernel_radius"],
             )
 
     # ------------------------------------------------------- fft config

@@ -68,3 +68,51 @@ def gauge_angle_rad(deg: float) -> float:
     ``x = -cos(phi)`` convention puts 0° at the left, increasing
     counter-clockwise."""
     return (180.0 - deg) * math.pi / 180.0
+
+
+# ------------------------------------------------------------- 3-D view
+#: drag sensitivity: radians of orbit per pixel of mouse travel
+ORBIT_RAD_PER_PX = 0.01
+#: view scale: the voxel cloud's max |coord| maps to canvas_min/2.2
+VIEW_FILL = 2.2
+
+
+def project_voxel(
+    x: float, y: float, z: float, rot_x: float, rot_z: float
+) -> tuple[float, float, float]:
+    """The canvas renderer's orbit projection (JS ``drawVoxels``; the
+    pan-orbit camera of ``threed_plot.rs:281-409`` reduced to two orbit
+    angles): rotate about the z axis, then about the x axis; returns
+    ``(x1, y2, z2)`` = (screen x, screen y, depth). Painter's order draws
+    ascending ``z2``."""
+    cx, sx = math.cos(rot_x), math.sin(rot_x)
+    cz, sz = math.cos(rot_z), math.sin(rot_z)
+    x1 = x * cz - y * sz
+    y1 = x * sz + y * cz
+    y2 = y1 * cx - z * sx
+    z2 = y1 * sx + z * cx
+    return x1, y2, z2
+
+
+def voxel_screen_xy(
+    x1: float, y2: float, scale: float, canvas_w: float, canvas_h: float
+) -> tuple[float, float]:
+    """Projected coords -> canvas px: centered, y up (JS ``fillRect`` at
+    ``(w/2 + x1*sc, h/2 - y2*sc)``)."""
+    return canvas_w / 2.0 + x1 * scale, canvas_h / 2.0 - y2 * scale
+
+
+def voxel_view_scale(max_abs: float, canvas_w: float, canvas_h: float) -> float:
+    """px per world unit (JS ``sc``): the cloud's bounding half-extent
+    fills 1/2.2 of the smaller canvas dimension (``max_abs`` is floored
+    at 1 by the JS loop's ``let m = 1`` initialization)."""
+    return min(canvas_w, canvas_h) / (VIEW_FILL * max(max_abs, 1.0))
+
+
+def orbit_drag(
+    rot_x: float, rot_z: float, dx_px: float, dy_px: float
+) -> tuple[float, float]:
+    """Mouse drag -> new orbit angles: horizontal travel spins about z,
+    vertical about x, 0.01 rad/px (JS mousemove handler; the reference's
+    bevy pan-orbit camera, ``threed_plot.rs:281-388``)."""
+    return rot_x + dy_px * ORBIT_RAD_PER_PX, rot_z + dx_px * ORBIT_RAD_PER_PX

@@ -624,8 +624,12 @@ class WebApp:
                max_points=120_000) -> dict:
         """Voxel instances of the current filtered cube for the browser 3-D
         view (``threed_plot.rs:132-270``); positions/colors packed as
-        base64 for compact transfer, subsampled to ``max_points``."""
-        from thz_image_explorer_tpu.ops.voxel import extract_instances
+        base64 for compact transfer. The device program compacts to the
+        ``max_points`` brightest voxels (the reference's top-N cap
+        semantics, ``threed_plot.rs:207-214``) so ONE small transfer
+        serves the view — the round-3 path shipped the full opacity
+        volume and paid a second round-trip for the threshold."""
+        from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
 
         def build(ex):
             out = ex.pipeline.output
@@ -643,11 +647,12 @@ class WebApp:
             )
             t = np.asarray(out.time)
             v0 = ex.pipeline.valid_wh0 or (inp.width, inp.height)
-            return extract_instances(
+            return extract_instances_topk(
                 out.data,
                 time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
                 scaling=out.scaling,
                 original_dims=(v0[0], v0[1], inp.n_time),
+                max_points=int(max_points),
                 valid_grid=ex.pipeline.valid_for(out),
                 opacity_threshold=float(threshold),
                 contrast=float(contrast),
@@ -663,10 +668,6 @@ class WebApp:
             return {"n": 0}
         positions, rgba, cw, ch, cd, thr = res
         n = len(positions)
-        if n > max_points:
-            idx = np.random.default_rng(0).choice(n, max_points, replace=False)
-            positions, rgba = positions[idx], rgba[idx]
-            n = max_points
         return {
             "n": int(n),
             "threshold": float(thr),
