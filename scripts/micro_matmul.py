@@ -30,6 +30,10 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    from thz_image_explorer_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
+
     B, T, M = 43264, 1024, 513  # the bench-shape forward DFT
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
@@ -41,7 +45,7 @@ def main():
     _sum = jax.jit(lambda y: jnp.sum(jnp.ravel(y)[:128]))
     out = {}
 
-    def timeit(label, fn, *args, gflop, n=10):
+    def timeit(label, fn, *args, gflop, n=60):
         f = jax.jit(fn)
         r = f(*args)
         float(_sum(r))
@@ -57,6 +61,8 @@ def main():
             "ms": round(best * 1e3, 3),
             "tflops": round(gflop / best / 1e3, 1),
         }
+        # incremental: survive an outer timeout with partial results
+        print(f"  {label}: {out[label]}", file=sys.stderr, flush=True)
 
     g1 = 2 * B * T * M / 1e9       # one (B,T)@(T,M)
     g2 = 2 * B * T * 2 * M / 1e9   # one (B,T)@(T,2M)

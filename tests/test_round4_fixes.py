@@ -247,3 +247,64 @@ def test_scale_noop_small_valid_through_pipeline(tmp_path, monkeypatch):
     ex.set_downscaling(12)
     assert ex.pipeline.output.scaling == 1  # no-op applied
     np.testing.assert_allclose(ex.image, base, atol=1e-6)
+
+
+# ------------------------------------------------- fresh per-stage ms
+def test_per_stage_ms_refresh_after_idle(tmp_path):
+    """Fused interactive runs can't split per-stage ms; once the command
+    queue drains, an exact shadow pass must refresh every stage's timing
+    so the filter panel never shows a stale ms as current (round-4 task
+    7; the reference re-times each filter every pass,
+    ``filters/filter.rs:607-621``)."""
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    t, raw = synthetic_scan(width=12, height=10, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    w = ExplorerWorker()
+    try:
+        w.send("open_file", path)
+        w.send("set_filter_active", "frequency_band_pass", True)
+        w.send("set_fft_window_low", 1.2)  # fused interactive run
+        assert w.join_idle(120)
+        p = w.explorer.pipeline
+        assert p.timings_stale == set()
+        # the shadow pass produced a real blocking ms for the stage
+        assert p.timings.get("frequency_band_pass", 0.0) > 0.0
+        assert p.timings.get("fft", 0.0) > 0.0
+    finally:
+        w.close()
+
+
+def test_shadow_pass_preserves_state(tmp_path):
+    """The idle timing refresh is a pure recompute: published output and
+    slots must be value-identical before/after."""
+    t, raw = synthetic_scan(width=12, height=10, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    ex.set_fft_window_low(1.1)
+    before = np.asarray(p.output.data).copy()
+    assert p.timings_stale  # fused run marked the range
+    assert p.refresh_stage_timings() is True
+    np.testing.assert_allclose(np.asarray(p.output.data), before, atol=1e-6)
+    assert p.timings_stale == set()
+    # nothing stale -> no second pass
+    assert p.refresh_stage_timings() is False
+
+
+def test_shadow_pass_never_runs_deconvolution(tmp_path, monkeypatch):
+    t, raw = synthetic_scan(width=16, height=16, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    deconv = p.filters["deconvolution"]
+    deconv.active = True
+    calls = {"n": 0}
+    monkeypatch.setattr(
+        deconv, "apply", lambda cube, ctx: calls.update(n=calls["n"] + 1) or cube
+    )
+    ex.set_fft_window_low(1.3)
+    p.refresh_stage_timings()
+    assert calls["n"] == 0

@@ -275,6 +275,14 @@ class Pipeline:
         #: first open reads as compile progress, not a hang
         self.phase: Optional[str] = None
         self._dispatched: set = set()
+        #: stages whose ``timings`` entry predates the last fused run (the
+        #: fused program has no observable internal stage boundaries, so
+        #: their per-stage ms could not be refreshed). The UI must not
+        #: show these as current; an idle-time exact shadow pass
+        #: (:meth:`refresh_stage_timings`) clears them — the reference
+        #: shows a fresh ms per filter on every chain pass
+        #: (``data_thread.rs:1107,1169-1184``).
+        self.timings_stale: set = set()
 
     # ------------------------------------------------------------------
     def index_of(self, uuid: str) -> int:
@@ -454,7 +462,9 @@ class Pipeline:
                 if block_timings:
                     jax.block_until_ready(out.data)
                     self.timings[name] = _time.perf_counter() - t_start
+                    self.timings_stale.discard(name)
                 elif out is not inp:  # identity pass-through: keep last ms
+                    self.timings_stale.discard(name)
                     self._timer.record(name, out.data)
             if out.n_time != inp.n_time and name != "initial":
                 out = self._replan(out)
@@ -628,8 +638,12 @@ class Pipeline:
             )
         if self.record_timings:
             # one program = one honest device-time number; per-stage ms
-            # keep their last exact-mode values (class docstring)
+            # keep their last exact-mode values (class docstring) and are
+            # marked stale until the next idle refresh
             self._timer.record("chain", final.data)
+            # every stage in the fused range (including ones with no
+            # entry yet) needs an idle refresh to show a current ms
+            self.timings_stale.update(names)
 
     def _build_fused(self, names, actives, statics, window_type, scale,
                      avg_flag, start, rawfd_idx):
@@ -694,6 +708,26 @@ class Pipeline:
             return None
         s = cube.scaling
         return (max(self.valid_wh0[0] // s, 1), max(self.valid_wh0[1] // s, 1))
+
+    # ------------------------------------------------------------------
+    def refresh_stage_timings(self) -> bool:
+        """Idle-time shadow pass: one exact-mode chain run purely to
+        refresh the per-stage ms the fused program cannot split
+        (round-4 task 7 — the filter panel must never show a stale ms as
+        current; the reference re-times every filter on every pass,
+        ``filters/filter.rs:607-621``). Stages are pure, so the pass
+        recomputes identical slots; deconvolution is never rerun (its ms
+        refreshes on Apply). Returns True when a pass ran."""
+        if not self.timings_stale or not self.record_timings:
+            return False
+        if self.input is None:
+            self.timings_stale.clear()
+            return False
+        self._run_stages(
+            1, force_all=False, block_timings=True, run_deconvolution=False
+        )
+        self.timings_stale.clear()
+        return True
 
     # ------------------------------------------------------------------
     def update_filter(self, uuid: str, *, force: bool = False):

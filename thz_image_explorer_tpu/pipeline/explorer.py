@@ -381,6 +381,14 @@ class Explorer:
             psf=self.pipeline.psf,
         )
 
+    def on_idle(self):
+        """Idle housekeeping, invoked by the worker when the command
+        queue drains: refresh the per-stage ms the fused interactive
+        program could not split (one exact shadow pass; stages are pure,
+        so state is unchanged — round-4 task 7, matching the reference's
+        fresh per-filter ms on every pass, ``filters/filter.rs:607-621``)."""
+        self.pipeline.refresh_stage_timings()
+
     def warmup(self):
         """Precompile the fused interactive programs for every dirty-range
         start point at the current scan shape/active-set (``serve

@@ -281,6 +281,19 @@ class ExplorerWorker:
 
                 traceback.print_exc()
             finally:
+                if self.queue.empty():
+                    # burst settled: idle housekeeping (per-stage timing
+                    # refresh) runs BEFORE idle is signalled so join_idle
+                    # observers see fresh timings; outside the idle lock —
+                    # it dispatches device work and must not block send()
+                    try:
+                        on_idle = getattr(self.explorer, "on_idle", None)
+                        if on_idle is not None:
+                            on_idle()
+                    except Exception:  # noqa: BLE001
+                        import traceback
+
+                        traceback.print_exc()
                 with self._idle_lock:
                     if self.queue.empty():
                         self._idle.set()

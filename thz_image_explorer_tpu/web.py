@@ -174,6 +174,10 @@ class WebApp:
                 "active": f.active,
                 "params": params,
                 "time_ms": round(pipeline.timings.get(uuid, 0.0) * 1e3, 2),
+                # the fused program can't split per-stage ms; entries are
+                # stale until the idle shadow pass refreshes them and the
+                # panel must not show them as current (round-4 task 7)
+                "time_stale": uuid in pipeline.timings_stale,
                 "progress": pipeline.progress.get(uuid),
             }
 
@@ -1223,7 +1227,7 @@ function render() {
     const prog = (f.progress!=null)
       ? ` <span style="color:#8f8">${Math.round(f.progress*100)}%</span>` : '';
     return `<div style="margin-bottom:8px"><b title="${escH(f.description)}">${escH(f.name)}</b>${doi}${prog}
-      <span class="ms">${f.time_ms} ms</span><br>
+      <span class="ms"${f.time_stale?' style="color:#777" title="last exact-pass value; fused chain ms in the FFT panel — refreshes when idle"':''}>${f.time_stale?'(':''}${f.time_ms} ms${f.time_stale?')':''}</span><br>
       <span class="switch ${f.active?'on':''}" title="${f.active?'active':'inactive'}"
         onclick="cmd('set_filter_active',['${escA(u)}',${!f.active}])"><span class="knob"></span></span>
       <button onclick="cmd('update_filter',['${escA(u)}'],)">Apply</button> ${params}</div>`;
