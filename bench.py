@@ -25,6 +25,11 @@ import numpy as np
 WIDTH, HEIGHT, NTIME = 200, 200, 1024
 DT = 0.05  # ps
 RUNS = 10
+# pipelined windows amortize ONE completion-barrier round-trip (~27 ms
+# tunnel RTT) across the window; at 10 runs that inflates per-update
+# device time by ~2.7 ms, at 80 by ~0.35 ms (scripts/micro_matmul.py
+# calibration) — use the longer window wherever device time is the claim
+PIPE_RUNS = 80
 
 
 def _make_data():
@@ -46,7 +51,7 @@ def bench_tpu(t, data):
     from thz_image_explorer_tpu.parallel.step import (
         StepConfig,
         StepParams,
-        interactive_update,
+        lean_update,
     )
 
     print("bench: h2d...", file=sys.stderr, flush=True)
@@ -59,15 +64,20 @@ def bench_tpu(t, data):
         td_after_active=True,
         avg_in_fourier_space=False,
     )
+    # the product-shaped update: chain + publish reductions in one
+    # program (round-4 leaf-level sparse materialization); 4 zero ROI
+    # masks = the provider's bucketed minimum
+    masks = jnp.zeros((4, WIDTH, HEIGHT), jnp.float32)
+    pix = jnp.asarray([17, 23], jnp.int32)
     _sum = jax.jit(jnp.sum)
 
     def run_once(p):
-        out = interactive_update(cube, p, cfg)
+        out = lean_update(cube, p, cfg, masks, pix)
         # On remote-tunnelled devices block_until_ready can return at
         # enqueue time; a scalar device->host read is the only reliable
         # completion barrier. (Jitted sum: eager ops are unsupported on
         # the axon backend.)
-        return float(_sum(out[1])), out
+        return float(_sum(out["img"])), out
 
     # warmup / compile
     print("bench: compile+warmup...", file=sys.stderr, flush=True)
@@ -85,27 +95,38 @@ def bench_tpu(t, data):
         times.append(time.perf_counter() - t0)
     p50_single = float(np.median(times))
 
-    # pipelined throughput: dispatch RUNS updates back-to-back, one barrier
+    # pipelined throughput: dispatch updates back-to-back, one barrier
     # at the end — measures device execution without the per-update
-    # host<->device round-trip (which over a tunnelled device dominates)
-    t0 = time.perf_counter()
-    out = None
-    for i in range(RUNS):
-        params = dataclasses.replace(params, fd_low=np.float32(0.3 + 0.001 * i))
-        out = interactive_update(cube, params, cfg)
-    float(_sum(out[1]))
-    pipelined = (time.perf_counter() - t0) / RUNS
+    # host<->device round-trip (which over a tunnelled device dominates);
+    # best-of-3 long windows so the barrier RTT amortizes to <0.4 ms
+    pipelined = None
+    for w in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(PIPE_RUNS):
+            params = dataclasses.replace(
+                params, fd_low=np.float32(0.3 + 0.0005 * (w * PIPE_RUNS + i))
+            )
+            out = lean_update(cube, params, cfg, masks, pix)
+        float(_sum(out["img"]))
+        dt = (time.perf_counter() - t0) / PIPE_RUNS
+        pipelined = dt if pipelined is None else min(pipelined, dt)
 
-    # roofline: XLA's own FLOP count of the exact compiled chain (the AOT
-    # lower/compile hits the persistent cache the jit path just wrote)
+    # roofline: XLA's own FLOP + bytes-accessed count of the compiled
+    # chain (the AOT lower/compile hits the persistent cache the jit
+    # path just wrote)
+    chain_flops = chain_bytes = None
     try:
-        ca = interactive_update.lower(cube, params, cfg).compile().cost_analysis()
+        ca = lean_update.lower(
+            cube, params, cfg, masks, pix
+        ).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         chain_flops = float(ca["flops"])
+        chain_bytes = float(ca.get("bytes accessed", 0)) or None
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        chain_flops = None
-    return p50_single, pipelined, cube, chain_flops
+        pass
+    return p50_single, pipelined, cube, chain_flops, chain_bytes
 
 
 def bench_cpu_torch(t, data):
@@ -407,16 +428,17 @@ def bench_explorer(t, data):
     # fused dirty-range run (no publish), ONE completion barrier at the
     # end — comparable 1:1 with pipelined_update_ms
     p = ex.pipeline
+    lean = p.output is not None and p.output.amplitudes is None
     _sum = jax.jit(jnp.sum)
     p.record_timings = False  # no probe dispatches between runs
     windows = []
     for w in range(3):  # best-of-3: the tunnelled worker has transient stalls
         t0 = time.perf_counter()
-        for i in range(RUNS):
-            p.config.fft_window[0] = 1.0 + 0.001 * (w * RUNS + i)
+        for i in range(PIPE_RUNS):
+            p.config.fft_window[0] = 1.0 + 0.0005 * (w * PIPE_RUNS + i)
             p.run_from(p.fft_index)
         float(_sum(p.output.data))
-        windows.append((time.perf_counter() - t0) / RUNS)
+        windows.append((time.perf_counter() - t0) / PIPE_RUNS)
     device_s = min(windows)
     p.record_timings = True
 
@@ -435,10 +457,203 @@ def bench_explorer(t, data):
         "explorer_update_p50_wall_ms": round(float(np.median(walls)) * 1e3, 2),
         "padded_grid": f"{padded[0]}x{padded[1]}x{padded[2]}",
         "padded_overhead": round(px / (WIDTH * HEIGHT) - 1.0, 3),
+        "lean_publish": lean,
         "note": "explorer_update_ms = per-update device time of the product "
-                "executor's fused dirty-range program (N async dispatches, "
-                "one barrier), on the bucket-padded grid; wall p50 adds the "
-                "publish gather + one tunnel round-trip per update",
+                "executor's merged lean chain+publish program (N async "
+                "dispatches, one barrier), on the bucket-padded grid; the "
+                "publish reductions are computed in-program and the final "
+                "slot's spectral cubes are never materialized; wall p50 "
+                "adds the one-transfer publish + one tunnel round-trip",
+    }
+
+
+def bench_voxel(t, data):
+    """The live 3-D view's full fetch through the PRODUCT seam
+    (``WebApp.voxels`` -> device top-k compaction -> one transfer),
+    at the bench cube size = 41M voxels (round-4 task 5)."""
+    import os
+    import tempfile
+
+    import h5py
+
+    from thz_image_explorer_tpu.web import WebApp
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "bench_vox.thzimg")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Image")
+        md = {"width": str(data.shape[0]), "height": str(data.shape[1]),
+              "dx [mm]": "0.5", "dy [mm]": "0.5"}
+        g.attrs["mdDescription"] = ",".join(md.keys())
+        for i, v in enumerate(md.values()):
+            g.attrs[f"md{i + 1}"] = v
+        g.attrs["dsDescription"] = "time,dataset"
+        g.create_dataset("ds1", data=t)
+        g.create_dataset("ds2", data=data)
+
+    app = WebApp()
+    try:
+        app.worker.send("open_file", path)
+        app.worker.join_idle(600)
+        v = app.voxels(threshold=0.001)  # compile + warm
+        walls = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            v = app.voxels(threshold=0.001, contrast=2.0 + 0.001 * i)
+            walls.append(time.perf_counter() - t0)
+        return {
+            "voxel_ms": round(float(np.median(walls)) * 1e3, 2),
+            "voxel_points": int(v.get("n", 0)),
+            "note": "wall time of the product /api/voxels fetch at "
+                    "200x200x1024 (41M voxels): device envelope+threshold "
+                    "+ top-k compaction + ONE ~1 MB transfer; the round-3 "
+                    "path shipped the 164 MB opacity volume in two "
+                    "round-trips (~82 ms)",
+        }
+    finally:
+        app.worker.close()
+
+
+def bench_psf():
+    """PSF-tool fit timing on the reference's real knife-edge fixtures
+    (round-4 task 6): full compute wall, the batched device-filtering
+    split, and a numpy/scipy host-only run of the same fit."""
+    import glob
+
+    from thz_image_explorer_tpu.psf_tool import fitting
+    from thz_image_explorer_tpu.psf_tool.app import FilterParams, compute_psf
+    from thz_image_explorer_tpu.psf_tool.data_loader import KnifeEdgeMeasurement
+    from thz_image_explorer_tpu.psf_tool.filters import create_filter_bank
+
+    base = "/root/reference/sample_data/example_beam_width"
+    fx = sorted(glob.glob(f"{base}/measurement_x/data/*.thz"))
+    fy = sorted(glob.glob(f"{base}/measurement_y/data/*.thz"))
+    if not fx or not fy:
+        return {"error": "knife-edge fixtures not found"}
+    mx = KnifeEdgeMeasurement.from_thz_file(fx[0])
+    my = KnifeEdgeMeasurement.from_thz_file(fy[0])
+    fp = FilterParams()  # reference defaults: 20 bands, 0.15-5 THz, log
+
+    def timed(fn, n=3):
+        fn()  # warm/compile
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    # the one batched device program: all bands x all traces FIR filtering
+    taps, _ = create_filter_bank(
+        fp.n_filters, fp.start_freq, fp.end_freq, fp.win_width, mx.times,
+        low_cut=fp.low_cut, high_cut=fp.high_cut, spacing=fp.frequency_spacing,
+    )
+    import jax
+
+    def device_filter():
+        out = fitting.filter_traces_all_bands(np.asarray(mx.time_traces), taps)
+        jax.block_until_ready(out)
+        return out
+
+    filter_dev_s = timed(device_filter)
+
+    full_s = timed(lambda: compute_psf(mx, my, fp), n=1)
+
+    # host-only comparison: scipy 'same' correlation, same fit loop
+    from scipy.signal import fftconvolve
+
+    def host_fir(traces, taps_):
+        traces = np.asarray(traces, np.float64)
+        return np.stack([
+            fftconvolve(traces, k[::-1][None, :], mode="same")
+            for k in np.asarray(taps_, np.float64)
+        ])
+
+    real = fitting.filter_traces_all_bands
+    fitting.filter_traces_all_bands = host_fir
+    try:
+        host_s = timed(lambda: compute_psf(mx, my, fp), n=1)
+    finally:
+        fitting.filter_traces_all_bands = real
+    return {
+        "psf_fit_ms": round(full_s * 1e3, 1),
+        "psf_filter_device_ms": round(filter_dev_s * 1e3, 2),
+        "psf_fit_hostonly_ms": round(host_s * 1e3, 1),
+        "workload": f"{len(mx.positions)}x{mx.time_traces.shape[1]} traces "
+                    f"x {fp.n_filters} bands x 2 axes, real knife-edge "
+                    "fixtures (example_beam_width)",
+        "note": "psf_fit_ms = full compute (device band-filtering + "
+                "sequential warm-started host erf fits); hostonly swaps "
+                "the device filtering for scipy fftconvolve",
+    }
+
+
+def bench_firstopen():
+    """Cold/warm first-open regression numbers (round-4 task 2): wall
+    time of Explorer() + open_file + one slider update in a FRESH process
+    against (a) an empty XLA cache at a novel bucket shape, (b) the same
+    cache, second process. Gate: THZ_BENCH_FIRSTOPEN=0 skips (the cold
+    compile costs minutes of bench budget)."""
+    import os
+    import subprocess
+    import tempfile
+
+    if os.environ.get("THZ_BENCH_FIRSTOPEN", "1") == "0":
+        return {"skipped": True}
+
+    cache = tempfile.mkdtemp(prefix="thz_cold_cache_")
+    scan_dir = tempfile.mkdtemp(prefix="thz_cold_scan_")
+    # a shape the persistent caches have never seen (odd bucket + T)
+    w, h, nt = 150, 130, 768
+    script = f"""
+import sys, time, json
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import numpy as np
+from make_sample import synthetic_scan, write_scan_thz
+t, cube = synthetic_scan(width={w}, height={h}, n_time={nt})
+path = "{scan_dir}/cold.thzimg"
+write_scan_thz(path, t, cube, dx=0.5, dy=0.5)
+t0 = time.perf_counter()
+from thz_image_explorer_tpu.pipeline import Explorer
+ex = Explorer()
+ex.open_file(path)
+open_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+ex.set_fft_window_low(1.1)
+slider_s = time.perf_counter() - t0
+print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
+"""
+    env = dict(os.environ, THZ_XLA_CACHE=cache)
+    env.pop("JAX_PLATFORMS", None)
+
+    def run_once():
+        t0 = time.perf_counter()
+        out = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, timeout=1200,
+        )
+        wall = time.perf_counter() - t0
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        try:
+            d = json.loads(line)
+        except Exception:  # noqa: BLE001
+            d = {"error": (out.stderr or "")[-200:]}
+        d["process_wall_s"] = round(wall, 1)
+        return d
+
+    cold = run_once()
+    warm = run_once()
+    return {
+        "first_open_cold_s": round(cold.get("open_s", -1)
+                                   + cold.get("slider_s", 0), 1),
+        "first_open_cold_detail": cold,
+        "first_open_warm_s": round(warm.get("open_s", -1)
+                                   + warm.get("slider_s", 0), 1),
+        "first_open_warm_detail": warm,
+        "shape": f"{w}x{h}x{nt} (novel bucket, fresh cache dir)",
+        "note": "cold = empty XLA cache (remote compiles); warm = second "
+                "process, same persistent cache (serve precompiles the "
+                "bucket in the background by default)",
     }
 
 
@@ -551,12 +766,12 @@ def main():
     # the remote tunnelled TPU worker occasionally crashes/restarts; one
     # retry keeps the headline metric alive through a transient fault
     try:
-        tpu_s, pipelined_s, cube, chain_flops = bench_tpu(t, data)
+        tpu_s, pipelined_s, cube, chain_flops, chain_bytes = bench_tpu(t, data)
     except Exception as e:  # noqa: BLE001
         print(f"bench: TPU attempt failed ({str(e)[:80]}); retrying...",
               file=sys.stderr, flush=True)
         time.sleep(10)
-        tpu_s, pipelined_s, cube, chain_flops = bench_tpu(t, data)
+        tpu_s, pipelined_s, cube, chain_flops, chain_bytes = bench_tpu(t, data)
     cpu_s = None if args.no_cpu else bench_cpu_torch(t, data)
 
     # pinned denominator (VERDICT r2 #4): best-of-8 torch-CPU runs on a
@@ -573,6 +788,7 @@ def main():
         pass
 
     PEAK_BF16_FLOPS = 197e12  # v5e bf16 matmul peak
+    HBM_BW = 819e9  # v5e HBM bandwidth
     extra = {
         "traces_per_sec_pipelined": round(WIDTH * HEIGHT / pipelined_s, 1),
         "pipelined_update_ms": round(pipelined_s * 1e3, 3),
@@ -597,11 +813,25 @@ def main():
     if chain_flops is not None:
         extra["chain_gflops_per_update"] = round(chain_flops / 1e9, 2)
         extra["mfu"] = round(chain_flops / pipelined_s / PEAK_BF16_FLOPS, 4)
-        extra["mfu_note"] = (
-            "XLA cost-analysis FLOPs of the fused chain / device time / "
-            "197 TFLOP/s v5e bf16 peak; the chain is HBM-bandwidth-bound "
-            "(masks, transposes, elementwise), so low MFU is expected — "
-            "the MXU-heavy deconvolution MFU is reported separately"
+        # the chain's matmuls run bf16x3 (Precision.HIGH): the ACHIEVABLE
+        # matmul ceiling is peak/3 — utilization against it is the honest
+        # "how much headroom is left" number (round-4 roofline task)
+        extra["mfu_bf16x3"] = round(
+            chain_flops / pipelined_s / (PEAK_BF16_FLOPS / 3.0), 4
+        )
+    if chain_bytes is not None:
+        extra["chain_bytes_accessed_gb"] = round(chain_bytes / 1e9, 3)
+        extra["hbm_roofline_frac"] = round(
+            chain_bytes / pipelined_s / HBM_BW, 3
+        )
+    if chain_flops is not None or chain_bytes is not None:
+        extra["roofline_note"] = (
+            "XLA cost-analysis FLOPs / bytes-accessed of the fused chain "
+            "over best-of-3 pipelined device windows; mfu_bf16x3 divides "
+            "by the ~65.7 TFLOP/s bf16x3 ceiling the DFT matmuls actually "
+            "run at, hbm_roofline_frac by 819 GB/s v5e HBM. Phase split "
+            "and methodology: scripts/profile_roofline.py, "
+            "scripts/micro_matmul.py"
         )
     try:
         extra["explorer"] = bench_explorer(t, data)
@@ -611,6 +841,18 @@ def main():
             extra["explorer_vs_pipelined"] = round(eu / (pipelined_s * 1e3), 2)
     except Exception as e:  # noqa: BLE001
         extra["explorer_error"] = str(e)[:160]
+    try:
+        extra["voxel"] = bench_voxel(t, data)
+        if "voxel_ms" in extra["voxel"]:
+            extra["voxel_ms"] = extra["voxel"]["voxel_ms"]
+    except Exception as e:  # noqa: BLE001
+        extra["voxel_error"] = str(e)[:160]
+    try:
+        extra["psf_tool"] = bench_psf()
+        if "psf_fit_ms" in extra["psf_tool"]:
+            extra["psf_fit_ms"] = extra["psf_tool"]["psf_fit_ms"]
+    except Exception as e:  # noqa: BLE001
+        extra["psf_error"] = str(e)[:160]
     if not args.no_deconv:
         try:
             dres = bench_deconv(cube)
@@ -650,6 +892,10 @@ def main():
             extra["mesh_exec"] = bench_mesh_exec()
         except Exception as e:
             extra["mesh_exec_error"] = str(e)[:160]
+        try:
+            extra["first_open"] = bench_firstopen()
+        except Exception as e:
+            extra["first_open_error"] = str(e)[:160]
 
     result = {
         "metric": "full-image update latency p50 (window+FFT+FD filter+notch+iFFT+intensity, 200x200x1024)",

@@ -94,7 +94,7 @@ def main():
 
     import dataclasses
 
-    def timeit(fn, *args, n=10, reps=3, nudge=None):
+    def timeit(fn, *args, n=40, reps=3, nudge=None):
         """Pipelined device ms/iter: n dispatches, ONE completion barrier,
         best of `reps` windows (the tunnel has stall windows)."""
         r = fn(*args)

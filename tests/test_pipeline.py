@@ -48,8 +48,11 @@ def test_pipeline_runs_end_to_end(tmp_path):
     out = ex.pipeline.output
     assert out is not None
     assert out.n_time == 128
-    # spectra were computed
-    assert float(np.abs(np.asarray(out.fft)).max()) > 0
+    # spectra were computed (published surface; the lean final slot keeps
+    # no spectra cubes) and are recoverable in full via materialization
+    assert float(np.abs(ex.plot.filtered_signal_fft).max()) > 0
+    mat = ex.pipeline.materialize_output()
+    assert float(np.abs(np.asarray(mat.fft)).max()) > 0
     # intensity image published at original resolution
     assert ex.image.shape == (16, 16)
     # plot series published
@@ -69,13 +72,13 @@ def test_incremental_recompute_skips_upstream(tmp_path):
     ex.open_file(path)
     p = ex.pipeline
     slot0 = p.slots[0]
-    out_before = np.asarray(p.output.amplitudes).copy()
+    out_before = ex.plot.avg_signal_fft.copy()
     fd_uuid = "frequency_band_pass"
     p.filters[fd_uuid].active = True
     p.filters[fd_uuid].low = 0.3
     ex.update_filter(fd_uuid)
     assert p.slots[0] is slot0  # raw input untouched
-    assert not np.allclose(np.asarray(p.output.amplitudes), out_before)
+    assert not np.allclose(ex.plot.avg_signal_fft, out_before)
 
     # the EXACT mode keeps the reference's literal per-slot contract
     ex2 = Explorer()
@@ -102,13 +105,17 @@ def test_fd_bandpass_zeroes_outside_band(tmp_path):
     p.filters["frequency_band_pass"].high = 1.2
     p.filters["frequency_band_pass"].window_width = 0.0
     ex.update_filter("frequency_band_pass")
-    out = p.output
-    freq = np.asarray(out.freq)
-    amps = np.asarray(out.amplitudes)
+    # published (lean-program) surfaces show the mask
+    freq = ex.plot.filtered_frequencies
     outside = (freq < 0.8 - 1e-6) | (freq > 1.2 + 1e-6)
+    assert np.allclose(ex.plot.filtered_signal_fft[outside], 0.0)
+    assert np.allclose(ex.plot.avg_signal_fft[outside], 0.0)
+    assert ex.plot.filtered_signal_fft[~outside].max() > 0
+    # and the full materialized cube agrees
+    out = p.materialize_output()
+    amps = np.asarray(out.amplitudes)
     assert np.allclose(amps[:, :, outside], 0.0)
-    inside = ~outside
-    assert amps[:, :, inside].max() > 0
+    assert amps[:, :, ~outside].max() > 0
 
 
 def test_inactive_filter_is_identity(tmp_path):
@@ -216,10 +223,15 @@ def test_stage_apply_is_pure(tmp_path):
         np.asarray(pf.output.data), np.asarray(p.output.data),
         rtol=1e-5, atol=1e-5,
     )
+    # raw-spectrum parity via the published surface (the lean program
+    # materializes no rawfd cubes — only the publish slices)
+    exf.publish()
+    ex.publish()
     np.testing.assert_allclose(
-        np.asarray(pf.raw_fd_view().amplitudes),
-        np.asarray(p.raw_fd_view().amplitudes),
-        rtol=1e-5, atol=1e-5,
+        exf.plot.signal_fft, ex.plot.signal_fft, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        exf.plot.phase_fft, ex.plot.phase_fft, rtol=1e-5, atol=2e-4
     )
 
 
@@ -242,10 +254,9 @@ def test_window_change_reruns_fft(tmp_path):
     ex = Explorer()
     path, *_ = _scan_file(tmp_path, width=8, height=8, n_time=64)
     ex.open_file(path)
-    before = np.asarray(ex.pipeline.output.amplitudes).copy()
+    before = ex.plot.avg_signal_fft.copy()
     ex.set_fft_window_type(WindowType.HAMMING)
-    after = np.asarray(ex.pipeline.output.amplitudes)
-    assert not np.allclose(before, after)
+    assert not np.allclose(before, ex.plot.avg_signal_fft)
 
 
 def test_tilt_changes_time_axis_and_replans(tmp_path):
@@ -259,8 +270,9 @@ def test_tilt_changes_time_axis_and_replans(tmp_path):
     ex.update_filter("tilt_compensation")
     out = p.output
     assert out.n_time > 64
-    assert out.n_freq == out.n_time // 2 + 1
+    assert out.freq.shape[0] == out.n_time // 2 + 1
     assert len(ex.plot.filtered_time) == out.n_time
+    assert len(ex.plot.filtered_frequencies) == out.n_time // 2 + 1
 
 
 def test_roi_and_optical_properties(tmp_path):
@@ -526,12 +538,49 @@ def test_custom_filter_extension(tmp_path):
 def _cube_close(a, b, atol=1e-5):
     na, nb = np.asarray(a.data), np.asarray(b.data)
     np.testing.assert_allclose(na, nb, atol=atol, rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(a.amplitudes), np.asarray(b.amplitudes), atol=atol, rtol=1e-5
-    )
+    # a LEAN final slot (merged-publish fused program) has no spectra
+    # cubes; spectral parity is then asserted on the published surfaces
+    # via _plots_close
+    if a.amplitudes is not None and b.amplitudes is not None:
+        np.testing.assert_allclose(
+            np.asarray(a.amplitudes), np.asarray(b.amplitudes),
+            atol=atol, rtol=1e-5,
+        )
     np.testing.assert_allclose(
         np.asarray(a.time), np.asarray(b.time), atol=atol, rtol=1e-6
     )
+
+
+_PLOT_KEYS = (
+    "time", "signal", "frequencies", "signal_fft", "phase_fft",
+    "filtered_time", "filtered_signal", "filtered_frequencies",
+    "filtered_signal_fft", "filtered_phase_fft", "avg_signal",
+    "avg_signal_fft", "avg_phase_fft", "refractive_index",
+    "absorption_coefficient", "extinction_coefficient",
+)
+
+
+def _plots_close(ex_a, ex_b, atol=1e-4, rtol=1e-4):
+    """Every published surface of two Explorers must agree — the
+    product-level parity check between the lean merged-publish path and
+    the standalone gather over exact slots."""
+    ex_a.publish()
+    ex_b.publish()
+    a, b = ex_a.plot, ex_b.plot
+    for k in _PLOT_KEYS:
+        va, vb = getattr(a, k), getattr(b, k)
+        assert len(va) == len(vb), k
+        np.testing.assert_allclose(va, vb, atol=atol, rtol=rtol, err_msg=k)
+    assert set(a.roi_signal) == set(b.roi_signal)
+    for u in a.roi_signal:
+        np.testing.assert_allclose(
+            a.roi_signal[u][1], b.roi_signal[u][1], atol=atol, rtol=rtol
+        )
+        np.testing.assert_allclose(
+            a.roi_signal_fft[u][1], b.roi_signal_fft[u][1],
+            atol=atol, rtol=rtol,
+        )
+    np.testing.assert_allclose(ex_a.image, ex_b.image, atol=atol, rtol=rtol)
 
 
 def test_fused_matches_exact_full_chain(tmp_path):
@@ -561,28 +610,20 @@ def test_fused_matches_exact_full_chain(tmp_path):
 
     fused_ex = build(True)
     exact_ex = build(False)
-    # fused mode materializes only the final slot + the raw-spectrum view;
-    # both must match the exact per-stage chain
+    # fused mode materializes only the final slot's DATA (the merged lean
+    # program folds every spectral read into publish reductions); parity
+    # vs the exact per-stage chain holds on the data cube and on EVERY
+    # published surface (raw spectrum slices, means, ROI traces, image)
     _cube_close(fused_ex.pipeline.output, exact_ex.pipeline.output)
-    fv = fused_ex.pipeline.raw_fd_view()
-    ev = exact_ex.pipeline.raw_fd_view()
-    np.testing.assert_allclose(
-        np.asarray(fv.amplitudes), np.asarray(ev.amplitudes),
-        rtol=1e-5, atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(fv.phases), np.asarray(ev.phases), rtol=1e-5, atol=2e-4
-    )
-    assert fv.scaling == ev.scaling == 2
+    # the raw-spectrum slot was downscaled (slot order preserved)
+    assert fused_ex.pipeline._lean_plan["spec"].rawfd_scaling == 2
+    assert exact_ex.pipeline.raw_fd_view().scaling == 2
     # host time mirror matches the device time axis (tilt extended it)
     pt = fused_ex.pipeline._host_time[len(fused_ex.pipeline.chain) - 1]
     np.testing.assert_allclose(
         pt, np.asarray(fused_ex.pipeline.output.time), atol=1e-5
     )
-    # and the published surfaces agree end-to-end
-    np.testing.assert_allclose(
-        fused_ex.image, exact_ex.image, rtol=1e-4, atol=1e-5
-    )
+    _plots_close(fused_ex, exact_ex, atol=2e-4)
 
 
 def test_fused_virtualizes_intermediate_slots(tmp_path):
@@ -600,7 +641,11 @@ def test_fused_virtualizes_intermediate_slots(tmp_path):
     for i in range(1, len(p.chain) - 1):
         assert p.slots[i] is VIRTUAL, p.chain[i]
     assert p.slots[-1] is not VIRTUAL and p.slots[-1] is not None
-    assert p.raw_fd_view() is not None
+    # leaf-level sparsity (round-4): the final slot keeps only the data
+    # cube; its spectra were consumed in-program by publish reductions
+    assert p.slots[-1].data is not None
+    assert p.slots[-1].amplitudes is None and p.slots[-1].fft is None
+    assert p._pub_out is not None  # publish outputs live on device
     # resolution: an update from a downstream stage re-runs from slot 0
     assert p._resolve_start(p.index_of("time_band_pass_after_fft")) == 1
 
@@ -622,6 +667,7 @@ def test_fused_incremental_from_fft(tmp_path):
     exact.open_file(path)
     exact.set_fft_window_low(2.5)
     _cube_close(p.output, exact.pipeline.output)
+    _plots_close(ex, exact)
 
 
 def test_warmup_precompiles_all_dirty_ranges(tmp_path):
@@ -698,13 +744,7 @@ def test_fused_matches_exact_random_configs(tmp_path, seed):
     configure(exe)
 
     _cube_close(exf.pipeline.output, exe.pipeline.output, atol=1e-4)
-    fv, ev = exf.pipeline.raw_fd_view(), exe.pipeline.raw_fd_view()
-    np.testing.assert_allclose(
-        np.asarray(fv.amplitudes), np.asarray(ev.amplitudes),
-        rtol=1e-4, atol=1e-4,
-    )
-    exf.publish(); exe.publish()
-    np.testing.assert_allclose(exf.image, exe.image, rtol=1e-4, atol=1e-4)
+    _plots_close(exf, exe, atol=3e-4)
 
 
 def test_active_deconv_does_not_break_fusion(tmp_path, monkeypatch):

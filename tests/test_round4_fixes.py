@@ -308,3 +308,68 @@ def test_shadow_pass_never_runs_deconvolution(tmp_path, monkeypatch):
     ex.set_fft_window_low(1.3)
     p.refresh_stage_timings()
     assert calls["n"] == 0
+
+
+# -------------------------------------------------- background precompile
+def test_serve_precompile_default_on():
+    """``serve`` precompiles the opened scan's bucket in the background by
+    default (round-4 task 2); --no-precompile disables."""
+    import thz_image_explorer_tpu.cli as climod
+
+    called = {}
+
+    def fake_serve(port, scan, precompile):
+        called.update(port=port, scan=scan, precompile=precompile)
+
+    import thz_image_explorer_tpu.web as webmod
+    real = webmod.serve
+    webmod.serve = fake_serve
+    try:
+        climod.main(["serve", "scan.thzimg", "--port", "1"])
+        assert called["precompile"] is True
+        climod.main(["serve", "scan.thzimg", "--port", "1",
+                     "--no-precompile"])
+        assert called["precompile"] is False
+    finally:
+        webmod.serve = real
+
+
+def test_serve_enqueues_background_warmup(tmp_path, monkeypatch):
+    """serve() with a scan and precompile=True enqueues the warmup command
+    behind the open (the background precompile that makes the first
+    slider drag hit compiled code)."""
+    from thz_image_explorer_tpu import web as webmod
+
+    sent = []
+
+    class FakeWorker:
+        def send(self, method, *a, **k):
+            sent.append(method)
+
+        def close(self):
+            pass
+
+    class FakeApp:
+        def __init__(self, *a, **k):
+            self.worker = FakeWorker()
+
+        def save_settings(self):
+            pass
+
+    class BoomServer:
+        def __init__(self, *a, **k):
+            raise KeyboardInterrupt  # stop serve() before serve_forever
+
+    monkeypatch.setattr(webmod, "WebApp", FakeApp)
+    monkeypatch.setattr(webmod, "ThreadingHTTPServer", BoomServer)
+    try:
+        webmod.serve(port=0, scan="x.thzimg", precompile=True)
+    except KeyboardInterrupt:
+        pass
+    assert sent == ["open_file", "warmup"]
+    sent.clear()
+    try:
+        webmod.serve(port=0, scan="x.thzimg", precompile=False)
+    except KeyboardInterrupt:
+        pass
+    assert sent == ["open_file"]

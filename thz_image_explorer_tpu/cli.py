@@ -328,9 +328,12 @@ def main(argv=None):
     p = sub.add_parser("serve", help="interactive web frontend")
     p.add_argument("scan", nargs="?", default=None)
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--precompile", action="store_true",
-                   help="compile every dirty-range program for the opened "
-                        "scan's shape bucket in the background at startup")
+    p.add_argument("--precompile", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compile every interactive program for the opened "
+                        "scan's shape bucket in the background at startup "
+                        "(default ON — results persist in the XLA cache; "
+                        "--no-precompile disables)")
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("update", help="check for (and install) a newer release")

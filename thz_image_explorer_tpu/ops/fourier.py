@@ -50,6 +50,9 @@ def _cumsum_matrix(n: int):
     return np.triu(np.ones((n, n), np.float32))
 
 
+_CUMSUM_BLOCK = 128
+
+
 def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum along the last axis.
 
@@ -57,15 +60,34 @@ def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     scan — measured ~3.2 ms device for a 40000x513 unwrap at the bench
     shape, the single largest non-floor phase of the interactive chain.
     A matmul against a triangular ones matrix does the same reduction on
-    the MXU in one pass (~0.3 ms); HIGHEST precision keeps the partial
-    sums in f32 (the adjustment sums reach hundreds of radians, and the
-    optical-property phases consume differences of them).
+    the MXU; HIGHEST precision keeps the partial sums in f32 (the
+    adjustment sums reach hundreds of radians, and the optical-property
+    phases consume differences of them).
+
+    Two-level blocked form: in-block prefix via a (128, 128) triangular
+    matmul plus tiny exclusive block offsets — n/128x fewer FLOPs than
+    the dense (n, n) triangular at identical results (the offsets are the
+    same f32 adds the dense matmul's accumulator performs), measured
+    ~0.45 ms faster at the bench shape (scripts/profile_roofline.py).
     """
     n = x.shape[-1]
     if not mxufft.use_matmul_fft() or n > mxufft.MAX_MATMUL_N:
         return jnp.cumsum(x, axis=-1)
-    u = jnp.asarray(_cumsum_matrix(n))
-    return jnp.dot(x, u, precision=jax.lax.Precision.HIGHEST)
+    b = _CUMSUM_BLOCK
+    if n <= b:
+        u = jnp.asarray(_cumsum_matrix(n))
+        return jnp.dot(x, u, precision=jax.lax.Precision.HIGHEST)
+    k = (n + b - 1) // b
+    pad = k * b - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
+    blocks = xp.reshape(x.shape[:-1] + (k, b))
+    u = jnp.asarray(_cumsum_matrix(b))
+    inblock = jnp.dot(blocks, u, precision=jax.lax.Precision.HIGHEST)
+    # exclusive prefix of the per-block totals (tiny: k values per row)
+    totals = inblock[..., -1]
+    offsets = jnp.cumsum(totals, axis=-1) - totals
+    out = (inblock + offsets[..., None]).reshape(x.shape[:-1] + (k * b,))
+    return out[..., :n]
 
 
 def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

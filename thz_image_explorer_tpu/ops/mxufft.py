@@ -49,6 +49,19 @@ def _fwd_matrices(n: int):
 
 
 @lru_cache(maxsize=None)
+def _fwd_matrix_fused(n: int):
+    """``[C | S]`` as ONE (n, 2(n//2+1)) matrix: the forward DFT as a
+    single MXU matmul. Two separate (n, m) dots measured 30 TFLOP/s on a
+    v5e — XLA schedules them as independent matmuls that each re-stream
+    ``x`` and pad the odd m=n/2+1 output to lanes — while the fused dot
+    runs at ~65 TFLOP/s, the bf16x3 (Precision.HIGH) ceiling
+    (scripts/micro_matmul.py, 2026-08-17: 3.03 ms vs 1.91 ms for the
+    43264x1024 bench-shape transform)."""
+    c, s = _fwd_matrices(n)
+    return np.concatenate([c, s], axis=1)
+
+
+@lru_cache(maxsize=None)
 def _inv_matrices(n: int):
     """Inverse matrices (n//2+1, n) with hermitian weights and 1/n folded:
     ``y = Xr @ A + Xi @ B`` reconstructs the real irfft."""
@@ -61,6 +74,18 @@ def _inv_matrices(n: int):
     a = (w[:, None] * np.cos(kn) / n).astype(np.float32)
     b = (-w[:, None] * np.sin(kn) / n).astype(np.float32)
     return a, b
+
+
+@lru_cache(maxsize=None)
+def _inv_matrix_fused(n: int, out_start: int, out_len: int):
+    """``[A; B]`` as ONE (2(n//2+1), n-slice) matrix:
+    ``concat(Xr, Xi) @ [A; B]`` == ``Xr@A + Xi@B`` as a single MXU matmul
+    (same two-dots-vs-one finding as :func:`_fwd_matrix_fused`)."""
+    a, b = _inv_matrices(n)
+    ab = np.concatenate([a, b], axis=0)
+    if out_start != 0 or out_len != n:
+        ab = ab[:, out_start : out_start + out_len]
+    return ab
 
 
 def use_matmul_fft() -> bool:
@@ -91,19 +116,16 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None):
         return jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
     if n < t:
         x = x[..., :n]
-    c, s = _fwd_matrices(n)
+    m = n // 2 + 1
+    cs = _fwd_matrix_fused(n)
     if n > t:
         # zero-padding contributes nothing: drop those DFT-matrix rows
         # instead of materialising a padded input (exact, and halves the
         # matmul FLOPs for the typical conv padding n ~ 2t)
-        c, s = c[:t], s[:t]
+        cs = cs[:t]
     x = x.astype(jnp.float32)
-    return jnp.stack(
-        [
-            jnp.dot(x, c, precision=_PREC),
-            jnp.dot(x, s, precision=_PREC),
-        ]
-    )
+    y = jnp.dot(x, cs, precision=_PREC)  # ONE fused [C|S] matmul
+    return jnp.stack([y[..., :m], y[..., m:]])
 
 
 def irfft_ri(
@@ -127,14 +149,12 @@ def irfft_ri(
         spec = jax.lax.complex(spec_ri[0], spec_ri[1])
         out = jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
         return out[..., out_start : out_start + out_len]
-    a, b = _inv_matrices(n)
-    if out_start != 0 or out_len != n:
-        a = a[:, out_start : out_start + out_len]
-        b = b[:, out_start : out_start + out_len]
+    ab = _inv_matrix_fused(n, out_start, out_len)
     m = n // 2 + 1
     xr = spec_ri[0][..., :m].astype(jnp.float32)
     xi = spec_ri[1][..., :m].astype(jnp.float32)
-    return jnp.dot(xr, a, precision=_PREC) + jnp.dot(xi, b, precision=_PREC)
+    x = jnp.concatenate([xr, xi], axis=-1)
+    return jnp.dot(x, ab, precision=_PREC)
 
 
 def rfft_c64(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:

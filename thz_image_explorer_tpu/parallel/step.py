@@ -155,3 +155,34 @@ def interactive_update(cube: ScanCube, params: StepParams, cfg: StepConfig):
     """One fused update of the full interactive chain. Returns
     ``(cube_out, intensity_image)``."""
     return _step(cube, params, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
+                masks, pix):
+    """The PRODUCT-shaped update (round-4 leaf-level sparse
+    materialization): the chain plus the publish reductions in ONE
+    program, returning only what an interactive update actually
+    materializes — the final data cube, the intensity image, and the
+    published slices/means/ROI reductions. The spectral cubes
+    (fft/amplitudes/phases, ~330 MB at the bench shape) become XLA
+    temporaries instead of HBM outputs. Mirrors the executor's merged
+    lean program (pipeline/executor.py) on the benchmark seam."""
+    from thz_image_explorer_tpu.data import masked_pixel_mean
+    from thz_image_explorer_tpu.ops.roi import masked_mean_stack
+
+    c, img = _step(cube, params, cfg)
+    return dict(
+        data=c.data,
+        img=img,
+        avg_fft=c.avg_fft,
+        avg_amp=c.avg_signal_fft,
+        avg_ph=c.avg_phase_fft,
+        avg_signal=masked_pixel_mean(c.data, c.valid_wh),
+        roi_amp=masked_mean_stack(c.amplitudes, masks),
+        roi_ph=masked_mean_stack(c.phases, masks),
+        roi_trace=masked_mean_stack(c.data, masks),
+        pix_sig=c.data[pix[0], pix[1]],
+        pix_amp=c.amplitudes[pix[0], pix[1]],
+        pix_ph=c.phases[pix[0], pix[1]],
+    )

@@ -31,6 +31,8 @@ import threading
 import time as _time
 from typing import Callable, Optional
 
+from typing import NamedTuple
+
 import jax
 import numpy as np
 
@@ -183,6 +185,21 @@ class _Virtual:
 VIRTUAL = _Virtual()
 
 
+class PubSpec(NamedTuple):
+    """Geometry of the merged lean program's publish inputs, handed to
+    the Explorer's pub provider: the FINAL slot's padded grid / valid
+    region / downscale factor (masks and the selected-pixel index live
+    on that grid), the raw-spectrum slot's scaling, the raw slot's grid,
+    and the final frequency-bin count (pseudo-ROI spectra length)."""
+
+    shape: tuple
+    valid_wh: tuple
+    scaling: int
+    rawfd_scaling: int
+    raw_shape: tuple
+    n_freq: int
+
+
 class RawFDView:
     """Publisher-facing view of the raw-spectrum slot (``fft_index+1`` —
     the reference's "raw spectrum" source, ``data_thread.rs:1365-1380``)
@@ -260,6 +277,24 @@ class Pipeline:
         #: interactive updates run the fused chain program (env kill
         #: switch THZ_FUSED_EXEC=0 forces per-stage dispatch everywhere)
         self.fused_mode = os.environ.get("THZ_FUSED_EXEC", "1") != "0"
+        #: leaf-level sparse materialization (round-4 task 1): when the
+        #: fused range covers the whole chain, the program computes the
+        #: publish reductions INSIDE the chain and the final slot's
+        #: fft/amplitudes/phases cubes are never written to HBM (~330 MB
+        #: of outputs nothing read in full). Kill switch
+        #: THZ_LEAN_PUBLISH=0 restores full-cube materialization.
+        self.lean_mode = os.environ.get("THZ_LEAN_PUBLISH", "1") != "0"
+        #: callback supplying the publish inputs (ROI masks, pixel
+        #: indices, optical selectors) for the merged lean program;
+        #: set by the Explorer facade. Signature: provider(spec) ->
+        #: (pub_inputs_dict, epoch). None disables lean mode (bench /
+        #: library use without a publisher).
+        self.pub_provider = None
+        #: device-resident publish outputs of the last lean dispatch +
+        #: the epoch of the pub inputs it used
+        self._pub_out = None
+        self._pub_epoch = None
+        self._lean_plan = None  # (fn, stage_params, statics-epoch info)
         self._fused_cache: dict = {}
         #: host-side copy of each slot's time axis, so parameter clamping
         #: and fused planning never pay a device->host read per update
@@ -377,6 +412,14 @@ class Pipeline:
         run_deconvolution = True
         if fused is None:
             fused = self.fused_mode and not block_timings
+        if fused and self._is_materialized(0):
+            # fused interactive runs always execute from slot 0: ONE
+            # program per static config regardless of which slots happen
+            # to be materialized (e.g. after an exact shadow pass), so
+            # warmup covers every later slider drag and the compile cache
+            # stays tiny. Purity makes the extra prefix free of surprises;
+            # its device cost is a few hundred µs of the ~6 ms program.
+            start = 1
         if fused:
             end, has_custom, forced_identity = self._fused_range_end(start)
             inp = self.slots[start - 1]
@@ -415,6 +458,10 @@ class Pipeline:
     ):
         """Per-stage dispatch of ``chain[start_idx:]`` (the exact/debug
         mode, and the tail after a fused prefix)."""
+        # per-stage runs materialize full cubes; the merged lean plan and
+        # its device publish outputs no longer match the slots
+        self._lean_plan = None
+        self._pub_out = None
         if self.record_timings and not block_timings and fresh_timer:
             self._timer.mark_run_start()
         for i in range(start_idx, len(self.chain)):
@@ -590,6 +637,16 @@ class Pipeline:
                     statics.append(())
             host_times.append(t_np)
 
+        # lean merged-publish mode: the range covers the whole chain and
+        # recomputes the spectra, so the publish reductions fold into the
+        # SAME program and the spectral cubes never hit HBM
+        lean = (
+            self.lean_mode
+            and self.pub_provider is not None
+            and end == len(self.chain)
+            and start <= self.fft_index
+            and self._is_materialized(0)
+        )
         key = (
             names,
             tuple(actives),
@@ -597,6 +654,7 @@ class Pipeline:
             cfg.fft_window_type,
             int(s_eff),
             bool(cfg.avg_in_fourier_space),
+            lean,
         )
         fn = self._fused_cache.get(key)
         if fn is None:
@@ -609,9 +667,38 @@ class Pipeline:
                 bool(cfg.avg_in_fourier_space),
                 start,
                 rawfd_idx,
+                lean,
             )
             self._fused_cache[key] = fn
 
+        if lean:
+            final_scaling = s_eff if start <= self.scaling_index else inp.scaling
+            spec = PubSpec(
+                shape=(meta.width, meta.height),
+                valid_wh=meta.valid_wh,
+                scaling=final_scaling,
+                rawfd_scaling=rawfd_scaling,
+                raw_shape=(self.slots[0].width, self.slots[0].height),
+                n_freq=len(host_times[-1]) // 2 + 1,
+            )
+            pub, epoch = self.pub_provider(spec)
+            self._lean_plan = {
+                "fn": fn,
+                "inp": inp,
+                "stage_params": stage_params,
+                "window": (np.float32(cfg.fft_window[0]),
+                           np.float32(cfg.fft_window[1])),
+                "start": start,
+                "end": end,
+                "names": names,
+                "host_times": host_times,
+                "spec": spec,
+            }
+            self._dispatch_lean(pub, epoch, record=self.record_timings)
+            return
+
+        self._lean_plan = None
+        self._pub_out = None
         if self.record_timings:
             self._timer.mark_run_start()
         shape_key = (id(fn), inp.data.shape, inp.time.shape)
@@ -645,17 +732,82 @@ class Pipeline:
             # entry yet) needs an idle refresh to show a current ms
             self.timings_stale.update(names)
 
+    def _dispatch_lean(self, pub, epoch, *, record: bool):
+        """Dispatch the merged chain+publish program with the given
+        publish inputs, updating slots, the device publish outputs and
+        the epoch bookkeeping."""
+        plan = self._lean_plan
+        fn = plan["fn"]
+        inp = plan["inp"]
+        start, end, names = plan["start"], plan["end"], plan["names"]
+        host_times = plan["host_times"]
+        wl, wh = plan["window"]
+        if record:
+            self._timer.mark_run_start()
+        shape_key = (id(fn), inp.data.shape, inp.time.shape)
+        if shape_key not in self._dispatched:
+            self.phase = "compiling"
+        try:
+            final, pub_out = fn(
+                inp,
+                self.slots[0].data,
+                self.slots[0].time,
+                wl,
+                wh,
+                plan["stage_params"],
+                pub,
+            )
+        finally:
+            self._dispatched.add(shape_key)
+            self.phase = None
+        for off in range(len(names) - 1):
+            self.slots[start + off] = VIRTUAL
+            self._host_time[start + off] = host_times[off]
+        self.slots[end - 1] = final
+        self._host_time[end - 1] = host_times[-1]
+        self._raw_fd_partial = None  # publish outputs carry the slices
+        self._pub_out = pub_out
+        self._pub_epoch = epoch
+        if record:
+            self._timer.record("chain", final.data)
+            self.timings_stale.update(names)
+
+    def lean_publish(self):
+        """Host copy of the publish outputs for the current publish
+        inputs. Reuses the last dispatch's device outputs when the pub
+        epoch is unchanged (the chain-command path: run_from already
+        computed them); a changed epoch (pixel click, ROI/optical
+        change) re-dispatches the cached merged program with fresh
+        inputs — one device pass, hidden under the transfer round-trip.
+        Returns None when no lean plan exists (exact/non-lean mode)."""
+        if self._lean_plan is None or self.pub_provider is None:
+            return None
+        pub, epoch = self.pub_provider(self._lean_plan["spec"])
+        if self._pub_out is None or epoch != self._pub_epoch:
+            self._dispatch_lean(pub, epoch, record=False)
+        return jax.device_get(self._pub_out)
+
     def _build_fused(self, names, actives, statics, window_type, scale,
-                     avg_flag, start, rawfd_idx):
+                     avg_flag, start, rawfd_idx, lean=False):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
         from the traced ``stage_params`` dict (stage.py protocol).
-        Returns ``(final_cube, rawfd)`` where ``rawfd`` is the
+
+        Non-lean: returns ``(final_cube, rawfd)`` where ``rawfd`` is the
         (amplitudes, phases, freq) of slot ``rawfd_idx`` when it lies in
-        the range, else None."""
+        the range, else None.
+
+        Lean (round-4 task 1): additionally takes the raw slot's
+        data/time and the traced publish inputs, computes the publish
+        reductions IN-PROGRAM, and returns ``(lean_final, publish_dict)``
+        where the final cube's fft/amplitudes/phases leaves are dropped
+        (None) — they become XLA temporaries feeding the reductions, not
+        ~330 MB of HBM outputs. The raw-spectrum display values are the
+        sliced/reduced publish outputs, so the full rawfd cubes are not
+        materialized either."""
         filters = self.filters
 
-        def fn(cube: ScanCube, window_low, window_high, stage_params):
+        def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
             for k, (name, active, static) in enumerate(
                 zip(names, actives, statics)
@@ -676,6 +828,35 @@ class Pipeline:
                 if start + k == rawfd_idx:
                     rawfd = (cube.amplitudes, cube.phases, cube.freq)
             return cube, rawfd
+
+        if not lean:
+            return jax.jit(chain)
+
+        from thz_image_explorer_tpu.pipeline.publish import (
+            compute_publish_traced,
+        )
+
+        def fn(cube, raw_data, raw_time, window_low, window_high,
+               stage_params, pub):
+            final, rawfd = chain(cube, window_low, window_high, stage_params)
+            out = compute_publish_traced(
+                raw_data,
+                raw_time,
+                rawfd[0],
+                rawfd[1],
+                rawfd[2],
+                final,
+                pub["masks"],
+                pub["rxy"],
+                pub["fxy"],
+                pub["gxy"],
+                pub,
+                avg_fourier=avg_flag,
+            )
+            lean_final = final.replace(
+                fft=None, amplitudes=None, phases=None
+            )
+            return lean_final, out
 
         return jax.jit(fn)
 
@@ -710,6 +891,29 @@ class Pipeline:
         return (max(self.valid_wh0[0] // s, 1), max(self.valid_wh0[1] // s, 1))
 
     # ------------------------------------------------------------------
+    def materialize_output(self) -> Optional[ScanCube]:
+        """Full final cube for inspection or export. The lean interactive
+        program drops the final slot's fft/amplitudes/phases (nothing
+        outside the publish reductions reads them); consumers that DO
+        need the full spectra — tests, batch export, extensions — call
+        this to recompute the slots exactly (stages are pure, so the
+        values are identical; deconvolution is not rerun, matching the
+        lean run's suppression)."""
+        out = self.output
+        if out is not None and out.amplitudes is None:
+            rec = self.record_timings
+            self.record_timings = False  # inspection pass: no ms updates
+            try:
+                self._run_stages(
+                    1, force_all=False, block_timings=False,
+                    run_deconvolution=False,
+                )
+            finally:
+                self.record_timings = rec
+            out = self.output
+        return out
+
+    # ------------------------------------------------------------------
     def refresh_stage_timings(self) -> bool:
         """Idle-time shadow pass: one exact-mode chain run purely to
         refresh the per-stage ms the fused program cannot split
@@ -723,9 +927,17 @@ class Pipeline:
         if self.input is None:
             self.timings_stale.clear()
             return False
-        self._run_stages(
-            1, force_all=False, block_timings=True, run_deconvolution=False
-        )
+        key = ("shadow", self.input.data.shape, self.input.time.shape)
+        if key not in self._dispatched:
+            self.phase = "compiling"
+        try:
+            self._run_stages(
+                1, force_all=False, block_timings=True,
+                run_deconvolution=False,
+            )
+        finally:
+            self._dispatched.add(key)
+            self.phase = None
         self.timings_stale.clear()
         return True
 

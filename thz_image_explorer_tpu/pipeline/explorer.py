@@ -153,6 +153,11 @@ class Explorer:
 
         enable_compile_cache()
         self.pipeline = Pipeline()
+        # merged lean publish (round-4 task 1): the executor's fused
+        # chain program computes the publish reductions in-program; this
+        # provider supplies its traced inputs (ROI masks, pixel indices,
+        # optical selectors) and an epoch that changes whenever they do
+        self.pipeline.pub_provider = self._lean_pub_provider
         self.plot = PlotData()
         self.metadata = thzio.DotthzMetadata()
         self.pixel_selected = [0, 0]
@@ -404,6 +409,10 @@ class Explorer:
         starts.update(p.index_of(uuid) for uuid in p.filters)
         for s in sorted(starts):
             p.run_from(s)
+        # compile the idle shadow pass's per-stage programs too, so the
+        # first post-interaction timing refresh doesn't block the worker
+        # on cold compiles
+        p.refresh_stage_timings()
         # also warm the 3-D voxel program (its remote compile is ~1 min —
         # longer than the web call timeout — so the first 3-D tab view
         # would otherwise show the busy fallback until compiled)
@@ -560,8 +569,16 @@ class Explorer:
         """Pull the published plot slices from device state — the
         equivalent of the big ``data_lock`` write at
         ``data_thread.rs:1336-1560``. Everything is gathered by ONE device
-        program and fetched in ONE transfer (the cube never leaves HBM);
-        see :mod:`thz_image_explorer_tpu.pipeline.publish`."""
+        program and fetched in ONE transfer (the cube never leaves HBM).
+
+        Two paths: when the executor's last run was the merged LEAN
+        program (interactive default), the publish outputs were computed
+        inside the chain program and only need the one transfer
+        (``pipeline.lean_publish``; a changed pixel/ROI/optical selection
+        re-dispatches the cached program). Otherwise (exact mode, fused
+        tails, kill switch) the standalone gather program runs over the
+        materialized slots — see
+        :mod:`thz_image_explorer_tpu.pipeline.publish`."""
         from thz_image_explorer_tpu.pipeline.publish import gather_publish
 
         plot = PlotData()
@@ -571,9 +588,24 @@ class Explorer:
             self.plot = plot
             return
 
-        raw_fd = self.pipeline.raw_fd_view()
+        poly_rois = [
+            (u, name, poly)
+            for u, (name, poly) in self.rois.items()
+            if poly is not None
+        ]
+
         filtered = self.pipeline.output
-        if raw_fd is None or filtered is None:
+        if filtered is not None and filtered.amplitudes is None:
+            # lean final slot: the merged program owns the publish outputs
+            host = self.pipeline.lean_publish()
+            if host is not None:
+                nf = self.pipeline._lean_plan["spec"].n_freq
+                opt_shown = self._optical_request(poly_rois, nf) is not None
+                self._fill_plot(plot, host, poly_rois, optical=opt_shown)
+                return
+
+        raw_fd = self.pipeline.raw_fd_view()
+        if raw_fd is None or filtered is None or filtered.amplitudes is None:
             # mid-failure fallback: still publish the raw trace so the GUI
             # shows *something* (the reference publishes per-slot too)
             px = min(self.pixel_selected[0], raw.width - 1)
@@ -585,13 +617,8 @@ class Explorer:
             self.plot = plot
             return
 
-        poly_rois = [
-            (u, name, poly)
-            for u, (name, poly) in self.rois.items()
-            if poly is not None
-        ]
         masks = self._roi_mask_stack(poly_rois, filtered)
-        optical = self._optical_request(poly_rois, filtered)
+        optical = self._optical_request(poly_rois, filtered.amplitudes.shape[-1])
         host = gather_publish(
             raw,
             raw_fd,
@@ -601,6 +628,12 @@ class Explorer:
             self.pipeline.config.avg_in_fourier_space,
             optical=optical,
         )
+        self._fill_plot(plot, host, poly_rois, optical="refractive_index" in host)
+
+    def _fill_plot(self, plot: PlotData, host: dict, poly_rois,
+                   *, optical: bool):
+        """Unpack a publish-output dict (host numpy) into ``self.plot`` —
+        shared by the lean and standalone paths (identical keys)."""
         plot.time = host["time"]
         plot.signal = host["signal"]
         plot.frequencies = host["frequencies"]
@@ -634,7 +667,7 @@ class Explorer:
             plot.roi_signal_fft[uuid] = (name, amplitudes)
             plot.roi_phase[uuid] = (name, phases)
 
-        if "refractive_index" in host:
+        if optical and "refractive_index" in host:
             plot.refractive_index = host["refractive_index"]
             plot.absorption_coefficient = host["absorption_coefficient"]
             plot.extinction_coefficient = host["extinction_coefficient"]
@@ -643,15 +676,15 @@ class Explorer:
         plot.available_samples = plot.available_references + [SELECTED_PIXEL]
         self.plot = plot
 
-    def _optical_request(self, poly_rois, filtered: ScanCube):
+    def _optical_request(self, poly_rois, nf: int):
         """Build the gather program's optical-selection payload
         (``data_thread.rs:1489-1559``): the reference/sample each resolve
         to a ROI index, the selected pixel, or a host pseudo-ROI (loaded
-        reference pulse) amp/phase pair."""
+        reference pulse) amp/phase pair. ``nf`` is the final slot's
+        frequency-bin count (pseudo spectra must match it)."""
         ref_uuid = self._uuid_for(self.reference_selection)
         if ref_uuid is None:
             return None
-        nf = filtered.amplitudes.shape[-1]
         roi_index = {u: i for i, (u, _n, _p) in enumerate(poly_rois)}
 
         def resolve(uuid):
@@ -699,6 +732,14 @@ class Explorer:
         return opt
 
     def _roi_mask_stack(self, poly_rois, filtered: ScanCube):
+        """Mask stack on a final-slot cube's grid (standalone publish)."""
+        shape = (filtered.data.shape[0], filtered.data.shape[1])
+        valid = self.pipeline.valid_for(filtered) or shape
+        return self._roi_mask_geom(
+            poly_rois, shape, valid, filtered.scaling, min_r=0
+        )
+
+    def _roi_mask_geom(self, poly_rois, shape, valid, scaling, min_r=0):
         """Device-cached (R, Xf, Yf) f32 mask stack for the polygon ROIs on
         the final slot's (possibly downscaled) grid — transferred once per
         ROI-set/grid change, not per publish.
@@ -706,49 +747,86 @@ class Explorer:
         Rasterization runs on the VALID grid (the rasterizer's vertical
         flip ``mask[y_size-1-y, x]`` is defined by the true scan height,
         ``math_tools.rs:640-648``) and is then zero-padded to the
-        bucket-padded device grid."""
-        shape = (filtered.data.shape[0], filtered.data.shape[1])
-        valid = self.pipeline.valid_for(filtered) or shape
+        bucket-padded device grid. ``min_r`` forces a minimum stack count
+        (the merged lean program indexes the stack with traced ROI
+        indices, so it needs R >= 1 even with no ROIs)."""
+        shape = tuple(shape)
+        valid = tuple(valid)
         key = (
             tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
             shape,
             valid,
-            filtered.scaling,
+            scaling,
+            min_r,
         )
         cached = getattr(self, "_mask_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        if poly_rois:
-            stack = np.stack(
-                [
-                    np.asarray(
-                        polygon_mask(poly, valid, filtered.scaling), np.float32
-                    )
-                    for _u, _n, poly in poly_rois
-                ]
-            )
-            if valid != shape:
-                stack = np.pad(
-                    stack,
-                    (
-                        (0, 0),
-                        (0, shape[0] - valid[0]),
-                        (0, shape[1] - valid[1]),
-                    ),
-                )
-            # bucket the ROI COUNT to a multiple of 4 with all-zero masks
-            # (masked_mean_stack yields zeros for them): the mask-stack
-            # shape is static in the publish program, so without this
-            # every added/removed ROI recompiles it — tens of seconds per
-            # ROI on a remote-compile TPU
-            r_pad = -len(poly_rois) % 4
-            if r_pad:
-                stack = np.pad(stack, ((0, r_pad), (0, 0), (0, 0)))
-        else:
-            stack = np.zeros((0,) + shape, np.float32)
+        # bucket the ROI COUNT to a multiple of 4 with all-zero masks
+        # (masked_mean_stack yields zeros for them): the mask-stack
+        # shape is static in the publish/chain program, so without this
+        # every added/removed ROI recompiles it — tens of seconds per
+        # ROI on a remote-compile TPU
+        r = len(poly_rois)
+        r_total = max(min_r, r + (-r % 4)) if (r or min_r) else 0
+        stack = np.zeros((r_total,) + shape, np.float32)
+        for i, (_u, _n, poly) in enumerate(poly_rois):
+            m = np.asarray(polygon_mask(poly, valid, scaling), np.float32)
+            stack[i, : valid[0], : valid[1]] = m
         dev = jnp.asarray(stack)
         self._mask_cache = (key, dev)
         return dev
+
+    def _lean_pub_provider(self, spec):
+        """Publish inputs for the executor's merged lean program
+        (:class:`~thz_image_explorer_tpu.pipeline.executor.PubSpec`):
+        ROI mask stack, per-slot pixel indices, traced optical selectors,
+        plus an epoch tuple that changes exactly when any of them do —
+        an unchanged epoch lets ``lean_publish`` reuse the outputs of the
+        chain dispatch that just ran instead of re-dispatching."""
+        poly_rois = [
+            (u, name, poly)
+            for u, (name, poly) in self.rois.items()
+            if poly is not None
+        ]
+        masks = self._roi_mask_geom(
+            poly_rois, spec.shape, spec.valid_wh, spec.scaling, min_r=4
+        )
+        px, py = self.pixel_selected
+
+        def idx(scale, w, h):
+            return np.asarray(
+                [min(px // scale, w - 1), min(py // scale, h - 1)], np.int32
+            )
+
+        opt = self._optical_request(poly_rois, spec.n_freq) or {}
+        mode_code = {"roi": 1, "pseudo": 2, "pixel": 3}
+        zeros2f = np.zeros((2, spec.n_freq), np.float32)
+        pub = {
+            "masks": masks,
+            "rxy": idx(1, spec.raw_shape[0], spec.raw_shape[1]),
+            "fxy": idx(spec.rawfd_scaling, spec.shape[0], spec.shape[1]),
+            "gxy": idx(spec.scaling, spec.shape[0], spec.shape[1]),
+            "ref_mode": np.int32(mode_code.get(opt.get("ref_mode"), 0)),
+            "samp_mode": np.int32(mode_code.get(opt.get("samp_mode"), 3)),
+            "ref_idx": np.int32(opt.get("ref_idx", 0)),
+            "samp_idx": np.int32(opt.get("samp_idx", 0)),
+            "ref_pseudo": opt.get("ref_pseudo", zeros2f),
+            "samp_pseudo": opt.get("samp_pseudo", zeros2f),
+            "thickness": np.float32(opt.get("thickness", self.sample_thickness)),
+        }
+        epoch = (
+            tuple(self.pixel_selected),
+            tuple(
+                (u, n, tuple(map(tuple, p)) if p else None)
+                for u, (n, p) in self.rois.items()
+            ),
+            self.reference_selection,
+            self.sample_selection,
+            float(self.sample_thickness),
+            tuple(sorted(self._datasets)),
+        )
+        return pub, epoch
 
     def _roi_names(self):
         return [(name, u) for u, (name, _poly) in self.rois.items()]
