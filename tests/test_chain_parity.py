@@ -253,3 +253,68 @@ def test_whole_chain_with_deconvolution_matches_oracle(tmp_path):
     expected = deconvolve_oracle(pre, geo)
     _norm_close(np.asarray(out_cube.data), expected, atol=5e-3,
                 label="deconvolved cube")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PSF), reason="no fixture")
+def test_chain_deconvolution_realistic_on_padded_grid(tmp_path):
+    """Round-4 task 4: realistic deconvolution geometry (10 bands, 499
+    taps, skewed per-band iterations) composed through the PRODUCT path
+    on a bucket-padded grid whose valid size (26x22) != padded size
+    (32x32) — the crop -> deconvolve -> re-insert seam
+    (pipeline/filters.py) oracle-checked, with the padded border asserted
+    pass-through (the reference pads reflectively off the TRUE image
+    edge, deconvolution.rs:620-712, so padding must never leak in)."""
+    from oracle_deconv import deconvolve_oracle
+    from thz_image_explorer_tpu.ops.deconvolution import plan_bands
+
+    w, h, n = 26, 22, 128
+    t, cube = synthetic_scan(width=w, height=h, n_time=n, seed=3)
+    path = write_scan_thz(str(tmp_path / "pad.thzimg"), t, cube, dx=0.5, dy=0.5)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    assert p.input.width == 32 and p.input.height == 32  # bucket-padded
+    tdb = p.filters["time_band_pass_before_fft"]
+    tdb.active, tdb.low, tdb.high, tdb.window_width = True, 0.6, 5.4, 0.4
+    fd = p.filters["frequency_band_pass"]
+    fd.active, fd.low, fd.high, fd.window_width = True, 0.3, 3.1, 0.1
+    wn = p.filters["water_vapor_notch"]
+    wn.active, wn.notch_width, wn.depth = True, 0.03, 0.8
+    tda = p.filters["time_band_pass_after_fft"]
+    tda.active, tda.low, tda.high, tda.window_width = True, 0.3, 6.0, 0.1
+
+    deconv = p.filters["deconvolution"]
+    deconv.active = True
+    deconv.params.n_iterations = 12
+    deconv.params.n_filters = 10
+    deconv.params.start_freq = 0.25
+    deconv.params.end_freq = 4.0
+    ex.open_psf(REF_PSF)
+    ex.update_filter("deconvolution", force=True)
+
+    # oracle chain on the TRUE 26x22 scan (no padding: parity proves the
+    # padded product equals the unpadded reference computation)
+    freq = np.arange(n // 2 + 1) / (float(t[-1]) - float(t[0]))
+    data0 = np.asarray(cube, np.float64)
+    state = data0 - data0[:, :, :1]
+    state = oc.oracle_td_bandpass(state, t, tdb.low, tdb.high, tdb.window_width)
+    windowed, spec, amps, phases = oc.oracle_fft(state, t, 1.0, 7.0)
+    spec, amps = oc.oracle_fd_bandpass(spec, amps, freq, fd.low, fd.high,
+                                       fd.window_width)
+    spec, amps = oc.oracle_water_notch(spec, amps, freq, WATER_LINES_THZ,
+                                       wn.notch_width, wn.depth)
+    pre = np.fft.irfft(spec, n=n, axis=-1)
+    pre = oc.oracle_td_bandpass(pre, t, tda.low, tda.high,
+                                tda.window_width).astype(np.float32)
+
+    geo = plan_bands(deconv.params, p.psf, np.asarray(t), (w, h), 0.5, 0.5)
+    assert geo is not None
+    assert geo.taps.shape == (10, 499)
+    assert int(geo.n_iter.min()) < int(geo.n_iter.max())  # skewed iters
+    expected = deconvolve_oracle(pre, geo)
+
+    out = np.asarray(p.slots[p.index_of("deconvolution")].data)
+    _norm_close(out[:w, :h], expected, atol=5e-3, label="deconvolved valid")
+    # padded border: pass-through of the (exactly zero) padded pixels
+    assert np.all(out[w:, :, :] == 0.0)
+    assert np.all(out[:, h:, :] == 0.0)
