@@ -520,10 +520,10 @@ def bench_psf():
     split, and a numpy/scipy host-only run of the same fit."""
     import glob
 
+    from thz_image_explorer_tpu.ops.firdesign import create_filter_bank
     from thz_image_explorer_tpu.psf_tool import fitting
     from thz_image_explorer_tpu.psf_tool.app import FilterParams, compute_psf
     from thz_image_explorer_tpu.psf_tool.data_loader import KnifeEdgeMeasurement
-    from thz_image_explorer_tpu.psf_tool.filters import create_filter_bank
 
     base = "/root/reference/sample_data/example_beam_width"
     fx = sorted(glob.glob(f"{base}/measurement_x/data/*.thz"))

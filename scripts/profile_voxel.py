@@ -15,6 +15,14 @@ What was measured and why the production path looks the way it does
   and the threshold readback; thresholds agree exactly, envelope maxerr
   6e-3 from the bf16 banded matrix — display-path only)
 
+Round-4 (2026-08-17): the PRODUCT fetch comparison. The dense path's
+honest end-to-end cost (164 MB opacity d2h + threshold read + host
+np.nonzero harvest + subsample) measured 4633 ms at 41M voxels; the
+device top-k compaction (approx_max_k, values+indices+threshold in ONE
+device_get, ~1 MB) measured 104.8 ms — 44x. Breakdown (each number
+includes one ~27 ms RTT): envelope+threshold 51.1 ms, +approx_max_k
+67.7 ms, approx_max_k alone over 41M raw 33.9 ms.
+
 Run: python scripts/profile_voxel.py  (prints one JSON line)
 """
 

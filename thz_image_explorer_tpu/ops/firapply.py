@@ -61,6 +61,16 @@ def _apply_bands(xw, g_blks, *, n_time):
     return out.reshape(b, p, -1)[..., :n_time]
 
 
+@partial(jax.jit, static_argnames=("ntaps", "shift", "block", "n_time"))
+def _fir_program(flat, g_blks, *, ntaps, shift, block, n_time):
+    """Windowing + banded matmul as ONE program. ``window_input``'s
+    pad/slice/stack run under this trace — eagerly they would be half a
+    dozen separate dispatches, each a full round-trip on remote-tunnelled
+    runtimes (measured 559 ms -> ~60 ms per PSF-tool filter call)."""
+    xw = window_input(flat, ntaps, shift, block)
+    return _apply_bands(xw, g_blks, n_time=n_time)
+
+
 def fir_correlate_bands(
     traces: np.ndarray, taps: np.ndarray, block: int = FIR_BLOCK
 ) -> np.ndarray:
@@ -76,6 +86,9 @@ def fir_correlate_bands(
     shift = l - 1 - mid
     flipped = np.asarray(taps, np.float64)[:, ::-1]
     g_blks = np.stack([fir_block_matrix(h, block) for h in flipped])
-    xw = window_input(jnp.asarray(np.asarray(traces, np.float32)), l, shift, block)
-    out = _apply_bands(xw, jnp.asarray(g_blks), n_time=t)
+    out = _fir_program(
+        jnp.asarray(np.asarray(traces, np.float32)),
+        jnp.asarray(g_blks),
+        ntaps=l, shift=shift, block=block, n_time=t,
+    )
     return np.asarray(out, np.float64)
