@@ -505,10 +505,12 @@ def bench_voxel(t, data):
             "voxel_ms": round(float(np.median(walls)) * 1e3, 2),
             "voxel_points": int(v.get("n", 0)),
             "note": "wall time of the product /api/voxels fetch at "
-                    "200x200x1024 (41M voxels): device envelope+threshold "
-                    "+ top-k compaction + ONE ~1 MB transfer; the round-3 "
-                    "path shipped the 164 MB opacity volume in two "
-                    "round-trips (~82 ms)",
+                    "200x200x1024 (41M voxels): device envelope + top-k "
+                    "compaction (cap threshold = k-th largest, replacing "
+                    "the 19.5 ms histogram passes) + ONE ~0.7 MB f16/i32 "
+                    "transfer; the round-3 path shipped the 164 MB "
+                    "opacity volume in two round-trips (~82 ms); the "
+                    "dense-volume product fetch measured 4633 ms",
         }
     finally:
         app.worker.close()

@@ -23,6 +23,13 @@ device_get, ~1 MB) measured 104.8 ms — 44x. Breakdown (each number
 includes one ~27 ms RTT): envelope+threshold 51.1 ms, +approx_max_k
 67.7 ms, approx_max_k alone over 41M raw 33.9 ms.
 
+Round-4 follow-up (scripts/probe_voxel_fetch.py): the product seam was
+paying a hidden ~40 ms tap-kernel d2h (band-cache key read a device
+array back) and 19.5 ms device for the two histogram-threshold passes;
+with host-side taps and the cap threshold taken from the top-k tail
+(f16 values), extract_instances_topk measured 63.6 ms wall (~34 ms of
+it the tunnel RTT).
+
 Run: python scripts/profile_voxel.py  (prints one JSON line)
 """
 

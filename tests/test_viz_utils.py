@@ -143,17 +143,20 @@ def test_extract_instances_topk_matches_dense():
         jnp.asarray(data), max_points=k, **kw
     )
     assert (cw, ch, cd) == (cw2, ch2, cd2)
-    assert thr_d == thr_t
     assert 0 < len(pos_t) <= k
     # the top-k picks are the k largest POSITIVE opacities of the dense set
     dense = {tuple(np.round(p, 5)): o for p, o in zip(pos_d, rgba_d[:, 3])}
     opac_sorted = np.sort([o for o in dense.values() if o > 0])[::-1]
     floor = opac_sorted[min(k, len(opac_sorted)) - 1]
+    # the view's cap threshold is the k-th largest opacity (the
+    # reference's select_nth_unstable cap semantics applied at N=k);
+    # values travel as f16, hence the tolerance
+    np.testing.assert_allclose(thr_t, floor, rtol=2e-3, atol=1e-3)
     for p, o in zip(pos_t, rgba_t[:, 3]):
         key = tuple(np.round(p, 5))
         assert key in dense
-        np.testing.assert_allclose(dense[key], o, rtol=1e-6)
-        assert o >= floor - 1e-6
+        np.testing.assert_allclose(dense[key], o, rtol=2e-3, atol=1e-3)
+        assert o >= floor - 1e-3
 
 
 def test_extract_instances_topk_valid_grid():

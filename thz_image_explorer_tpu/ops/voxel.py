@@ -78,39 +78,46 @@ def _dynamic_threshold(flat: jnp.ndarray) -> jnp.ndarray:
     return e2
 
 
-@partial(jax.jit, static_argnames=("radius", "use_pallas"))
-def _voxel_opacities_impl(data, kernel, contrast, opacity_threshold,
+def _normalized_opacities(data, kernel, contrast, opacity_threshold,
                           radius: int, use_pallas: bool):
-    """``kernel`` is the (2r+1,) tap vector on the XLA path, or the
+    """Envelope + per-trace min-max normalization (no cap threshold).
+    ``kernel`` is the (2r+1,) tap vector on the XLA path, or the
     prebuilt bf16 banded matrix from :func:`_band_matrix_bf16` on the
     pallas path (built host-side — tap values must be concrete)."""
     x, y, t = data.shape
     if use_pallas:
-        normalized = _envelope_pallas(
+        return _envelope_pallas(
             data.reshape(x * y, t), kernel, contrast, opacity_threshold,
         ).reshape(x, y, t)
-    else:
-        sq = data * data
-        powed = jnp.power(sq, contrast)
-        # zero-boundary 'same' correlation along t for all pixels at once
-        env = jax.lax.conv_general_dilated(
-            powed.reshape(x * y, 1, t),
-            kernel.reshape(1, 1, -1),
-            (1,),
-            [(radius, radius)],
-            dimension_numbers=("NCH", "IOH", "NCH"),
-            preferred_element_type=jnp.float32,
-        ).reshape(x, y, t)
+    sq = data * data
+    powed = jnp.power(sq, contrast)
+    # zero-boundary 'same' correlation along t for all pixels at once
+    env = jax.lax.conv_general_dilated(
+        powed.reshape(x * y, 1, t),
+        kernel.reshape(1, 1, -1),
+        (1,),
+        [(radius, radius)],
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        preferred_element_type=jnp.float32,
+    ).reshape(x, y, t)
 
-        line_max = env.max(axis=-1, keepdims=True)
-        line_min = env.min(axis=-1, keepdims=True)
-        rng = line_max - line_min
-        normalized = jnp.where(
-            (line_max >= opacity_threshold) & (jnp.abs(rng) > 1e-6),
-            (env - line_min) / rng,
-            0.0,
-        )
+    line_max = env.max(axis=-1, keepdims=True)
+    line_min = env.min(axis=-1, keepdims=True)
+    rng = line_max - line_min
+    return jnp.where(
+        (line_max >= opacity_threshold) & (jnp.abs(rng) > 1e-6),
+        (env - line_min) / rng,
+        0.0,
+    )
 
+
+@partial(jax.jit, static_argnames=("radius", "use_pallas"))
+def _voxel_opacities_impl(data, kernel, contrast, opacity_threshold,
+                          radius: int, use_pallas: bool):
+    x, y, t = data.shape
+    normalized = _normalized_opacities(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    )
     if x * y * t > MAX_INSTANCES:
         threshold = _dynamic_threshold(normalized.reshape(-1))
     else:
@@ -157,7 +164,11 @@ def voxel_opacities(
         and vmem <= 10 * 1024 * 1024
     )
     if use_pallas:
-        kernel = _band_matrix_bf16(kernel, data.shape[-1], radius)
+        # pass host taps: np.asarray on a device array is a d2h readback
+        # (a full round-trip on the tunnelled TPU)
+        kernel = _band_matrix_bf16(
+            np.asarray(kernel, np.float32), data.shape[-1], radius
+        )
     return _voxel_opacities_impl(
         data, kernel, contrast, opacity_threshold, radius, use_pallas
     )
@@ -261,14 +272,24 @@ def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
     disappears too). ``approx_max_k`` is the TPU-native binned top-k —
     ~recall 0.95 against an exact sort, invisible in a point-cloud view;
     exact ``top_k`` over 41M elements measured ~150 ms (sort-bound),
-    approx runs in single-digit ms."""
-    normalized, threshold = _voxel_opacities_impl(
+    approx runs in single-digit ms.
+
+    The cap threshold here is the k-th largest opacity — the fetched
+    tail — NOT the scanned-histogram 2M order statistic of the dense
+    path: with a top-N view cap the N-th largest IS the reference's cap
+    semantics (``select_nth_unstable`` at the cap, ``threed_plot.rs:
+    207-214``) applied at N=k, and the two histogram passes it replaces
+    measured ~19.5 ms device at 41M voxels (scripts/probe_voxel_fetch.py)
+    vs ~4.4 ms for the whole envelope+top-k. Values ship as f16 (display
+    precision; indices must stay int32 for 41M-element addressing)."""
+    normalized = _normalized_opacities(
         data, kernel, contrast, opacity_threshold, radius, use_pallas
     )
     flat = normalized.reshape(-1)
     k = min(k, flat.shape[0])
     vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
-    return vals, idx.astype(jnp.int32), threshold
+    threshold = jnp.maximum(vals[-1], 0.0)
+    return vals.astype(jnp.float16), idx.astype(jnp.int32), threshold
 
 
 def extract_instances_topk(
@@ -308,9 +329,16 @@ def extract_instances_topk(
         and not sharded
         and vmem <= 10 * 1024 * 1024
     )
-    kernel = jnp.asarray(gaussian_kernel1d(kernel_sigma, kernel_radius))
-    if use_pallas:
-        kernel = _band_matrix_bf16(kernel, t, kernel_radius)
+    # keep the taps on the host until dispatch: converting them to a
+    # device array and reading them back for the band-cache key costs a
+    # full tunnel round-trip per call (~40 ms measured on the product
+    # seam, scripts/probe_voxel_fetch.py)
+    taps = gaussian_kernel1d(kernel_sigma, kernel_radius)
+    kernel = (
+        _band_matrix_bf16(taps, t, kernel_radius)
+        if use_pallas
+        else jnp.asarray(taps)
+    )
     vals, idx, thr = jax.device_get(
         _voxel_topk_impl(
             data, kernel, np.float32(contrast),
@@ -318,6 +346,7 @@ def extract_instances_topk(
             int(max_points),
         )
     )
+    vals = vals.astype(np.float32)
     thr = float(thr)
 
     gx, gy, gz = data.shape
@@ -389,9 +418,9 @@ def extract_instances(
     device program still runs on the padded grid so it is shared across
     scan sizes — only the host-side instance harvest filters.
     """
-    kernel = jnp.asarray(gaussian_kernel1d(kernel_sigma, kernel_radius))
     opac, thr = voxel_opacities(
-        data, kernel, np.float32(contrast), np.float32(opacity_threshold),
+        data, gaussian_kernel1d(kernel_sigma, kernel_radius),
+        np.float32(contrast), np.float32(opacity_threshold),
         kernel_radius,
     )
     opac = np.asarray(opac)
