@@ -553,9 +553,13 @@ def bench_psf():
     import jax
 
     def device_filter():
-        out = fitting.filter_traces_all_bands(np.asarray(mx.time_traces), taps)
-        jax.block_until_ready(out)
-        return out
+        # the production seam: one program returning the filtered cube
+        # (stays on device) + the (B, P) intensities the fits consume
+        filt, inten = fitting.filter_and_intensity_all_bands(
+            np.asarray(mx.time_traces), taps
+        )
+        jax.block_until_ready(filt)
+        return inten
 
     filter_dev_s = timed(device_filter)
 
@@ -571,12 +575,18 @@ def bench_psf():
             for k in np.asarray(taps_, np.float64)
         ])
 
-    real = fitting.filter_traces_all_bands
-    fitting.filter_traces_all_bands = host_fir
+    def host_fai(traces, taps_):
+        f = host_fir(traces, taps_)
+        inten = np.stack([fitting.compute_intensity(f[b])
+                          for b in range(f.shape[0])])
+        return f, inten
+
+    real = fitting.filter_and_intensity_all_bands
+    fitting.filter_and_intensity_all_bands = host_fai
     try:
         host_s = timed(lambda: compute_psf(mx, my, fp), n=1)
     finally:
-        fitting.filter_traces_all_bands = real
+        fitting.filter_and_intensity_all_bands = real
     return {
         "psf_fit_ms": round(full_s * 1e3, 1),
         "psf_filter_device_ms": round(filter_dev_s * 1e3, 2),
@@ -584,9 +594,10 @@ def bench_psf():
         "workload": f"{len(mx.positions)}x{mx.time_traces.shape[1]} traces "
                     f"x {fp.n_filters} bands x 2 axes, real knife-edge "
                     "fixtures (example_beam_width)",
-        "note": "psf_fit_ms = full compute (device band-filtering + "
-                "sequential warm-started host erf fits); hostonly swaps "
-                "the device filtering for scipy fftconvolve",
+        "note": "psf_fit_ms = full compute (device band-filter+intensity "
+                "program, filtered cube left on device, + sequential "
+                "warm-started host erf fits); hostonly swaps the device "
+                "program for scipy fftconvolve + numpy intensities",
     }
 
 

@@ -143,6 +143,58 @@ def test_filter_traces_matches_direct_correlation():
             np.testing.assert_allclose(got[b, p], expected, atol=1e-4)
 
 
+def test_filter_and_intensity_matches_host_path():
+    """The fused device program (filter + per-band normalized intensity,
+    one tiny transfer) must agree with filter_traces_all_bands +
+    compute_intensity — the erf fits consume only the intensities."""
+    from thz_image_explorer_tpu.psf_tool.fitting import (
+        compute_intensity,
+        filter_and_intensity_all_bands,
+    )
+
+    rng = np.random.default_rng(3)
+    traces = rng.normal(size=(7, 150))
+    taps = rng.normal(size=(4, 33))
+    filt_dev, inten = filter_and_intensity_all_bands(traces, taps)
+    ref_filt = filter_traces_all_bands(traces, taps)
+    np.testing.assert_allclose(np.asarray(filt_dev), ref_filt, atol=1e-4)
+    ref_inten = np.stack(
+        [compute_intensity(ref_filt[b]) for b in range(taps.shape[0])]
+    )
+    np.testing.assert_allclose(inten, ref_inten, atol=1e-4)
+
+
+def test_fit_beam_widths_dedupes_identical_traces():
+    """_fit_axis passes the same half for x and y: the filter program must
+    run once, and the returned x/y filtered cubes must be the same object."""
+    from thz_image_explorer_tpu.psf_tool import fitting as fitting_mod
+
+    rng = np.random.default_rng(4)
+    traces = rng.normal(size=(12, 64))
+    positions = np.linspace(-5, 5, 12)
+    taps = rng.normal(size=(2, 9))
+    mean_fit = fitting_mod.MeanBeamFit(
+        x0=0.0, y0=0.0, popt_x=(0.0, 5.0), popt_y=(0.0, 5.0)
+    )
+    calls = []
+    real = fitting_mod.filter_and_intensity_all_bands
+
+    def counting(tr, tp):
+        calls.append(1)
+        return real(tr, tp)
+
+    fitting_mod.filter_and_intensity_all_bands = counting
+    try:
+        fits = fitting_mod.fit_beam_widths(
+            mean_fit, positions, positions, traces, traces, taps,
+            fitting_mod.BeamFitParams(),
+        )
+    finally:
+        fitting_mod.filter_and_intensity_all_bands = real
+    assert len(calls) == 1
+    assert fits.filtered_traces_x is fits.filtered_traces_y
+
+
 def _synthetic_knife_edge(n_pos=60, n_time=256, w_true=3.0, seed=0):
     """Double knife edge: intensity I(x) = erf profile on each half."""
     rng = np.random.default_rng(seed)

@@ -71,6 +71,72 @@ def _fir_program(flat, g_blks, *, ntaps, shift, block, n_time):
     return _apply_bands(xw, g_blks, n_time=n_time)
 
 
+@partial(jax.jit, static_argnames=("ntaps", "shift", "block", "n_time"))
+def _fir_intensity_program(flat, g_blks, *, ntaps, shift, block, n_time):
+    """Filtering + per-band knife-edge intensity in ONE program.
+
+    The PSF tool's erf fits consume only the per-position sum-of-squares
+    (``fitting.rs:159-177``) — 48 kB — while the filtered traces
+    themselves (B, P, T ≈ 24 MB) are only read back lazily for the
+    individual-fits plot. Computing the reduction in-program lets the
+    host fetch the tiny array and leave the cube on device: the previous
+    eager d2h of the full cube cost ~850 ms per call on the ~28 MB/s
+    tunnelled link (measured, scripts-free — see bench psf_tool note).
+    """
+    xw = window_input(flat, ntaps, shift, block)
+    filt = _apply_bands(xw, g_blks, n_time=n_time)
+    inten = jnp.sum(filt * filt, axis=-1)  # (B, P)
+    lo = jnp.min(inten, axis=1, keepdims=True)
+    hi = jnp.max(inten, axis=1, keepdims=True)
+    rng = hi - lo
+    norm = jnp.where(
+        rng > 1e-10, (inten - lo) / jnp.where(rng == 0.0, 1.0, rng), inten
+    )
+    return filt, norm
+
+
+_G_CACHE: dict = {}
+
+
+def _g_blks_device(flipped: np.ndarray, block: int):
+    """Device-resident block matrices for a (flipped) tap bank, LRU-cached:
+    rebuilding + re-uploading the ~15 MB constant cost ~220 ms per call on
+    the tunnelled link while the bank is identical across the PSF tool's
+    left/right × x/y fit calls."""
+    key = (flipped.tobytes(), flipped.shape, block)
+    hit = _G_CACHE.pop(key, None)
+    if hit is not None:
+        _G_CACHE[key] = hit  # re-insert as most recent
+        return hit
+    g = jnp.asarray(np.stack([fir_block_matrix(h, block) for h in flipped]))
+    _G_CACHE[key] = g
+    while len(_G_CACHE) > 4:
+        _G_CACHE.pop(next(iter(_G_CACHE)))
+    return g
+
+
+def fir_correlate_bands_device(
+    traces: np.ndarray, taps: np.ndarray, block: int = FIR_BLOCK
+):
+    """Like :func:`fir_correlate_bands` but returns
+    ``(filtered_device, intensities_np)``: the (B, P, T) float32 filtered
+    traces as a DEVICE array (no transfer) plus the per-band min-max
+    normalized knife-edge intensities (B, P) as numpy (one tiny transfer).
+    """
+    p, t = np.shape(traces)
+    b, l = np.shape(taps)
+    mid = l // 2
+    shift = l - 1 - mid
+    flipped = np.ascontiguousarray(np.asarray(taps, np.float64)[:, ::-1])
+    g_blks = _g_blks_device(flipped, block)
+    filt, inten = _fir_intensity_program(
+        jnp.asarray(np.asarray(traces, np.float32)),
+        g_blks,
+        ntaps=l, shift=shift, block=block, n_time=t,
+    )
+    return filt, np.asarray(inten, np.float64)
+
+
 def fir_correlate_bands(
     traces: np.ndarray, taps: np.ndarray, block: int = FIR_BLOCK
 ) -> np.ndarray:

@@ -112,6 +112,18 @@ def filter_traces_all_bands(traces: np.ndarray, taps: np.ndarray) -> np.ndarray:
     return fir_correlate_bands(traces, taps)
 
 
+def filter_and_intensity_all_bands(traces: np.ndarray, taps: np.ndarray):
+    """(P, T) traces x (B, L) taps -> ``(filtered, intensities)`` where
+    ``filtered`` is the (B, P, T) cube **left on device** and
+    ``intensities`` is the (B, P) per-band normalized knife-edge curve as
+    numpy. The erf fits read only the intensities; shipping the full cube
+    back per call cost ~850 ms on the tunnelled TPU link (bench psf_tool).
+    """
+    from thz_image_explorer_tpu.ops.firapply import fir_correlate_bands_device
+
+    return fir_correlate_bands_device(traces, taps)
+
+
 @dataclasses.dataclass
 class BeamFitParams:
     """(``fitting.rs:42-60``)"""
@@ -124,7 +136,8 @@ class BeamFitParams:
 class BeamWidthFits:
     popt_xs: np.ndarray  # (B, 2)
     popt_ys: np.ndarray  # (B, 2)
-    filtered_traces_x: np.ndarray  # (B, P, T)
+    # (B, P, T) — may be DEVICE arrays (lazily fetched); np.asarray on use
+    filtered_traces_x: np.ndarray
     filtered_traces_y: np.ndarray
     x_positions: np.ndarray
     y_positions: np.ndarray
@@ -147,9 +160,16 @@ def fit_beam_widths(
     x_positions = np.asarray(x_positions, np.float64)
     y_positions = np.asarray(y_positions, np.float64)
 
-    # ALL bands filtered on device in one call (vs. rayon per band)
-    fx = filter_traces_all_bands(np.asarray(x_traces), taps)
-    fy = filter_traces_all_bands(np.asarray(y_traces), taps)
+    # ALL bands filtered on device in one call (vs. rayon per band); the
+    # per-band intensities come back in the same program (one tiny
+    # transfer) and the filtered cubes stay on device. _fit_axis passes
+    # the same half for both axes (app.rs:543-636 fits X and Y positions
+    # of one knife half) — dedupe the identical filter call.
+    fx, ix_all = filter_and_intensity_all_bands(np.asarray(x_traces), taps)
+    if y_traces is x_traces:
+        fy, iy_all = fx, ix_all
+    else:
+        fy, iy_all = filter_and_intensity_all_bands(np.asarray(y_traces), taps)
 
     popt_xs = np.zeros((n_filters, 2))
     popt_ys = np.zeros((n_filters, 2))
@@ -162,8 +182,8 @@ def fit_beam_widths(
     bounds_y = ((-range_max / 2.0, 0.01), (range_max / 2.0, w_max))
 
     for nf in range(n_filters):
-        ix = compute_intensity(fx[nf])
-        iy = compute_intensity(fy[nf])
+        ix = ix_all[nf]
+        iy = iy_all[nf]
 
         popt_x = fit_error_function(x_positions, ix, popt_x, bounds_x)
         if fit_params.use_monotonicity_constraint:

@@ -603,7 +603,9 @@ class WebApp:
             return {"n_bands": 0}
         fits = ax.beam_fits
         band = int(np.clip(band, 0, fits.popt_xs.shape[0] - 1))
-        traces = fits.filtered_traces_x[band]
+        # filtered traces may live on device (lazy fetch): slice the one
+        # requested band, transfer ~1 MB instead of the whole (B,P,T) cube
+        traces = np.asarray(fits.filtered_traces_x[band], np.float64)
         positions = np.asarray(fits.x_positions, np.float64)
         intensity = compute_intensity(traces)
         rng = intensity.max() - intensity.min()
