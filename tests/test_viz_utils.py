@@ -124,12 +124,15 @@ def test_extract_instances_geometry():
     assert (rgba[:, 3] >= 0).all() and (rgba[:, 3] <= 1).all()
 
 
-def test_extract_instances_topk_matches_dense():
+def test_extract_instances_topk_matches_dense(monkeypatch):
     """The single-transfer top-k view path (round-4: one round-trip voxel
     fetch) must select the brightest voxels of the dense extraction with
-    identical geometry and colors."""
+    identical geometry and colors. Pinned to the unpacked (f16 + i32)
+    fetch — the packed u32 variant trades alpha to 6 bits and has its own
+    parity test below."""
     from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
 
+    monkeypatch.setenv("THZ_VOXEL_PACKED", "0")
     rng = np.random.default_rng(1)
     data = (0.1 * rng.normal(size=(8, 6, 64))).astype(np.float32)
     data[2, 1, 20] = 4.0
@@ -157,6 +160,36 @@ def test_extract_instances_topk_matches_dense():
         assert key in dense
         np.testing.assert_allclose(dense[key], o, rtol=2e-3, atol=1e-3)
         assert o >= floor - 1e-3
+
+
+def test_extract_instances_topk_packed_matches_unpacked(monkeypatch):
+    """The packed u32 fetch (idx<<6 | 6-bit alpha, 4 B/point on the wire
+    instead of 6) must pick the same voxels at the same positions, with
+    alpha within its 1/63 quantization step of the f16 path."""
+    from thz_image_explorer_tpu.ops.voxel import extract_instances_topk
+
+    rng = np.random.default_rng(7)
+    data = (0.1 * rng.normal(size=(8, 6, 64))).astype(np.float32)
+    data[2, 1, 20] = 4.0
+    data[5, 3, 40] = 3.0
+    kw = dict(
+        time_span=10.0, scaling=1, original_dims=(8, 6, 64), max_points=25
+    )
+    monkeypatch.setenv("THZ_VOXEL_PACKED", "0")
+    pos_u, rgba_u, *_, thr_u = extract_instances_topk(jnp.asarray(data), **kw)
+    monkeypatch.setenv("THZ_VOXEL_PACKED", "1")
+    pos_p, rgba_p, *_, thr_p = extract_instances_topk(jnp.asarray(data), **kw)
+
+    np.testing.assert_allclose(thr_p, thr_u, rtol=2e-3, atol=1e-3)
+    un = {tuple(np.round(p, 5)): a for p, a in zip(pos_u, rgba_u[:, 3])}
+    assert len(pos_p) > 0
+    # quantized keep-mask may drop points whose alpha rounds below the
+    # quantized threshold — never add ones the unpacked path lacks
+    assert len(pos_p) <= len(pos_u)
+    for p, a in zip(pos_p, rgba_p[:, 3]):
+        key = tuple(np.round(p, 5))
+        assert key in un
+        assert abs(un[key] - a) <= 1.0 / 63.0 + 1e-3
 
 
 def test_extract_instances_topk_valid_grid():

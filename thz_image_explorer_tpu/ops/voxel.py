@@ -292,6 +292,40 @@ def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
     return vals.astype(jnp.float16), idx.astype(jnp.int32), threshold
 
 
+#: alpha quantization of the packed fetch: 6 bits leaves 26 for the flat
+#: voxel index (67M voxels — covers the padded 208x208x1024 product grid)
+_PACK_ALPHA_BITS = 6
+_PACK_ALPHA_MAX = (1 << _PACK_ALPHA_BITS) - 1
+_PACK_IDX_LIMIT = 1 << (32 - _PACK_ALPHA_BITS)
+
+
+@partial(jax.jit, static_argnames=("radius", "use_pallas", "k"))
+def _voxel_topk_packed(data, kernel, contrast, opacity_threshold,
+                       radius: int, use_pallas: bool, k: int):
+    """:func:`_voxel_topk_impl` with the (value, index) pair bit-packed
+    into ONE uint32 per point: ``idx << 6 | round(opacity * 63)``.
+
+    The fetch is link-bound on this harness (~28 MB/s tunnel): the f16 +
+    i32 pair costs 6 B/point (720 kB at the 120k view cap, ~26 ms on the
+    wire) while 4 B/point is 480 kB (~17 ms). 6-bit alpha = 64 opacity
+    levels — at the 1-3 px point size the canvas draws, indistinguishable
+    from f16 (the reference renders 8-bit alpha anyway,
+    ``threed_plot.rs:216-230``). Requires ``data.size < 2**26``; callers
+    fall back to :func:`_voxel_topk_impl` above that."""
+    normalized = _normalized_opacities(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    )
+    flat = normalized.reshape(-1)
+    k = min(k, flat.shape[0])
+    vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    threshold = jnp.maximum(vals[-1], 0.0)
+    q = jnp.clip(
+        jnp.round(vals * _PACK_ALPHA_MAX), 0, _PACK_ALPHA_MAX
+    ).astype(jnp.uint32)
+    packed = (idx.astype(jnp.uint32) << _PACK_ALPHA_BITS) | q
+    return packed, threshold
+
+
 def extract_instances_topk(
     data: jnp.ndarray,
     time_span: float,
@@ -339,15 +373,36 @@ def extract_instances_topk(
         if use_pallas
         else jnp.asarray(taps)
     )
-    vals, idx, thr = jax.device_get(
-        _voxel_topk_impl(
-            data, kernel, np.float32(contrast),
-            np.float32(opacity_threshold), kernel_radius, use_pallas,
-            int(max_points),
-        )
+    use_packed = (
+        data.size < _PACK_IDX_LIMIT
+        and os.environ.get("THZ_VOXEL_PACKED", "1") != "0"
     )
-    vals = vals.astype(np.float32)
-    thr = float(thr)
+    if use_packed:
+        packed, thr = jax.device_get(
+            _voxel_topk_packed(
+                data, kernel, np.float32(contrast),
+                np.float32(opacity_threshold), kernel_radius, use_pallas,
+                int(max_points),
+            )
+        )
+        idx = (packed >> _PACK_ALPHA_BITS).astype(np.int64)
+        q = (packed & _PACK_ALPHA_MAX).astype(np.float32)
+        vals = q / _PACK_ALPHA_MAX
+        thr = float(thr)
+        # keep-mask in quantized space so the k-th point (== thr) is not
+        # dropped by its own rounding; q == 0 (alpha < 1/126) never drawn
+        keep_q = q >= max(np.floor(thr * _PACK_ALPHA_MAX), 1.0)
+    else:
+        vals, idx, thr = jax.device_get(
+            _voxel_topk_impl(
+                data, kernel, np.float32(contrast),
+                np.float32(opacity_threshold), kernel_radius, use_pallas,
+                int(max_points),
+            )
+        )
+        vals = vals.astype(np.float32)
+        thr = float(thr)
+        keep_q = (vals >= max(thr, 1e-30)) & (vals > 0.0)
 
     gx, gy, gz = data.shape
     xs = idx // (gy * gz)
@@ -355,7 +410,7 @@ def extract_instances_topk(
     ys = rem // gz
     zs = rem - ys * gz
     # keep: above the 2M-cap threshold, nonzero, and inside the valid grid
-    keep = (vals >= max(thr, 1e-30)) & (vals > 0.0)
+    keep = keep_q
     if valid_grid is not None:
         keep &= (xs < valid_grid[0]) & (ys < valid_grid[1])
         gx, gy = min(gx, valid_grid[0]), min(gy, valid_grid[1])
