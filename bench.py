@@ -129,6 +129,52 @@ def bench_tpu(t, data):
     return p50_single, pipelined, cube, chain_flops, chain_bytes
 
 
+def bench_hbm_stream():
+    """Measured ACHIEVABLE streaming bandwidth, overhead-corrected.
+
+    The nominal v5e HBM figure (819 GB/s) is not reachable by real fused
+    programs on this runtime: a pure a*c+b stream measures 614 GB/s
+    asymptotically with ~0.49 ms fixed per-dispatch overhead
+    (size-slope fit over 88 MB..1.4 GB of traffic, 2026-08-17, this
+    script + scripts/micro_matmul.py). The roofline fraction against
+    THIS number is the honest "how much is left" metric — against it
+    the fused chain sits at ~80%, i.e. the remaining gap to the nominal
+    roofline is runtime/DMA efficiency, not program fat."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    _sum = jax.jit(lambda y: jnp.sum(jnp.ravel(y)[:128]))
+    stream = jax.jit(lambda a: a * 1.0000001 + 1.0)
+
+    def t_of(mb, n=40):
+        x = jnp.asarray(
+            rng.normal(size=(mb * 1024 * 1024 // 4,)).astype(np.float32)
+        )
+        r = stream(x)
+        float(_sum(r))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = stream(x)
+            float(_sum(r))
+            dt = (time.perf_counter() - t0) / n
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_small, t_big = t_of(177), t_of(708)
+    bw = 2 * (708 - 177) * 1024 * 1024 / (t_big - t_small) / 1e9
+    overhead_ms = (t_small - 2 * 177 * 1024 * 1024 / (bw * 1e9)) * 1e3
+    return {
+        "hbm_bw_measured_gbps": round(bw, 0),
+        "dispatch_overhead_ms": round(overhead_ms, 3),
+        "note": "two-point size-slope of a fused a*c+b stream "
+                "(354 MB vs 1416 MB of traffic), cancelling the fixed "
+                "per-dispatch cost; nominal v5e is 819 GB/s",
+    }
+
+
 def bench_cpu_torch(t, data):
     """Same chain in torch on CPU (multithreaded — the stand-in for the
     reference's rayon all-cores execution)."""
@@ -837,14 +883,28 @@ def main():
         extra["hbm_roofline_frac"] = round(
             chain_bytes / pipelined_s / HBM_BW, 3
         )
+        try:
+            stream = bench_hbm_stream()
+            extra["hbm_stream"] = stream
+            extra["hbm_roofline_frac_measured"] = round(
+                chain_bytes
+                / pipelined_s
+                / (stream["hbm_bw_measured_gbps"] * 1e9),
+                3,
+            )
+        except Exception as e:  # noqa: BLE001
+            extra["hbm_stream_error"] = str(e)[:160]
     if chain_flops is not None or chain_bytes is not None:
         extra["roofline_note"] = (
             "XLA cost-analysis FLOPs / bytes-accessed of the fused chain "
             "over best-of-3 pipelined device windows; mfu_bf16x3 divides "
             "by the ~65.7 TFLOP/s bf16x3 ceiling the DFT matmuls actually "
-            "run at, hbm_roofline_frac by 819 GB/s v5e HBM. Phase split "
-            "and methodology: scripts/profile_roofline.py, "
-            "scripts/micro_matmul.py"
+            "run at, hbm_roofline_frac by 819 GB/s NOMINAL v5e HBM and "
+            "hbm_roofline_frac_measured by the overhead-corrected "
+            "streaming bandwidth a real program can reach on this "
+            "runtime (hbm_stream). Phase split and methodology: "
+            "scripts/profile_roofline.py, scripts/micro_matmul.py, "
+            "scripts/micro_twostage.py (factored-DFT dead end)"
         )
     try:
         extra["explorer"] = bench_explorer(t, data)

@@ -7,10 +7,15 @@ FFTs of ``math_tools.rs:330-571``): measured ~6.4 ms device time for a
 40k x 1024 r2c on a v5e vs ~0.4 ms for the same transform as two dense
 DFT matmuls (cos/sin matrices), despite the matmul doing ~10x the FLOPs —
 the MXU at ~60 TFLOP/s (bf16x3) simply crushes the FFT kernel's VPU
-schedule at these batch sizes. A two-stage Cooley-Tukey variant with
-32x32 factors was measured no faster than XLA's FFT (tiny matmul tiles
-waste the 128x128 systolic array), so this module uses single-stage dense
-DFT matrices up to ``MAX_MATMUL_N`` and falls back to ``jnp.fft`` above.
+schedule at these batch sizes. Two-stage Cooley-Tukey factorizations
+lose across the whole radix range, not just at 32x32: measured at the
+bench shape (43264 x 1024, scripts/micro_twostage.py, 2026-08-17) the
+dense fused matmul runs 3.3 ms while 64x16 / 128x8 / 256x4 / 512x2
+factored variants run 7.7 / 8.8 / 9.5 / 11.1 ms — every factorization
+leaves one reshaped axis far below the 128-lane register width, and the
+relayout + padding waste exceeds the 4-16x FLOP saving. So this module
+uses single-stage dense DFT matrices up to ``MAX_MATMUL_N`` and falls
+back to ``jnp.fft`` above.
 
 All complex arithmetic is explicit real/imag f32 pairs — TPUs have no
 native complex type, and complex64 arrays at program boundaries trigger
