@@ -553,10 +553,11 @@ def bench_voxel(t, data):
             "note": "wall time of the product /api/voxels fetch at "
                     "200x200x1024 (41M voxels): device envelope + top-k "
                     "compaction (cap threshold = k-th largest, replacing "
-                    "the 19.5 ms histogram passes) + ONE ~0.7 MB f16/i32 "
-                    "transfer; the round-3 path shipped the 164 MB "
-                    "opacity volume in two round-trips (~82 ms); the "
-                    "dense-volume product fetch measured 4633 ms",
+                    "the 19.5 ms histogram passes) + ONE ~0.5 MB packed-"
+                    "u32 transfer (idx<<6 | 6-bit alpha; THZ_VOXEL_PACKED"
+                    "=0 restores f16+i32); the round-3 path shipped the "
+                    "164 MB opacity volume in two round-trips (~82 ms); "
+                    "the dense-volume product fetch measured 4633 ms",
         }
     finally:
         app.worker.close()
