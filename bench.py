@@ -688,10 +688,18 @@ print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
 
     def run_once():
         t0 = time.perf_counter()
-        out = subprocess.run(
-            [sys.executable, "-c", script], env=env, capture_output=True,
-            text=True, timeout=1200,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", script], env=env, capture_output=True,
+                text=True, timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            # A degraded remote compile service can push a cold open past
+            # the budget (observed: a trivial matmul compile at 102 s).
+            # Report the timeout and let the warm run proceed against the
+            # partially-populated cache instead of aborting both.
+            return {"error": "timeout (>1200 s)",
+                    "process_wall_s": round(time.perf_counter() - t0, 1)}
         wall = time.perf_counter() - t0
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
         try:

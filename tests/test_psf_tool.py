@@ -317,3 +317,19 @@ def test_real_knife_edge_full_pipeline(tmp_path):
     q = np.linspace(0.3, 2.5, 20)
     w_eval = psf.wx_fit.eval(q.astype(np.float32))
     assert np.isfinite(w_eval).all() and (w_eval > 0).all()
+
+
+def test_compute_thread_shutdown_joins():
+    """`_shutdown` (atexit / serve teardown) cancels a mid-flight compute
+    and joins the thread: a daemon thread parked in native device code at
+    interpreter exit hangs teardown (observed live on the CPU backend)."""
+    from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
+
+    tool = PsfToolApp()
+    tool.x_path = REF_X
+    tool.y_path = REF_Y
+    tool.filter_params.n_filters = 4
+    tool.start_computation()
+    assert tool._thread is not None
+    tool._shutdown()
+    assert not tool._thread.is_alive()

@@ -310,6 +310,23 @@ def test_shadow_pass_never_runs_deconvolution(tmp_path, monkeypatch):
     assert calls["n"] == 0
 
 
+def test_shadow_pass_keeps_identity_stage_ms(tmp_path):
+    """The refresh must never overwrite a skipped stage's last real ms
+    with the microseconds the skip took: an active-but-suppressed
+    deconvolution keeps its Apply-time ms through the idle shadow pass
+    (the reference never times a skip, ``filter.rs:607-621``)."""
+    t, raw = synthetic_scan(width=16, height=16, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    p = ex.pipeline
+    p.filters["deconvolution"].active = True
+    p.timings["deconvolution"] = 0.512  # pretend Apply measured 512 ms
+    ex.set_fft_window_low(1.3)  # fused run marks the range stale
+    assert p.refresh_stage_timings() is True
+    assert p.timings["deconvolution"] == 0.512
+
+
 # -------------------------------------------------- background precompile
 def test_serve_precompile_default_on():
     """``serve`` precompiles the opened scan's bucket in the background by

@@ -66,7 +66,8 @@ def _fir_program(flat, g_blks, *, ntaps, shift, block, n_time):
     """Windowing + banded matmul as ONE program. ``window_input``'s
     pad/slice/stack run under this trace — eagerly they would be half a
     dozen separate dispatches, each a full round-trip on remote-tunnelled
-    runtimes (measured 559 ms -> ~60 ms per PSF-tool filter call)."""
+    runtimes (measured 559 ms -> ~60 ms per PSF-tool filter call;
+    ``scripts/profile_psf.py``)."""
     xw = window_input(flat, ntaps, shift, block)
     return _apply_bands(xw, g_blks, n_time=n_time)
 
@@ -81,7 +82,8 @@ def _fir_intensity_program(flat, g_blks, *, ntaps, shift, block, n_time):
     individual-fits plot. Computing the reduction in-program lets the
     host fetch the tiny array and leave the cube on device: the previous
     eager d2h of the full cube cost ~850 ms per call on the ~28 MB/s
-    tunnelled link (measured, scripts-free — see bench psf_tool note).
+    tunnelled link (``scripts/profile_psf.py`` full_d2h_ms; also the
+    bench psf_tool note).
     """
     xw = window_input(flat, ntaps, shift, block)
     filt = _apply_bands(xw, g_blks, n_time=n_time)
@@ -102,7 +104,7 @@ def _g_blks_device(flipped: np.ndarray, block: int):
     """Device-resident block matrices for a (flipped) tap bank, LRU-cached:
     rebuilding + re-uploading the ~15 MB constant cost ~220 ms per call on
     the tunnelled link while the bank is identical across the PSF tool's
-    left/right × x/y fit calls."""
+    left/right × x/y fit calls (``scripts/profile_psf.py``)."""
     key = (flipped.tobytes(), flipped.shape, block)
     hit = _G_CACHE.pop(key, None)
     if hit is not None:
@@ -113,6 +115,25 @@ def _g_blks_device(flipped: np.ndarray, block: int):
     while len(_G_CACHE) > 4:
         _G_CACHE.pop(next(iter(_G_CACHE)))
     return g
+
+
+@jax.jit
+def average_pair(a, b):
+    """``(a + b) / 2`` as ONE compiled program. The PSF tool averages the
+    left/right halves' (B, P, T) filtered cubes on device; written
+    eagerly this is unsupported on the axon backend (eager ops fail —
+    see ``bench.py`` run_once note) and on any backend it would dispatch
+    three separate full-cube ops."""
+    return (a + b) * 0.5
+
+
+@jax.jit
+def take_band(cube, i):
+    """``cube[i]`` as a compiled dynamic-slice program: fetch ONE band
+    (~1 MB) of a device-resident (B, P, T) cube without an eager slice
+    (unsupported on the axon backend) or a full-cube transfer. ``i`` is
+    traced, so every band shares one compile."""
+    return cube[i]
 
 
 def fir_correlate_bands_device(

@@ -262,6 +262,19 @@ def _envelope_pallas(flat, w, contrast, thr, *, interpret: bool = False):
     return out[:n]
 
 
+def _topk_core(data, kernel, contrast, opacity_threshold,
+               radius: int, use_pallas: bool, k: int):
+    """Shared opacity -> ``approx_max_k`` compaction behind both fetch
+    formats (f16+i32 pair and packed u32) — one body, so the threshold /
+    recall semantics can never diverge between them."""
+    normalized = _normalized_opacities(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    )
+    flat = normalized.reshape(-1)
+    k = min(k, flat.shape[0])
+    return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+
+
 @partial(jax.jit, static_argnames=("radius", "use_pallas", "k"))
 def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
                      radius: int, use_pallas: bool, k: int):
@@ -282,14 +295,17 @@ def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
     measured ~19.5 ms device at 41M voxels (scripts/probe_voxel_fetch.py)
     vs ~4.4 ms for the whole envelope+top-k. Values ship as f16 (display
     precision; indices must stay int32 for 41M-element addressing)."""
-    normalized = _normalized_opacities(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    vals, idx = _topk_core(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas, k
     )
-    flat = normalized.reshape(-1)
-    k = min(k, flat.shape[0])
-    vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
-    threshold = jnp.maximum(vals[-1], 0.0)
-    return vals.astype(jnp.float16), idx.astype(jnp.int32), threshold
+    vals = vals.astype(jnp.float16)
+    # threshold in the SAME rounded space the values ship in: f16 rounding
+    # is monotonic, so vals_f16 >= f16(k-th) keeps exactly the points the
+    # exact comparison would — an exact f32 threshold against f16-rounded
+    # values drops every point whose rounding lands just below it
+    # (including, half the time, the k-th point itself)
+    threshold = jnp.maximum(vals[-1].astype(jnp.float32), 0.0)
+    return vals, idx.astype(jnp.int32), threshold
 
 
 #: alpha quantization of the packed fetch: 6 bits leaves 26 for the flat
@@ -312,12 +328,9 @@ def _voxel_topk_packed(data, kernel, contrast, opacity_threshold,
     from f16 (the reference renders 8-bit alpha anyway,
     ``threed_plot.rs:216-230``). Requires ``data.size < 2**26``; callers
     fall back to :func:`_voxel_topk_impl` above that."""
-    normalized = _normalized_opacities(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas
+    vals, idx = _topk_core(
+        data, kernel, contrast, opacity_threshold, radius, use_pallas, k
     )
-    flat = normalized.reshape(-1)
-    k = min(k, flat.shape[0])
-    vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
     threshold = jnp.maximum(vals[-1], 0.0)
     q = jnp.clip(
         jnp.round(vals * _PACK_ALPHA_MAX), 0, _PACK_ALPHA_MAX

@@ -505,12 +505,17 @@ class Pipeline:
                     out = stage.apply(inp, ctx)
                 else:
                     out = inp  # identity pass-through (cubes are immutable)
-            if self.record_timings:
+            if self.record_timings and out is not inp:
+                # identity pass-throughs (inactive filter, suppressed
+                # deconvolution) keep their last real ms AND their stale
+                # marker in both modes — a blocking shadow pass must not
+                # overwrite e.g. the deconvolution's 50 ms with the ~20 us
+                # the skip took (filter.rs:607-621 never times a skip)
                 if block_timings:
                     jax.block_until_ready(out.data)
                     self.timings[name] = _time.perf_counter() - t_start
                     self.timings_stale.discard(name)
-                elif out is not inp:  # identity pass-through: keep last ms
+                else:  # keep last ms until the async probe completes
                     self.timings_stale.discard(name)
                     self._timer.record(name, out.data)
             if out.n_time != inp.n_time and name != "initial":
@@ -931,10 +936,15 @@ class Pipeline:
         if key not in self._dispatched:
             self.phase = "compiling"
         try:
+            # async per-stage probes + one drain: the whole pass costs
+            # ~(chain device time + one tunnel RTT), where a blocking
+            # per-stage barrier would pay one ~30 ms RTT PER STAGE on the
+            # tunnelled TPU (~8x the latency for the same numbers)
             self._run_stages(
-                1, force_all=False, block_timings=True,
-                run_deconvolution=False,
+                1, force_all=False, block_timings=False,
+                run_deconvolution=False, fresh_timer=True,
             )
+            self._timer.drain()
         finally:
             self._dispatched.add(key)
             self.phase = None

@@ -395,20 +395,22 @@ class Explorer:
         self.pipeline.refresh_stage_timings()
 
     def warmup(self):
-        """Precompile the fused interactive programs for every dirty-range
-        start point at the current scan shape/active-set (``serve
-        --precompile`` enqueues this right after the first open, so the
-        first slider drag of a session hits already-compiled code; results
-        land in the persistent compile cache for future sessions). Each
-        run recomputes slots to identical values — no user-visible state
-        changes, no publish."""
+        """Precompile the interactive programs at the current scan
+        shape/active-set (``serve --precompile`` enqueues this right
+        after the first open, so the first slider drag of a session hits
+        already-compiled code; results land in the persistent compile
+        cache for future sessions). The pass recomputes slots to
+        identical values — no user-visible state changes, no publish."""
         p = self.pipeline
         if p.input is None:
             return
-        starts = {1, p.scaling_index, p.fft_index, p.ifft_index}
-        starts.update(p.index_of(uuid) for uuid in p.filters)
-        for s in sorted(starts):
-            p.run_from(s)
+        # fused interactive runs always execute from slot 0 (run_from
+        # forces start=1 — one program per static config), so a single
+        # pass compiles THE interactive program for this shape/active-set;
+        # with THZ_FUSED_EXEC=0 the same pass exposes every per-stage
+        # program. A per-dirty-range loop would just re-dispatch the
+        # identical program once per start point.
+        p.run_from(1)
         # compile the idle shadow pass's per-stage programs too, so the
         # first post-interaction timing refresh doesn't block the worker
         # on cold compiles

@@ -262,6 +262,25 @@ class ExplorerWorker:
         while not self._stop.is_set():
             cmd = self.queue.take(timeout=0.1)
             if cmd is None:
+                if not self._idle.is_set() and self.queue.empty():
+                    # the queue has stayed empty for a full poll interval
+                    # since the last command — the burst has genuinely
+                    # settled. Idle housekeeping (per-stage timing
+                    # refresh) runs HERE, debounced, not straight after
+                    # every discrete command: a user stepping a slider
+                    # click-by-click must not pay a shadow chain pass per
+                    # click. It runs BEFORE idle is signalled so
+                    # join_idle observers see fresh timings, and outside
+                    # the idle lock — it dispatches device work and must
+                    # not block send().
+                    try:
+                        on_idle = getattr(self.explorer, "on_idle", None)
+                        if on_idle is not None:
+                            on_idle()
+                    except Exception:  # noqa: BLE001
+                        import traceback
+
+                        traceback.print_exc()
                 with self._idle_lock:
                     if self.queue.empty():
                         self._idle.set()
@@ -280,20 +299,3 @@ class ExplorerWorker:
                 import traceback
 
                 traceback.print_exc()
-            finally:
-                if self.queue.empty():
-                    # burst settled: idle housekeeping (per-stage timing
-                    # refresh) runs BEFORE idle is signalled so join_idle
-                    # observers see fresh timings; outside the idle lock —
-                    # it dispatches device work and must not block send()
-                    try:
-                        on_idle = getattr(self.explorer, "on_idle", None)
-                        if on_idle is not None:
-                            on_idle()
-                    except Exception:  # noqa: BLE001
-                        import traceback
-
-                        traceback.print_exc()
-                with self._idle_lock:
-                    if self.queue.empty():
-                        self._idle.set()

@@ -118,8 +118,17 @@ def _fit_axis(
     mean_pos = popt_avg[:, 0].mean()
     popt_avg[:, 0] -= mean_pos
 
-    filtered_x_avg = (fits_l.filtered_traces_x + fits_r.filtered_traces_x) / 2.0
-    filtered_y_avg = (fits_l.filtered_traces_y + fits_r.filtered_traces_y) / 2.0
+    # one jitted program keeps the (B, P, T) cubes on device — an eager
+    # add/divide fails on the axon backend and would dispatch three
+    # full-cube ops anywhere else (ops/firapply.average_pair)
+    from thz_image_explorer_tpu.ops.firapply import average_pair
+
+    filtered_x_avg = average_pair(
+        fits_l.filtered_traces_x, fits_r.filtered_traces_x
+    )
+    filtered_y_avg = average_pair(
+        fits_l.filtered_traces_y, fits_r.filtered_traces_y
+    )
 
     beam_fits = BeamWidthFits(
         popt_xs=popt_avg.copy(),
@@ -272,6 +281,7 @@ class PsfToolApp:
         self._run_id = 0
         self._cancel = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._atexit_registered = False
         self._lock = threading.Lock()
         self._last_params_hash: Optional[int] = None
         self.on_complete: list[Callable[[PsfComputeResult], None]] = []
@@ -327,10 +337,26 @@ class PsfToolApp:
         self._run_id += 1
         run_id = self._run_id
         cancel = self._cancel
+        if not self._atexit_registered:
+            # a daemon compute thread parked in native device code at
+            # interpreter exit hangs teardown (observed: process stuck
+            # after main returned, `<no Python frame>`); cancel + brief
+            # join before the runtime is torn down — same pattern as the
+            # executor's _AsyncStageTimer
+            import atexit
+
+            atexit.register(self._shutdown)
+            self._atexit_registered = True
         self._thread = threading.Thread(
             target=self._compute, args=(run_id, cancel), daemon=True
         )
         self._thread.start()
+
+    def _shutdown(self):
+        self.cancel()
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join(timeout=5.0)
 
     def cancel(self):
         self._cancel.set()

@@ -604,8 +604,18 @@ class WebApp:
         fits = ax.beam_fits
         band = int(np.clip(band, 0, fits.popt_xs.shape[0] - 1))
         # filtered traces may live on device (lazy fetch): slice the one
-        # requested band, transfer ~1 MB instead of the whole (B,P,T) cube
-        traces = np.asarray(fits.filtered_traces_x[band], np.float64)
+        # requested band with a compiled dynamic-slice (eager indexing is
+        # unsupported on the axon backend), transfer ~1 MB instead of the
+        # whole (B,P,T) cube
+        import jax
+
+        tx = fits.filtered_traces_x
+        if isinstance(tx, jax.Array):
+            from thz_image_explorer_tpu.ops.firapply import take_band
+
+            traces = np.asarray(take_band(tx, band), np.float64)
+        else:
+            traces = np.asarray(tx[band], np.float64)
         positions = np.asarray(fits.x_positions, np.float64)
         intensity = compute_intensity(traces)
         rng = intensity.max() - intensity.min()
@@ -905,6 +915,9 @@ def serve(port: int = 8080, scan: str | None = None, open_worker=None,
         pass
     finally:
         app.save_settings()  # exit autosave (main.rs:116-126)
+        # stop a mid-flight PSF compute before the JAX runtime goes away
+        # (a daemon thread parked in native device code hangs teardown)
+        app.psf_tool._shutdown()
         app.worker.close()
 
 
