@@ -784,6 +784,26 @@ def bench_deconv(cube):
     except Exception:  # noqa: BLE001 — e.g. non-TPU backend
         pallas_s = None
 
+    # per-run DEVICE time: a window of back-to-back dispatches sharing ONE
+    # completion barrier, so the ~30 ms tunnel RTT is amortized across the
+    # window instead of billed to every run (the wall number above is what
+    # THIS harness delivers per Apply; the device number is what a
+    # production-local chip delivers). Phase breakdown (each phase timed
+    # with its own barrier): prepare_spectra ~4 ms, band energies ~4 ms,
+    # RL ~7 ms, spectral band sum ~3 ms (scripts/profile_deconv.py,
+    # 2026-08-17).
+    n_win = 8
+    out = deconvolve_cube(cube.data, geo, chunk_size=25)
+    float(_sum(out))
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_win):
+            out = deconvolve_cube(cube.data, geo, chunk_size=25)
+        float(_sum(out))
+        windows.append((time.perf_counter() - t0) / n_win)
+    deconv_device_s = float(np.median(windows))
+
     try:
         from thz_image_explorer_tpu.ops.deconvolution import deconv_cost_analysis
 
@@ -810,6 +830,7 @@ def bench_deconv(cube):
         combined.append(time.perf_counter() - t0)
     return {
         "deconv_s": deconv_s,
+        "deconv_device_s": deconv_device_s,
         "scan_s": scan_s,
         "pallas_s": pallas_s,
         "combined_s": float(np.median(combined)),
@@ -943,6 +964,15 @@ def main():
             dres = None
         if dres is not None:
             extra["deconv_ms"] = round(dres["deconv_s"] * 1e3, 2)
+            extra["deconv_device_ms"] = round(
+                dres["deconv_device_s"] * 1e3, 2)
+            extra["deconv_note"] = (
+                "deconv_ms = wall per Apply on this harness (includes the "
+                "~30 ms tunnel RTT of the completion barrier); "
+                "deconv_device_ms = per-run device time from an 8-run "
+                "single-barrier window (what a production-local chip "
+                "delivers); phase split in scripts/profile_deconv.py"
+            )
             extra["deconv_impl"] = "auto dispatch (production path)"
             extra["deconv_workload"] = "25 Kaiser bands x <=500 RL iters (defaults)"
             extra["matmul_rl_ms"] = round(dres["scan_s"] * 1e3, 2)
@@ -955,7 +985,8 @@ def main():
                 extra["deconv_tflops_per_run"] = round(
                     dres["deconv_flops"] / 1e12, 3)
                 extra["deconv_mfu"] = round(
-                    dres["deconv_flops"] / dres["deconv_s"] / PEAK_BF16_FLOPS,
+                    dres["deconv_flops"] / dres["deconv_device_s"]
+                    / PEAK_BF16_FLOPS,
                     4,
                 )
         try:

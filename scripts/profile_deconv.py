@@ -10,6 +10,14 @@ Times (with scalar-read completion barriers — see memory notes on axon):
 Round-1 baseline (FIR block-matmul energy path): window_cube ~32 ms,
 gains chunks ~92 ms (FIR ~85, RL ~8), spectral sum ~40 ms, full ~109 ms
 (all including the ~30 ms tunnel RTT of the completion barrier).
+
+Round-4 (2026-08-17, Parseval-energy + pallas RL production path, each
+number includes one ~30 ms RTT): prepare_spectra 34.1, energies-only
+34.1, energies+RL 41.0 (RL ~6.9), spectral_band_sum 33.0, FULL 48.5 ms
+— i.e. ~18 ms device + the barrier RTT: prep ~4, energies ~4, RL ~7,
+band sum ~3. The full run pays ONE barrier, so its wall is not the sum
+of the per-phase walls. bench's deconv_device_ms amortizes the RTT over
+an 8-run window.
 """
 import sys
 import time

@@ -72,16 +72,22 @@ def main():
     b, l = taps.shape
     out = {"workload": f"{p}x{t} traces x {b} bands x {l} taps"}
 
+    def note(k, v):
+        # incremental progress lines: remote compiles can take minutes
+        # each under service load, so partial data must survive a kill
+        out[k] = v
+        print(f"# {k} = {v}", file=sys.stderr, flush=True)
+
     def fused():
         filt, inten = firapply.fir_correlate_bands_device(traces, taps)
         jax.block_until_ready(filt)
         return inten
 
-    out["fused_ms"] = timed(fused)
+    note("fused_ms", timed(fused))
 
-    out["full_d2h_ms"] = timed(
+    note("full_d2h_ms", timed(
         lambda: firapply.fir_correlate_bands(traces, taps)
-    )
+    ))
 
     # the naive eager decomposition of window_input (pad/slice/stack,
     # no jit) — half a dozen separate dispatches, or a hard error on
@@ -105,9 +111,10 @@ def main():
         return stacked
 
     try:
-        out["eager_steps_ms"] = timed(eager_steps)
+        note("eager_steps_ms", timed(eager_steps))
     except Exception as e:  # noqa: BLE001 — the failure IS the datum
-        out["eager_steps"] = f"unsupported: {type(e).__name__}: {str(e)[:120]}"
+        note("eager_steps",
+             f"unsupported: {type(e).__name__}: {str(e)[:120]}")
 
     flipped = np.ascontiguousarray(np.asarray(taps, np.float64)[:, ::-1])
 
@@ -116,7 +123,7 @@ def main():
         g = firapply._g_blks_device(flipped, block)
         jax.block_until_ready(g)
 
-    out["gblks_rebuild_ms"] = timed(rebuild, n=3)
+    note("gblks_rebuild_ms", timed(rebuild, n=3))
 
     firapply._g_blks_device(flipped, block)  # prime
 
@@ -124,7 +131,7 @@ def main():
         g = firapply._g_blks_device(flipped, block)
         jax.block_until_ready(g)
 
-    out["gblks_cached_ms"] = timed(cached)
+    note("gblks_cached_ms", timed(cached))
     gb = firapply._g_blks_device(flipped, block)
     out["gblks_mb"] = round(gb.size * gb.dtype.itemsize / 1e6, 1)
 

@@ -319,6 +319,7 @@ def test_real_knife_edge_full_pipeline(tmp_path):
     assert np.isfinite(w_eval).all() and (w_eval > 0).all()
 
 
+@needs_data
 def test_compute_thread_shutdown_joins():
     """`_shutdown` (atexit / serve teardown) cancels a mid-flight compute
     and joins the thread: a daemon thread parked in native device code at

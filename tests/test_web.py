@@ -455,3 +455,64 @@ def test_concurrent_polls_and_commands_lossless(app):
     assert app.worker.explorer.pipeline.config.fft_window[0] == pytest.approx(
         0.5 + 0.01 * (n - 1)
     )
+
+
+def test_command_fuzz_worker_survives(app):
+    """Adversarial command soup: every mutating verb the HTTP surface
+    accepts, fired in a seeded random order with off-range / wrong-typed
+    arguments interleaved with valid ones. Bad commands may log (the
+    worker prints the traceback and moves on — data_thread.rs's loop
+    never dies either); the invariants are that the worker keeps
+    processing, snapshots stay JSON-complete, and the image stays
+    finite."""
+    rng = np.random.default_rng(7)
+
+    def rf(lo, hi):
+        return float(rng.uniform(lo, hi))
+
+    pool = [
+        lambda i: ("set_fft_window_low", [rf(-5, 20)]),
+        lambda i: ("set_fft_window_high", [rf(-5, 20)]),
+        lambda i: ("set_fft_window_type", [
+            rng.choice(["hamming", "blackman", "nonsense_window"])]),
+        lambda i: ("set_downscaling", [int(rng.integers(-3, 40))]),
+        lambda i: ("set_selected_pixel",
+                   [int(rng.integers(-5, 40)), int(rng.integers(-5, 40))]),
+        lambda i: ("set_filter_active", [
+            rng.choice(["frequency_band_pass", "water_notch", "no_such"]),
+            bool(rng.integers(0, 2))]),
+        lambda i: ("set_filter_param", [
+            "frequency_band_pass",
+            rng.choice(["low", "high", "bogus"]), rf(-10, 50)]),
+        lambda i: ("add_roi", [f"fz-{i}", f"r{i}",
+                   [[int(rng.integers(-2, 30)), int(rng.integers(-2, 30))]
+                    for _ in range(int(rng.integers(0, 6)))]]),
+        lambda i: ("update_roi", [f"fz-{int(rng.integers(0, max(i, 1)))}",
+                   [[1, 1], [5, 1], [5, 5]]]),
+        lambda i: ("delete_roi", [f"fz-{int(rng.integers(0, max(i, 1)))}"]),
+        lambda i: ("set_reference", [
+            rng.choice(["Min ROI", "fz-0", "gone"])]),
+        lambda i: ("set_material_thickness", [rf(-1, 9)]),
+        lambda i: ("set_3d_contrast", [rf(-2, 8)]),
+        lambda i: ("set_opacity_threshold", [rf(-1, 2)]),
+        lambda i: ("set_kernel_radius", [int(rng.integers(-2, 30))]),
+        lambda i: ("set_metadata_field", ["user", "fuzz"]),
+        lambda i: ("open_file", ["/nonexistent/path.thzimg"]),
+        lambda i: ("open_sibling", [int(rng.integers(-2, 5))]),
+    ]
+    rejected = 0
+    for i in range(120):
+        method, args = pool[int(rng.integers(0, len(pool)))](i)
+        try:
+            app.command(method, args, {})
+        except Exception:  # noqa: BLE001 — the HTTP layer maps this to 400
+            rejected += 1
+        if i % 15 == 14:
+            s = app.state()
+            json.dumps(s)  # never a half-built snapshot
+    assert app.worker.join_idle(300), "worker wedged"
+    s = app.state()
+    json.dumps(s)
+    assert s.get("image_shape"), "state lost the scan"
+    img = app.worker.explorer.image
+    assert img is not None and np.isfinite(np.asarray(img)).all()
