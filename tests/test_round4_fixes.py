@@ -390,3 +390,27 @@ def test_serve_enqueues_background_warmup(tmp_path, monkeypatch):
     except KeyboardInterrupt:
         pass
     assert sent == ["open_file"]
+
+
+def test_idle_refresh_never_reverts_apply(tmp_path):
+    """The shadow pass is timings-only: after a fused run leaves stale
+    markers and an Apply deconvolves the cube, the idle refresh (which
+    skips deconvolution) must leave every published slot byte-identical —
+    it must NOT rebuild the output without the deconvolution."""
+    t, raw = synthetic_scan(width=16, height=16, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    ex.open_psf("/root/reference/sample_data/psf.npz")
+    p = ex.pipeline
+    f = p.filters["deconvolution"]
+    f.active = True
+    f.params.n_iterations, f.params.n_filters = 4, 3
+    ex.set_fft_window_low(1.2)  # fused interactive run -> stale markers
+    ex.update_filter("deconvolution", force=True)  # Apply
+    out_applied = np.asarray(p.output.data).copy()
+    img_applied = np.asarray(ex.image).copy()
+    p.timings_stale.add("fft")  # whatever Apply's range didn't cover
+    assert p.refresh_stage_timings() is True
+    np.testing.assert_array_equal(np.asarray(p.output.data), out_applied)
+    np.testing.assert_array_equal(np.asarray(ex.image), img_applied)

@@ -505,17 +505,22 @@ class Pipeline:
                     out = stage.apply(inp, ctx)
                 else:
                     out = inp  # identity pass-through (cubes are immutable)
-            if self.record_timings and out is not inp:
+            if self.record_timings:
                 # identity pass-throughs (inactive filter, suppressed
-                # deconvolution) keep their last real ms AND their stale
-                # marker in both modes — a blocking shadow pass must not
-                # overwrite e.g. the deconvolution's 50 ms with the ~20 us
-                # the skip took (filter.rs:607-621 never times a skip)
+                # deconvolution) keep their last real ms in both modes —
+                # a pass must not overwrite e.g. the deconvolution's
+                # 50 ms with the ~20 us the skip took (filter.rs:607-621
+                # never times a skip). A BLOCKING pass (Apply /
+                # Calculate-All) still clears their stale marker: the
+                # skip is that pass's up-to-date answer, and leaving
+                # markers behind would schedule a pointless idle refresh
+                # right after an Apply.
                 if block_timings:
-                    jax.block_until_ready(out.data)
-                    self.timings[name] = _time.perf_counter() - t_start
+                    if out is not inp:
+                        jax.block_until_ready(out.data)
+                        self.timings[name] = _time.perf_counter() - t_start
                     self.timings_stale.discard(name)
-                else:  # keep last ms until the async probe completes
+                elif out is not inp:  # keep last ms + stale until probed
                     self.timings_stale.discard(name)
                     self._timer.record(name, out.data)
             if out.n_time != inp.n_time and name != "initial":
@@ -935,6 +940,15 @@ class Pipeline:
         key = ("shadow", self.input.data.shape, self.input.time.shape)
         if key not in self._dispatched:
             self.phase = "compiling"
+        # the pass is for TIMINGS ONLY: snapshot and restore every piece
+        # of pipeline state `_run_stages` touches, so a refresh can never
+        # alter what the app publishes — in particular it must not replace
+        # a deconvolved final slot with a run_deconvolution=False rebuild
+        # (an Apply's result would silently revert ~100 ms later).
+        saved_slots = list(self.slots)
+        saved_host_time = dict(self._host_time)
+        saved_lean = self._lean_plan
+        saved_pub = self._pub_out
         try:
             # async per-stage probes + one drain: the whole pass costs
             # ~(chain device time + one tunnel RTT), where a blocking
@@ -946,6 +960,10 @@ class Pipeline:
             )
             self._timer.drain()
         finally:
+            self.slots[:] = saved_slots
+            self._host_time = saved_host_time
+            self._lean_plan = saved_lean
+            self._pub_out = saved_pub
             self._dispatched.add(key)
             self.phase = None
         self.timings_stale.clear()

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
+import time as _time
 from collections import deque
 from typing import Any, Callable, Optional
 
@@ -198,6 +199,9 @@ class ExplorerWorker:
         # "queue empty -> idle" decision, so join_idle can never observe
         # idle while a command is mid-enqueue.
         self._idle_lock = threading.Lock()
+        #: monotonic time of the last mutating send(); the idle
+        #: housekeeping quiet period is measured from here
+        self._last_send = 0.0
         self._thread.start()
 
     def send(self, method: str, *args, **kwargs):
@@ -207,6 +211,11 @@ class ExplorerWorker:
         split (``config.rs:41-51`` vs ``:296-299``)."""
         with self._idle_lock:
             self._idle.clear()
+            # mutations (not call() reads) restart the idle-housekeeping
+            # quiet period: the debounce must track user interaction
+            # cadence, and a UI polling state via call() must not starve
+            # the timing refresh forever
+            self._last_send = _time.monotonic()
             self.queue.put((method, args, kwargs), key=coalesce_key(method, args))
 
     def call(self, fn: Callable[[Explorer], Any], *, timeout: float = 2.0):
@@ -258,21 +267,30 @@ class ExplorerWorker:
         self.queue.close()
         self._thread.join(timeout=5)
 
+    #: idle housekeeping quiet period: no mutating command for this long
+    #: before the shadow timing refresh may run. Chosen above human
+    #: click-stepping cadence (~200-500 ms between discrete slider
+    #: clicks) so a user stepping a slider never pays a shadow chain
+    #: pass between clicks — only after they stop.
+    IDLE_QUIET_S = 0.5
+
     def _run(self):
         while not self._stop.is_set():
             cmd = self.queue.take(timeout=0.1)
             if cmd is None:
+                if self._stop.is_set():
+                    continue  # close() woke the take(): exit, never start
+                    # device work the 5 s join could not outwait
                 if not self._idle.is_set() and self.queue.empty():
-                    # the queue has stayed empty for a full poll interval
-                    # since the last command — the burst has genuinely
-                    # settled. Idle housekeeping (per-stage timing
-                    # refresh) runs HERE, debounced, not straight after
-                    # every discrete command: a user stepping a slider
-                    # click-by-click must not pay a shadow chain pass per
-                    # click. It runs BEFORE idle is signalled so
-                    # join_idle observers see fresh timings, and outside
-                    # the idle lock — it dispatches device work and must
-                    # not block send().
+                    if _time.monotonic() - self._last_send < self.IDLE_QUIET_S:
+                        continue  # user may still be interacting: idle
+                        # (and housekeeping) wait for the quiet period
+                    # the burst has genuinely settled. Idle housekeeping
+                    # (per-stage timing refresh) runs HERE, debounced,
+                    # not straight after every discrete command. It runs
+                    # BEFORE idle is signalled so join_idle observers see
+                    # fresh timings, and outside the idle lock — it
+                    # dispatches device work and must not block send().
                     try:
                         on_idle = getattr(self.explorer, "on_idle", None)
                         if on_idle is not None:

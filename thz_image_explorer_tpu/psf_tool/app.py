@@ -126,9 +126,18 @@ def _fit_axis(
     filtered_x_avg = average_pair(
         fits_l.filtered_traces_x, fits_r.filtered_traces_x
     )
-    filtered_y_avg = average_pair(
-        fits_l.filtered_traces_y, fits_r.filtered_traces_y
-    )
+    if (
+        fits_l.filtered_traces_y is fits_l.filtered_traces_x
+        and fits_r.filtered_traces_y is fits_r.filtered_traces_x
+    ):
+        # fit_beam_widths dedupes identical x/y traces into ONE shared
+        # cube (fitting.py); mirror that here instead of dispatching a
+        # second full-cube average of the same operands
+        filtered_y_avg = filtered_x_avg
+    else:
+        filtered_y_avg = average_pair(
+            fits_l.filtered_traces_y, fits_r.filtered_traces_y
+        )
 
     beam_fits = BeamWidthFits(
         popt_xs=popt_avg.copy(),
@@ -281,6 +290,8 @@ class PsfToolApp:
         self._run_id = 0
         self._cancel = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._threads: list[threading.Thread] = []  # every live run
+        self._start_lock = threading.Lock()
         self._atexit_registered = False
         self._lock = threading.Lock()
         self._last_params_hash: Optional[int] = None
@@ -330,33 +341,45 @@ class PsfToolApp:
             pass
 
     def start_computation(self):
-        """Cancel any in-flight run and start a new one."""
+        """Cancel any in-flight run and start a new one. Serialized under
+        a lock: concurrent HTTP recompute requests (ThreadingHTTPServer
+        runs each on its own thread) must not interleave the
+        cancel / run_id bump / thread swap."""
         self.save_state()
-        self.cancel()
-        self._cancel = threading.Event()
-        self._run_id += 1
-        run_id = self._run_id
-        cancel = self._cancel
-        if not self._atexit_registered:
-            # a daemon compute thread parked in native device code at
-            # interpreter exit hangs teardown (observed: process stuck
-            # after main returned, `<no Python frame>`); cancel + brief
-            # join before the runtime is torn down — same pattern as the
-            # executor's _AsyncStageTimer
-            import atexit
+        with self._start_lock:
+            self.cancel()
+            self._cancel = threading.Event()
+            self._run_id += 1
+            run_id = self._run_id
+            cancel = self._cancel
+            if not self._atexit_registered:
+                # a daemon compute thread parked in native device code at
+                # interpreter exit hangs teardown (observed: process stuck
+                # after main returned, `<no Python frame>`); cancel + brief
+                # join before the runtime is torn down — same pattern as
+                # the executor's _AsyncStageTimer
+                import atexit
 
-            atexit.register(self._shutdown)
-            self._atexit_registered = True
-        self._thread = threading.Thread(
-            target=self._compute, args=(run_id, cancel), daemon=True
-        )
-        self._thread.start()
+                atexit.register(self._shutdown)
+                self._atexit_registered = True
+            self._threads = [t for t in self._threads if t.is_alive()]
+            self._thread = threading.Thread(
+                target=self._compute, args=(run_id, cancel), daemon=True
+            )
+            self._threads.append(self._thread)
+            self._thread.start()
 
     def _shutdown(self):
+        """Cancel and join EVERY live compute thread — not just the
+        latest: a superseded run can still be inside a device call when
+        the next one starts, and any of them parked in native code at
+        interpreter exit hangs teardown."""
         self.cancel()
-        t = self._thread
-        if t is not None and t.is_alive():
-            t.join(timeout=5.0)
+        with self._start_lock:
+            threads = list(self._threads)
+        for t in threads:
+            if t.is_alive():
+                t.join(timeout=5.0)
 
     def cancel(self):
         self._cancel.set()
