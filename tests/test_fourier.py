@@ -103,3 +103,44 @@ def test_unwrap_matmul_cumsum_matches_numpy(monkeypatch):
     got = np.asarray(unwrap(jnp.asarray(wrapped)))
     expected = np.unwrap(wrapped.astype(np.float64), axis=-1)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_phase_increments_commute_with_reductions():
+    """The lean encoding's contract: cumsum(increments) == unwrap, and
+    because cumsum is linear it commutes with pixel means / masked means
+    / slices — reduce-then-finish equals unwrap-then-reduce (the fused
+    lean program relies on this, ops/fourier.phase_increments)."""
+    from thz_image_explorer_tpu.ops.fourier import (
+        finish_unwrap,
+        phase_increments,
+        unwrap,
+    )
+
+    rng = np.random.default_rng(3)
+    # phases with genuine wraps: random walk pushed past +-pi repeatedly
+    phase = np.float32(rng.uniform(-np.pi, np.pi, (7, 5, 33)))
+    inc = np.asarray(phase_increments(jnp.asarray(phase)))
+    unw = np.asarray(unwrap(jnp.asarray(phase)))
+
+    # 1) cumsum of increments IS the unwrap
+    np.testing.assert_allclose(np.cumsum(inc, axis=-1), unw, atol=1e-5)
+    # 2) mean over pixels commutes
+    np.testing.assert_allclose(
+        np.asarray(finish_unwrap(jnp.asarray(inc.mean(axis=(0, 1))))),
+        unw.mean(axis=(0, 1)),
+        atol=1e-5,
+    )
+    # 3) weighted (masked) mean commutes
+    w = np.float32(rng.uniform(0, 1, (7, 5)) > 0.5)
+    wsum = max(w.sum(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(finish_unwrap(
+            jnp.asarray((inc * w[..., None]).sum(axis=(0, 1)) / wsum))),
+        (unw * w[..., None]).sum(axis=(0, 1)) / wsum,
+        atol=1e-5,
+    )
+    # 4) pixel slice commutes
+    np.testing.assert_allclose(
+        np.asarray(finish_unwrap(jnp.asarray(inc[3, 2]))),
+        unw[3, 2], atol=1e-5,
+    )

@@ -90,6 +90,35 @@ def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     return out[..., :n]
 
 
+def phase_increments(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """The cumsum-free unwrap representation: ``[phi_0, wrapped diffs]``
+    along ``axis`` (same shape as the input), such that an inclusive
+    cumsum reproduces :func:`unwrap` exactly.
+
+    The point (round-4 perf): the cumsum is LINEAR, so it commutes with
+    every reduction the lean publisher takes (pixel means, ROI masked
+    means, pixel slices). The fused lean program therefore carries this
+    elementwise-only encoding through the chain — the FD filters never
+    touch phases — reduces it, and finishes tiny ``(F,)``/``(R, F)``
+    cumsums, instead of paying the cube-wide (N, F) cumsum matmul plus
+    a ~164 MB phase-cube materialization per update.
+    """
+    phase = jnp.moveaxis(phase, axis, -1)
+    d = phase[..., 1:] - phase[..., :-1]
+    two_pi = jnp.asarray(2.0 * jnp.pi, phase.dtype)
+    d_adj = d - two_pi * (d > jnp.pi) + two_pi * (d < -jnp.pi)
+    out = jnp.concatenate([phase[..., :1], d_adj], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def finish_unwrap(increments: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Inclusive cumsum turning (reduced) :func:`phase_increments` back
+    into true unwrapped phases. Meant for small post-reduction arrays —
+    plain ``jnp.cumsum`` (VPU) is the right tool there; the cube-sized
+    path uses the blocked matmul inside :func:`unwrap`."""
+    return jnp.cumsum(increments, axis=axis)
+
+
 def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """numpy-compatible 1-D phase unwrap with period 2π.
 
@@ -107,24 +136,37 @@ def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
-@partial(jax.jit, static_argnames=("window_type",))
+@partial(jax.jit, static_argnames=("window_type", "lean_phases"))
 def forward_fft(
     cube: ScanCube,
     window_type: WindowType,
     window_low,
     window_high,
+    *,
+    lean_phases: bool = False,
 ) -> ScanCube:
     """Window + batched real FFT + amplitude / unwrapped phase.
 
     Equivalent of ``fft()`` (``math_tools.rs:330-398``) over all pixels at
     once. ``window_low``/``window_high`` are traced scalars (ps) used only by
     the adapted Blackman window.
+
+    ``lean_phases=True`` (fused lean programs only) stores the
+    :func:`phase_increments` encoding in the ``phases`` leaf instead of
+    the unwrapped phases: the publisher reduces increments and finishes
+    tiny cumsums (:func:`finish_unwrap`), mathematically identical to
+    reducing the unwrap (cumsum is linear) but without the cube-wide
+    cumsum matmul or the materialized phase cube. No chain stage between
+    the FFT and the publisher reads phases (FD filters leave them
+    untouched, ``band_pass_fd.rs``), so the encoding is an internal
+    contract of the lean program.
     """
     w = window_array(cube.time, window_type, window_low, window_high)
     data = cube.data * w.astype(cube.data.dtype)
     spec = _rfft(data).astype(jnp.complex64)
     amplitudes = jnp.abs(spec)
-    phases = unwrap(jnp.angle(spec))
+    ang = jnp.angle(spec)
+    phases = phase_increments(ang) if lean_phases else unwrap(ang)
     return cube.replace(
         data=data,
         fft=spec,
@@ -133,8 +175,9 @@ def forward_fft(
     )
 
 
-@partial(jax.jit, static_argnames=("avg_in_fourier_space",))
-def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
+@partial(jax.jit, static_argnames=("avg_in_fourier_space", "phases_encoded"))
+def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
+                phases_encoded: bool = False) -> ScanCube:
     """Batched inverse FFT plus pixel-mean spectra.
 
     Equivalent of ``ifft()`` (``math_tools.rs:418-571``) minus the ROI
@@ -160,7 +203,11 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False) -> ScanCube:
 
     avg_data = cube.avg_data
     if avg_in_fourier_space:
-        spectrum = avg_signal_fft * jnp.exp(1j * avg_phase_fft)
+        # with the lean increments encoding the MEAN stays encoded (the
+        # publisher finishes it); the polar reconstruction needs the true
+        # unwrapped mean phase here
+        ph = finish_unwrap(avg_phase_fft) if phases_encoded else avg_phase_fft
+        spectrum = avg_signal_fft * jnp.exp(1j * ph)
         avg_data = _irfft(spectrum, n_time)
 
     data = _irfft(cube.fft, n_time)

@@ -45,6 +45,10 @@ class StepConfig(NamedTuple):
     notch_active: bool = False
     td_after_active: bool = False
     avg_in_fourier_space: bool = False
+    #: lean programs only: carry ops/fourier.phase_increments through the
+    #: chain and finish tiny cumsums after the publish reductions instead
+    #: of materializing the cube-wide unwrap (lean_update sets this)
+    lean_phases: bool = False
 
 
 @_pytree_dataclass
@@ -122,7 +126,8 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
                 params.td_before_width,
             )
         )
-    cube = forward_fft(cube, cfg.window_type, params.window_low, params.window_high)
+    cube = forward_fft(cube, cfg.window_type, params.window_low,
+                       params.window_high, lean_phases=cfg.lean_phases)
     if cfg.fd_active:
         fft, amps = bp.fd_bandpass(
             cube.fft, cube.amplitudes, cube.freq,
@@ -135,7 +140,8 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
             params.water_lines, params.notch_width, params.notch_depth,
         )
         cube = cube.replace(fft=fft, amplitudes=amps)
-    cube = inverse_fft(cube, cfg.avg_in_fourier_space)
+    cube = inverse_fft(cube, cfg.avg_in_fourier_space,
+                       phases_encoded=cfg.lean_phases)
     if cfg.td_after_active:
         cube = cube.replace(
             data=bp.td_bandpass(
@@ -167,9 +173,22 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
     published slices/means/ROI reductions. The spectral cubes
     (fft/amplitudes/phases, ~330 MB at the bench shape) become XLA
     temporaries instead of HBM outputs. Mirrors the executor's merged
-    lean program (pipeline/executor.py) on the benchmark seam."""
+    lean program (pipeline/executor.py) on the benchmark seam.
+
+    Phases ride the increments encoding (``cfg.lean_phases`` is forced
+    on): the cube-wide unwrap cumsum disappears and the published phase
+    vectors are finished with tiny cumsums after the reductions —
+    mathematically identical (cumsum is linear), see
+    ``ops/fourier.phase_increments``."""
+    import os
+
     from thz_image_explorer_tpu.data import masked_pixel_mean
+    from thz_image_explorer_tpu.ops.fourier import finish_unwrap
     from thz_image_explorer_tpu.ops.roi import masked_mean_stack
+
+    enc = os.environ.get("THZ_LEAN_PHASES", "1") != "0"
+    cfg = cfg._replace(lean_phases=enc)
+    fin = finish_unwrap if enc else (lambda x: x)
 
     c, img = _step(cube, params, cfg)
     return dict(
@@ -177,12 +196,12 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
         img=img,
         avg_fft=c.avg_fft,
         avg_amp=c.avg_signal_fft,
-        avg_ph=c.avg_phase_fft,
+        avg_ph=fin(c.avg_phase_fft),
         avg_signal=masked_pixel_mean(c.data, c.valid_wh),
         roi_amp=masked_mean_stack(c.amplitudes, masks),
-        roi_ph=masked_mean_stack(c.phases, masks),
+        roi_ph=fin(masked_mean_stack(c.phases, masks)),
         roi_trace=masked_mean_stack(c.data, masks),
         pix_sig=c.data[pix[0], pix[1]],
         pix_amp=c.amplitudes[pix[0], pix[1]],
-        pix_ph=c.phases[pix[0], pix[1]],
+        pix_ph=fin(c.phases[pix[0], pix[1]]),
     )

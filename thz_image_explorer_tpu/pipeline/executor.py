@@ -26,6 +26,7 @@ Contracts preserved:
 from __future__ import annotations
 
 import logging
+import os
 import queue as _queue
 import threading
 import time as _time
@@ -256,8 +257,6 @@ class Pipeline:
         *,
         record_timings: bool = True,
     ):
-        import os
-
         self.filters: dict[str, FilterStage] = (
             filters if filters is not None else instantiate_filters()
         )
@@ -816,6 +815,14 @@ class Pipeline:
         sliced/reduced publish outputs, so the full rawfd cubes are not
         materialized either."""
         filters = self.filters
+        # lean programs carry the phase-increments encoding (cumsum moved
+        # past the publish reductions — ops/fourier.phase_increments);
+        # THZ_LEAN_PHASES=0 restores the cube-wide unwrap inside the lean
+        # program for A/B measurement
+        enc = (
+            lean
+            and os.environ.get("THZ_LEAN_PHASES", "1") != "0"
+        )
 
         def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
@@ -826,9 +833,10 @@ class Pipeline:
                 if name == "scaling":
                     cube = scale_cube(cube, scale)
                 elif name == "fft":
-                    cube = forward_fft(cube, window_type, window_low, window_high)
+                    cube = forward_fft(cube, window_type, window_low,
+                                       window_high, lean_phases=enc)
                 elif name == "ifft":
-                    cube = inverse_fft(cube, avg_flag)
+                    cube = inverse_fft(cube, avg_flag, phases_encoded=enc)
                 elif active:
                     cube = filters[name].fused_apply(
                         cube, stage_params[name], static
@@ -862,6 +870,7 @@ class Pipeline:
                 pub["gxy"],
                 pub,
                 avg_fourier=avg_flag,
+                phases_encoded=enc,
             )
             lean_final = final.replace(
                 fft=None, amplitudes=None, phases=None

@@ -145,6 +145,7 @@ def compute_publish_traced(
     opt,  # dict of TRACED optical selectors (see lean_publish_inputs)
     *,
     avg_fourier: bool,
+    phases_encoded: bool = False,
 ):
     """The publish reductions as a traced function over in-program chain
     values — the leaf-level sparse-materialization core (round-4 task 1):
@@ -156,11 +157,23 @@ def compute_publish_traced(
     slots), the optical reference/sample selectors are TRACED int codes
     (0=none/zeros, 1=roi, 2=pseudo, 3=selected-pixel) — changing the
     optical selection must not recompile the whole chain program.
+
+    ``phases_encoded``: the chain ran ``forward_fft(lean_phases=True)``,
+    so every phase cube/mean carries :func:`phase_increments` — the
+    reductions below are followed by a tiny ``finish_unwrap`` cumsum
+    BEFORE any nonlinear consumer (polar reconstruction, optical
+    properties). Cumsum is linear, so reduce-then-cumsum equals the
+    exact path's cumsum-then-reduce.
     """
+    from thz_image_explorer_tpu.ops.fourier import finish_unwrap
+
+    def fin(x):
+        return finish_unwrap(x) if phases_encoded else x
+
     n_time = final.data.shape[-1]
     f_amp, f_ph = final.amplitudes, final.phases
     roi_amp = masked_mean_stack(f_amp, masks)
-    roi_ph = masked_mean_stack(f_ph, masks)
+    roi_ph = fin(masked_mean_stack(f_ph, masks))
     if avg_fourier:
         spec_ri = jnp.stack(
             [roi_amp * jnp.cos(roi_ph), roi_amp * jnp.sin(roi_ph)]
@@ -179,7 +192,7 @@ def compute_publish_traced(
         image = intensity_image(final.data)
 
     pix_amp = f_amp[gxy[0], gxy[1]]
-    pix_ph = f_ph[gxy[0], gxy[1]]
+    pix_ph = fin(f_ph[gxy[0], gxy[1]])
 
     out = dict(
         time=raw_time,
@@ -188,13 +201,13 @@ def compute_publish_traced(
         filtered_frequencies=final.freq,
         signal=raw_data[rxy[0], rxy[1]],
         signal_fft=rf_amp[fxy[0], fxy[1]],
-        phase_fft=rf_ph[fxy[0], fxy[1]],
+        phase_fft=fin(rf_ph[fxy[0], fxy[1]]),
         filtered_signal=final.data[gxy[0], gxy[1]],
         filtered_signal_fft=pix_amp,
         filtered_phase_fft=pix_ph,
         avg_signal=avg_signal,
         avg_signal_fft=final.avg_signal_fft,
-        avg_phase_fft=final.avg_phase_fft,
+        avg_phase_fft=fin(final.avg_phase_fft),
         roi_amp=roi_amp,
         roi_ph=roi_ph,
         roi_trace=roi_trace,
