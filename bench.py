@@ -75,8 +75,8 @@ def bench_tpu(t, data):
         out = lean_update(cube, p, cfg, masks, pix)
         # On remote-tunnelled devices block_until_ready can return at
         # enqueue time; a scalar device->host read is the only reliable
-        # completion barrier. (Jitted sum: eager ops are unsupported on
-        # the axon backend.)
+        # completion barrier. (Jitted sum: an eager sum on axon pays a
+        # remote per-primitive compile, ~370 ms+ cold.)
         return float(_sum(out["img"])), out
 
     # warmup / compile

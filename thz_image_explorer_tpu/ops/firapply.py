@@ -81,9 +81,9 @@ def _fir_intensity_program(flat, g_blks, *, ntaps, shift, block, n_time):
     themselves (B, P, T ≈ 24 MB) are only read back lazily for the
     individual-fits plot. Computing the reduction in-program lets the
     host fetch the tiny array and leave the cube on device: the previous
-    eager d2h of the full cube cost ~850 ms per call on the ~28 MB/s
-    tunnelled link (``scripts/profile_psf.py`` full_d2h_ms; also the
-    bench psf_tool note).
+    full-cube d2h costs ~850-1010 ms per call on the ~28 MB/s
+    tunnelled link (``scripts/profile_psf.py`` full_d2h_ms, measured
+    1007 ms 2026-08-17; also the bench psf_tool note).
     """
     xw = window_input(flat, ntaps, shift, block)
     filt = _apply_bands(xw, g_blks, n_time=n_time)
@@ -102,9 +102,11 @@ _G_CACHE: dict = {}
 
 def _g_blks_device(flipped: np.ndarray, block: int):
     """Device-resident block matrices for a (flipped) tap bank, LRU-cached:
-    rebuilding + re-uploading the ~15 MB constant cost ~220 ms per call on
-    the tunnelled link while the bank is identical across the PSF tool's
-    left/right × x/y fit calls (``scripts/profile_psf.py``)."""
+    rebuilding + re-uploading the ~15 MB constant costs ~150-220 ms per
+    call on the tunnelled link (``scripts/profile_psf.py``
+    gblks_rebuild_ms, measured 147 ms vs 0.0 cached, 2026-08-17) while
+    the bank is identical across the PSF tool's left/right × x/y fit
+    calls."""
     key = (flipped.tobytes(), flipped.shape, block)
     hit = _G_CACHE.pop(key, None)
     if hit is not None:
@@ -120,10 +122,11 @@ def _g_blks_device(flipped: np.ndarray, block: int):
 @jax.jit
 def average_pair(a, b):
     """``(a + b) / 2`` as ONE compiled program. The PSF tool averages the
-    left/right halves' (B, P, T) filtered cubes on device; written
-    eagerly this is unsupported on the axon backend (eager ops fail —
-    see ``bench.py`` run_once note) and on any backend it would dispatch
-    three separate full-cube ops."""
+    left/right halves' (B, P, T) filtered cubes on device; eager ops on
+    the axon backend each pay a remote per-primitive compile (a trivial
+    eager add measured ~850 ms cold — ``scripts/profile_psf.py`` probe,
+    2026-08-17), and on any backend the eager form dispatches three
+    separate full-cube ops."""
     return (a + b) * 0.5
 
 
@@ -131,8 +134,9 @@ def average_pair(a, b):
 def take_band(cube, i):
     """``cube[i]`` as a compiled dynamic-slice program: fetch ONE band
     (~1 MB) of a device-resident (B, P, T) cube without an eager slice
-    (unsupported on the axon backend) or a full-cube transfer. ``i`` is
-    traced, so every band shares one compile."""
+    (~835 ms cold on axon — remote per-primitive compile) or a
+    full-cube transfer. ``i`` is traced, so every band shares one
+    compile."""
     return cube[i]
 
 

@@ -604,9 +604,9 @@ class WebApp:
         fits = ax.beam_fits
         band = int(np.clip(band, 0, fits.popt_xs.shape[0] - 1))
         # filtered traces may live on device (lazy fetch): slice the one
-        # requested band with a compiled dynamic-slice (eager indexing is
-        # unsupported on the axon backend), transfer ~1 MB instead of the
-        # whole (B,P,T) cube
+        # requested band with a compiled dynamic-slice (an eager slice on
+        # axon pays a ~835 ms remote per-primitive compile), transfer
+        # ~1 MB instead of the whole (B,P,T) cube
         import jax
 
         tx = fits.filtered_traces_x
