@@ -117,7 +117,9 @@ def bench_tpu(t, data):
     # path just wrote)
     chain_flops = chain_bytes = None
     try:
-        ca = lean_update.lower(
+        from thz_image_explorer_tpu.parallel.step import lean_update_lowered
+
+        ca = lean_update_lowered(
             cube, params, cfg, masks, pix
         ).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):

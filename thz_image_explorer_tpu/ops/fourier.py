@@ -93,7 +93,8 @@ def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
 def phase_increments(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """The cumsum-free unwrap representation: ``[phi_0, wrapped diffs]``
     along ``axis`` (same shape as the input), such that an inclusive
-    cumsum reproduces :func:`unwrap` exactly.
+    cumsum reproduces :func:`unwrap` — and hence the reference's
+    sequential unwrap loop (``math_tools.rs:226-238``) — exactly.
 
     The point (round-4 perf): the cumsum is LINEAR, so it commutes with
     every reduction the lean publisher takes (pixel means, ROI masked
@@ -113,9 +114,10 @@ def phase_increments(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 def finish_unwrap(increments: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Inclusive cumsum turning (reduced) :func:`phase_increments` back
-    into true unwrapped phases. Meant for small post-reduction arrays —
-    plain ``jnp.cumsum`` (VPU) is the right tool there; the cube-sized
-    path uses the blocked matmul inside :func:`unwrap`."""
+    into true unwrapped phases (``math_tools.rs:226-238`` semantics).
+    Meant for small post-reduction arrays — plain ``jnp.cumsum`` (VPU)
+    is the right tool there; the cube-sized path uses the blocked matmul
+    inside :func:`unwrap`."""
     return jnp.cumsum(increments, axis=axis)
 
 

@@ -163,7 +163,12 @@ def interactive_update(cube: ScanCube, params: StepParams, cfg: StepConfig):
     return _step(cube, params, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _lean_phases_env() -> bool:
+    import os
+
+    return os.environ.get("THZ_LEAN_PHASES", "1") != "0"
+
+
 def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
                 masks, pix):
     """The PRODUCT-shaped update (round-4 leaf-level sparse
@@ -175,20 +180,33 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
     temporaries instead of HBM outputs. Mirrors the executor's merged
     lean program (pipeline/executor.py) on the benchmark seam.
 
-    Phases ride the increments encoding (``cfg.lean_phases`` is forced
-    on): the cube-wide unwrap cumsum disappears and the published phase
-    vectors are finished with tiny cumsums after the reductions —
-    mathematically identical (cumsum is linear), see
+    Phases ride the increments encoding (``THZ_LEAN_PHASES=0`` disables
+    for A/B timing — the env var is read HERE, outside the jit, so a
+    mid-process toggle selects a different compiled variant instead of
+    being frozen at first trace): the cube-wide unwrap cumsum disappears
+    and the published phase vectors are finished with tiny cumsums after
+    the reductions — mathematically identical (cumsum is linear), see
     ``ops/fourier.phase_increments``."""
-    import os
+    cfg = cfg._replace(lean_phases=_lean_phases_env())
+    return _lean_update_jit(cube, params, cfg, masks, pix)
 
+
+def lean_update_lowered(cube, params: StepParams, cfg: StepConfig,
+                        masks, pix):
+    """AOT ``.lower()`` of the exact program :func:`lean_update`
+    dispatches (same env-resolved cfg) — the bench cost-analysis seam."""
+    cfg = cfg._replace(lean_phases=_lean_phases_env())
+    return _lean_update_jit.lower(cube, params, cfg, masks, pix)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _lean_update_jit(cube: ScanCube, params: StepParams, cfg: StepConfig,
+                     masks, pix):
     from thz_image_explorer_tpu.data import masked_pixel_mean
     from thz_image_explorer_tpu.ops.fourier import finish_unwrap
     from thz_image_explorer_tpu.ops.roi import masked_mean_stack
 
-    enc = os.environ.get("THZ_LEAN_PHASES", "1") != "0"
-    cfg = cfg._replace(lean_phases=enc)
-    fin = finish_unwrap if enc else (lambda x: x)
+    fin = finish_unwrap if cfg.lean_phases else (lambda x: x)
 
     c, img = _step(cube, params, cfg)
     return dict(

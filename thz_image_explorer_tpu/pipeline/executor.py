@@ -271,6 +271,9 @@ class Pipeline:
         self.progress: dict[str, Optional[float]] = {
             uuid: None for uuid in self.filters
         }
+        #: True while refresh_stage_timings runs: progress setters no-op
+        #: (the shadow pass is timings-only, stage progress must not tick)
+        self._shadow_pass = False
         self.psf = None  # models.psf.PSF, set via ApplyPSF / OpenPSF
         self.cancelled: Callable[[], bool] = lambda: False
         #: interactive updates run the fused chain program (env kill
@@ -656,6 +659,10 @@ class Pipeline:
             and start <= self.fft_index
             and self._is_materialized(0)
         )
+        # phase-increments encoding: env read HERE (and part of the cache
+        # key), so toggling THZ_LEAN_PHASES mid-process selects the other
+        # compiled variant instead of silently reusing the cached one
+        enc = lean and os.environ.get("THZ_LEAN_PHASES", "1") != "0"
         key = (
             names,
             tuple(actives),
@@ -664,6 +671,7 @@ class Pipeline:
             int(s_eff),
             bool(cfg.avg_in_fourier_space),
             lean,
+            enc,
         )
         fn = self._fused_cache.get(key)
         if fn is None:
@@ -677,6 +685,7 @@ class Pipeline:
                 start,
                 rawfd_idx,
                 lean,
+                enc,
             )
             self._fused_cache[key] = fn
 
@@ -797,7 +806,7 @@ class Pipeline:
         return jax.device_get(self._pub_out)
 
     def _build_fused(self, names, actives, statics, window_type, scale,
-                     avg_flag, start, rawfd_idx, lean=False):
+                     avg_flag, start, rawfd_idx, lean=False, enc=False):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
         from the traced ``stage_params`` dict (stage.py protocol).
@@ -815,14 +824,10 @@ class Pipeline:
         sliced/reduced publish outputs, so the full rawfd cubes are not
         materialized either."""
         filters = self.filters
-        # lean programs carry the phase-increments encoding (cumsum moved
-        # past the publish reductions — ops/fourier.phase_increments);
-        # THZ_LEAN_PHASES=0 restores the cube-wide unwrap inside the lean
-        # program for A/B measurement
-        enc = (
-            lean
-            and os.environ.get("THZ_LEAN_PHASES", "1") != "0"
-        )
+        # ``enc``: lean programs carry the phase-increments encoding
+        # (cumsum moved past the publish reductions —
+        # ops/fourier.phase_increments); resolved by the CALLER from
+        # THZ_LEAN_PHASES and part of the fused-cache key
 
         def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
@@ -881,6 +886,10 @@ class Pipeline:
 
     def _progress_setter(self, uuid: str):
         def setter(value):
+            if self._shadow_pass:
+                # timings-only refresh: the UI must not see filters
+                # spuriously ticking 0->100% while the app sits idle
+                return
             self.progress[uuid] = value
 
         return setter
@@ -958,6 +967,7 @@ class Pipeline:
         saved_host_time = dict(self._host_time)
         saved_lean = self._lean_plan
         saved_pub = self._pub_out
+        self._shadow_pass = True
         try:
             # async per-stage probes + one drain: the whole pass costs
             # ~(chain device time + one tunnel RTT), where a blocking
@@ -969,6 +979,7 @@ class Pipeline:
             )
             self._timer.drain()
         finally:
+            self._shadow_pass = False
             self.slots[:] = saved_slots
             self._host_time = saved_host_time
             self._lean_plan = saved_lean

@@ -386,6 +386,14 @@ class Explorer:
             psf=self.pipeline.psf,
         )
 
+    def idle_housekeeping_pending(self) -> bool:
+        """Whether :meth:`on_idle` has real work: the worker only delays
+        the idle signal for the debounce quiet period when a refresh is
+        actually due — a burst of commands that left nothing stale must
+        not cost join_idle() an extra half second."""
+        p = self.pipeline
+        return bool(p.timings_stale) and p.record_timings and p.input is not None
+
     def on_idle(self):
         """Idle housekeeping, invoked by the worker when the command
         queue drains: refresh the per-stage ms the fused interactive

@@ -282,18 +282,28 @@ class ExplorerWorker:
                     continue  # close() woke the take(): exit, never start
                     # device work the 5 s join could not outwait
                 if not self._idle.is_set() and self.queue.empty():
-                    if _time.monotonic() - self._last_send < self.IDLE_QUIET_S:
-                        continue  # user may still be interacting: idle
-                        # (and housekeeping) wait for the quiet period
-                    # the burst has genuinely settled. Idle housekeeping
-                    # (per-stage timing refresh) runs HERE, debounced,
-                    # not straight after every discrete command. It runs
-                    # BEFORE idle is signalled so join_idle observers see
-                    # fresh timings, and outside the idle lock — it
-                    # dispatches device work and must not block send().
                     try:
                         on_idle = getattr(self.explorer, "on_idle", None)
-                        if on_idle is not None:
+                        probe = getattr(
+                            self.explorer, "idle_housekeeping_pending", None
+                        )
+                        needs = on_idle is not None and (
+                            probe() if probe is not None else True
+                        )
+                        if needs:
+                            if (_time.monotonic() - self._last_send
+                                    < self.IDLE_QUIET_S):
+                                # user may still be interacting: idle (and
+                                # the refresh) wait for the quiet period
+                                continue
+                            # the burst has genuinely settled. Idle
+                            # housekeeping (per-stage timing refresh) runs
+                            # HERE, debounced, BEFORE idle is signalled so
+                            # join_idle observers see fresh timings, and
+                            # outside the idle lock — it dispatches device
+                            # work and must not block send(). When nothing
+                            # is pending, idle is signalled immediately —
+                            # no quiet-period tax on fast commands.
                             on_idle()
                     except Exception:  # noqa: BLE001
                         import traceback

@@ -345,8 +345,8 @@ class PsfToolApp:
         a lock: concurrent HTTP recompute requests (ThreadingHTTPServer
         runs each on its own thread) must not interleave the
         cancel / run_id bump / thread swap."""
-        self.save_state()
         with self._start_lock:
+            self.save_state()
             self.cancel()
             self._cancel = threading.Event()
             self._run_id += 1
@@ -373,9 +373,12 @@ class PsfToolApp:
         """Cancel and join EVERY live compute thread — not just the
         latest: a superseded run can still be inside a device call when
         the next one starts, and any of them parked in native code at
-        interpreter exit hangs teardown."""
-        self.cancel()
+        interpreter exit hangs teardown. The cancel happens UNDER the
+        start lock, so a concurrent start_computation cannot swap in a
+        fresh _cancel event between our cancel and our join (which would
+        launch an uncancelled thread the join never waits out)."""
         with self._start_lock:
+            self.cancel()
             threads = list(self._threads)
         for t in threads:
             if t.is_alive():

@@ -14,11 +14,23 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 from thz_image_explorer_tpu.models.psf import PSF, CubicSplineCoeffs, HybridFit
+
+
+def _atomic_json_dump(obj, path: str):
+    """Write-temp + rename: concurrent savers (e.g. two HTTP threads
+    persisting PSF-tool state) can interleave plain ``open('w')`` writes
+    into truncated JSON; ``os.replace`` makes the last writer win with a
+    whole file either way."""
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
 
 
 def config_dir() -> str:
@@ -105,8 +117,7 @@ class Settings:
         d = dataclasses.asdict(self)
         d["psf"] = psf_to_json(self.psf) if self.psf is not None else None
         path = os.path.join(directory or config_dir(), self.FILE)
-        with open(path, "w") as f:
-            json.dump(d, f, indent=1)
+        _atomic_json_dump(d, path)
 
     @classmethod
     def load(cls, directory: Optional[str] = None) -> "Settings":
@@ -147,8 +158,7 @@ class PsfToolState:
 
     def save(self, directory: Optional[str] = None):
         path = os.path.join(directory or config_dir(), self.FILE)
-        with open(path, "w") as f:
-            json.dump(dataclasses.asdict(self), f, indent=1)
+        _atomic_json_dump(dataclasses.asdict(self), path)
 
     @classmethod
     def load(cls, directory: Optional[str] = None) -> "PsfToolState":
