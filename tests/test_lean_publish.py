@@ -230,3 +230,35 @@ def test_bench_lean_update_matches_full_step():
         np.asarray(full.data).mean(axis=(0, 1)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_lean_phases_toggle_equivalent(monkeypatch):
+    """THZ_LEAN_PHASES=0 (cube-wide unwrap inside the lean program) and
+    =1 (phase-increments encoding, cumsum after the reductions) must
+    publish identical phase values — the env var is an A/B switch for
+    timing, never for results; it is resolved per call, so a mid-process
+    toggle really selects the other variant."""
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig, StepParams, lean_update,
+    )
+
+    t, cube_np = synthetic_scan(width=10, height=8, n_time=64)
+    cube = make_cube(t, cube_np, dx=0.5, dy=0.5)
+    params = StepParams.defaults()
+    cfg = StepConfig(fd_active=True, notch_active=True)
+    masks = np.zeros((4, 10, 8), np.float32)
+    masks[0, 2:6, 2:6] = 1.0
+    pix = jnp.asarray([3, 4], jnp.int32)
+
+    monkeypatch.setenv("THZ_LEAN_PHASES", "1")
+    enc = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    monkeypatch.setenv("THZ_LEAN_PHASES", "0")
+    raw = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    for k in ("avg_ph", "roi_ph", "pix_ph", "img", "data"):
+        np.testing.assert_allclose(
+            np.asarray(enc[k]), np.asarray(raw[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
