@@ -1,0 +1,144 @@
+"""One-pass spectral-reduction kernel vs the XLA reduction path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from thz_image_explorer_tpu.ops.pallas_specred import (
+    _pick_block,
+    specred_supported,
+    spectral_reduction_sums,
+)
+
+
+def _oracle(c, s, masks):
+    amp = np.sqrt(c * c + s * s)
+    ang = np.arctan2(s, c)
+    d = ang[:, 1:] - ang[:, :-1]
+    w = d - 2 * np.pi * (d > np.pi) + 2 * np.pi * (d < -np.pi)
+    inc = np.concatenate([ang[:, :1], w], axis=1)
+    return (masks @ amp, masks @ inc, masks @ c, masks @ s)
+
+
+@pytest.mark.parametrize("n,f,m", [(64, 33, 1), (256, 513, 5), (80, 129, 3)])
+def test_specred_matches_oracle(n, f, m):
+    rng = np.random.default_rng(n + f)
+    c = np.float32(rng.standard_normal((n, f)))
+    s = np.float32(rng.standard_normal((n, f)))
+    masks = np.float32(rng.uniform(0, 1, (m, n)) > 0.4)
+    out = spectral_reduction_sums(
+        jnp.asarray(c), jnp.asarray(s), jnp.asarray(masks)
+    )
+    ref = _oracle(c, s, masks)
+    names = ["amp", "inc", "cos", "sin"]
+    for o, r, name in zip(out, ref, names):
+        np.testing.assert_allclose(
+            np.asarray(o), r, atol=2e-4, rtol=1e-5, err_msg=name
+        )
+
+
+def test_specred_inc_means_finish_to_unwrap_means():
+    """Row 0 (valid mask) inc sums, divided and cumsummed, equal the mean
+    of per-row unwrapped phases — the lean publisher's contract."""
+    from thz_image_explorer_tpu.ops.fourier import finish_unwrap, unwrap
+
+    rng = np.random.default_rng(0)
+    n, f = 64, 65
+    c = np.float32(rng.standard_normal((n, f)))
+    s = np.float32(rng.standard_normal((n, f)))
+    masks = np.ones((1, n), np.float32)
+    _, inc_sums, _, _ = spectral_reduction_sums(
+        jnp.asarray(c), jnp.asarray(s), jnp.asarray(masks)
+    )
+    mean_unwrap = np.asarray(
+        unwrap(jnp.asarray(np.arctan2(s, c)))
+    ).mean(axis=0)
+    got = np.asarray(finish_unwrap(jnp.asarray(inc_sums[0] / n)))
+    np.testing.assert_allclose(got, mean_unwrap, atol=1e-4)
+
+
+def test_pick_block_and_support():
+    assert _pick_block(40000, 513) is not None  # bench grid 200x200
+    assert _pick_block(43264, 513) is not None  # bucketed 208x208
+    b = _pick_block(43264, 513)
+    assert b % 8 == 0 and 43264 % b == 0
+    assert _pick_block(7, 513) is None  # no multiple-of-8 divisor
+    assert not specred_supported(40000, 513, 17, sharded=False)  # mask cap
+    assert not specred_supported(40000, 513, 5, sharded=True)
+
+
+def test_lean_update_specred_matches_xla_path(monkeypatch):
+    """lean_update with the one-pass kernel (forced via interpret) must
+    publish the same reductions as the XLA mask-matmul path — incl. with
+    the FD band-pass + notch active (the per-frequency masks factor out
+    of the sums) and on a bucket-padded grid."""
+    import jax.numpy as jnp
+
+    from make_sample import synthetic_scan
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig, StepParams, lean_update,
+    )
+
+    t, raw = synthetic_scan(width=10, height=8, n_time=64)
+    data = np.pad(np.asarray(raw, np.float32), ((0, 6), (0, 8), (0, 0)))
+    cube = make_cube(t, data, dx=0.5, dy=0.5, valid_wh=(10, 8))
+    params = StepParams.defaults()
+    cfg = StepConfig(fd_active=True, notch_active=True)
+    masks = np.zeros((4, 16, 16), np.float32)
+    masks[0, 2:6, 2:6] = 1.0
+    masks[1, 1:9, 1:7] = 1.0  # mask 2+ left empty: zero-count rule
+    pix = jnp.asarray([3, 4], jnp.int32)
+
+    monkeypatch.setenv("THZ_SPECRED", "0")
+    ref = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    monkeypatch.setenv("THZ_SPECRED", "1")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    got = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    for k in ("avg_fft", "avg_amp", "avg_ph", "roi_amp", "roi_ph",
+              "img", "data", "pix_ph", "pix_amp"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]),
+            atol=5e-5, rtol=1e-4, err_msg=k,
+        )
+
+
+def test_product_executor_specred_matches(monkeypatch, tmp_path):
+    """The PRODUCT lean program with the one-pass kernel publishes the
+    same plot values as the mask-matmul path — driven end-to-end through
+    the Explorer facade (fused run + lean publish), with ROIs, the FD
+    band-pass and the notch active."""
+    from make_sample import synthetic_scan, write_scan_thz
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    t, raw = synthetic_scan(width=18, height=14, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+
+    def drive():
+        ex = Explorer()
+        ex.open_file(path)
+        ex.set_filter_active("frequency_band_pass", True)
+        ex.set_filter_active("water_vapor_notch", True)
+        ex.add_roi("u1", "r1", [(1, 1), (8, 1), (8, 8)])
+        ex.set_selected_pixel(3, 4)
+        ex.set_fft_window_low(1.1)  # fused lean run
+        return ex.plot
+
+    monkeypatch.setenv("THZ_SPECRED", "0")
+    ref = drive()
+    monkeypatch.setenv("THZ_SPECRED", "1")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    got = drive()
+    for k in ("avg_signal_fft", "avg_phase_fft", "filtered_signal_fft",
+              "filtered_phase_fft", "signal_fft", "phase_fft"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, k)), np.asarray(getattr(ref, k)),
+            atol=5e-5, rtol=1e-4, err_msg=k,
+        )
+    (ga,) = [v for _, v in got.roi_signal_fft.items()] or [None]
+    (ra,) = [v for _, v in ref.roi_signal_fft.items()] or [None]
+    np.testing.assert_allclose(
+        np.asarray(ga[1]), np.asarray(ra[1]), atol=5e-5, rtol=1e-4,
+        err_msg="roi fft",
+    )

@@ -112,9 +112,15 @@ def fd_bandpass(fft, amplitudes, freq, low, high, window_width):
 @jax.jit
 def water_notch_weights(freq: jnp.ndarray, lines: jnp.ndarray, width, depth) -> jnp.ndarray:
     """Comb of Blackman-shaped notches of half-width ``width`` (THz) and
-    depth ``depth`` (1 = full suppression) at the given line frequencies."""
+    depth ``depth`` (1 = full suppression) at the given line frequencies.
+
+    ``depth`` is clamped to [0, 1], so the weights are an attenuation in
+    [0, 1] by construction — over-suppression flipping the spectrum's
+    sign is physically meaningless, and downstream amplitude math relies
+    on ``|spec * w| == |spec| * w`` (w >= 0)."""
     f = freq[None, :]
     centers = lines[:, None]
+    depth = jnp.clip(depth, 0.0, 1.0)
     in_notch = jnp.abs(f - centers) <= width
     bump = _blackman_value(f - (centers - width), 2.0 * width)
     notch = jnp.where(in_notch, 1.0 - depth * bump, 1.0)

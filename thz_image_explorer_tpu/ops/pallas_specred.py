@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: every spectral publish reduction in ONE pass.
+
+The lean interactive program consumes the filtered spectrum in four
+reduced forms (``math_tools.rs:421-440`` — mean complex spectrum, mean
+amplitude, mean unwrapped phase — plus the ROI masked means of
+``main.rs``'s polygon averaging): under plain XLA each of the amplitude
+and phase-increment reductions is a mask-stack matmul whose operand must
+be MATERIALIZED (an (N, F) f32 temp written to and re-read from HBM,
+~105 MB each at the bench shape), and the complex mean reads the
+spectrum again. This kernel fuses all of them into one pass over the
+spectrum's real/imag components: per row-block it computes ``amp =
+sqrt(c^2 + s^2)``, ``ang = atan2(s, c)`` and the wrapped phase
+increments (``ops/fourier.phase_increments`` semantics, i.e. the
+reference's unwrap loop ``math_tools.rs:226-238`` before its cumsum),
+then accumulates the masked row-sums of amp / increments / cos / sin for
+every mask in the stack. Nothing cube-sized is ever written.
+
+Mask convention: row 0 of ``masks`` is the VALID-region mask (the
+bucket-padding mask behind ``data.masked_pixel_mean``); rows 1.. are the
+ROI stack (``ops/roi.masked_mean_stack``). The caller divides by the
+mask counts (sums here, means outside).
+
+Numerics: all accumulation is f32 adds on the VPU (no bf16 matmul
+rounding — the masked sums feed optical-property phase differences);
+verified against the XLA path at <=1e-5 by ``tests/test_specred.py``.
+
+Dispatch rules (``spectral_reduction_sums`` refuses otherwise):
+unsharded arrays, a row-block that divides N (rows are multiples of 8 on
+bucketed grids), and a block x F working set that fits VMEM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: VMEM budget for the per-step working set (c, s, amp, ang, inc blocks
+#: plus slack) — conservative fraction of the 16 MB scoped limit.
+_VMEM_BUDGET = 8 * 1024 * 1024
+_TWO_PI = float(2.0 * np.pi)
+
+
+def _pick_block(n: int, f: int) -> int | None:
+    """Largest row-block B <= 1024 with B % 8 == 0 and B | n whose
+    ~6 f32 (B, F) working arrays fit the VMEM budget."""
+    cap = max(8, min(1024, _VMEM_BUDGET // max(1, 6 * f * 4)))
+    b = (cap // 8) * 8
+    while b >= 8:
+        if n % b == 0:
+            return b
+        b -= 8
+    return None
+
+
+def _kernel(c_ref, s_ref, m_ref, amp_ref, inc_ref, cos_ref, sin_ref, *,
+            n_masks: int):
+    i = pl.program_id(0)
+    c = c_ref[...]
+    s = s_ref[...]
+    amp = jnp.sqrt(c * c + s * s)
+    ang = jnp.arctan2(s, c)
+    # wrapped diffs along F: roll-by-one then fix lane 0 to ang itself
+    # (phase_increments: inc[0] = phi0, inc[k] = wrap(phi_k - phi_{k-1}))
+    sh = pltpu.roll(ang, shift=1, axis=1)
+    d = ang - sh
+    w = (
+        d
+        - jnp.float32(_TWO_PI) * (d > jnp.float32(np.pi))
+        + jnp.float32(_TWO_PI) * (d < jnp.float32(-np.pi))
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1)
+    inc = jnp.where(col == 0, ang, w)
+
+    @pl.when(i == 0)
+    def _init():
+        amp_ref[...] = jnp.zeros_like(amp_ref)
+        inc_ref[...] = jnp.zeros_like(inc_ref)
+        cos_ref[...] = jnp.zeros_like(cos_ref)
+        sin_ref[...] = jnp.zeros_like(sin_ref)
+
+    m = m_ref[...]  # (M, B) 0/1 f32
+    # unrolled VPU masked sums: exact f32 adds (a bf16 MXU dot here would
+    # round the very values the optical formulas difference)
+    for r in range(n_masks):
+        wr = m[r][:, None]
+        amp_ref[r, :] += jnp.sum(amp * wr, axis=0)
+        inc_ref[r, :] += jnp.sum(inc * wr, axis=0)
+        cos_ref[r, :] += jnp.sum(c * wr, axis=0)
+        sin_ref[r, :] += jnp.sum(s * wr, axis=0)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool):
+    n, f = spec_c.shape
+    m = masks.shape[0]
+    grid = (n // block,)
+    kern = partial(_kernel, n_masks=m)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, f), lambda i: (i, 0)),
+            pl.BlockSpec((block, f), lambda i: (i, 0)),
+            pl.BlockSpec((m, block), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, f), lambda i: (0, 0)),
+            pl.BlockSpec((m, f), lambda i: (0, 0)),
+            pl.BlockSpec((m, f), lambda i: (0, 0)),
+            pl.BlockSpec((m, f), lambda i: (0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m, f), jnp.float32)] * 4,
+        interpret=interpret,
+    )(spec_c, spec_s, masks)
+
+
+def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
+    """Host-side dispatch predicate (the kernel is single-device)."""
+    import os
+
+    if os.environ.get("THZ_SPECRED", "1") == "0":
+        return False
+    if sharded or n_masks > 16:
+        return False
+    if jax.default_backend() != "tpu" and (
+        os.environ.get("THZ_PALLAS_INTERPRET", "0") != "1"
+    ):
+        return False
+    return _pick_block(n, f) is not None
+
+
+def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh):
+    """The lean publisher's five spectral reductions from ONE kernel pass.
+
+    ``raw_fft``: (X, Y, F) complex64 RAW spectrum (post-window, pre-FD
+    filters — the reference's published phases are the raw spectrum's,
+    ``band_pass_fd.rs`` leaves phases untouched). ``wvec``: (F,) f32
+    product of the active per-frequency FD masks (band-pass x notch) —
+    being per-frequency it factors OUT of every pixel sum, so amplitude
+    and complex means are ``w * mean(raw)``. ``masks``: (R, X, Y) ROI
+    stack. ``valid_wh``: traced (2,) valid size (padded pixels are
+    exactly zero, so the valid mean is a plain sum / count —
+    ``data.masked_pixel_mean``). Returns the publish dict fields
+    ``avg_fft / avg_amp / avg_ph / roi_amp / roi_ph`` (phases finished
+    with the cumsum — the kernel emits ``phase_increments``)."""
+    from thz_image_explorer_tpu.ops.fourier import finish_unwrap
+
+    x, y, nf = raw_fft.shape
+    n = x * y
+    r = masks.shape[0]
+    sc = jnp.real(raw_fft).reshape(n, nf)
+    ss = jnp.imag(raw_fft).reshape(n, nf)
+    mflat = masks.reshape(r, n).astype(jnp.float32)
+    mstack = jnp.concatenate(
+        [jnp.ones((1, n), jnp.float32), mflat], axis=0
+    )
+    amp_s, inc_s, cos_s, sin_s = spectral_reduction_sums(sc, ss, mstack)
+
+    vcnt = jnp.maximum(valid_wh[0] * valid_wh[1], 1).astype(jnp.float32)
+    rcnt = jnp.sum(mflat, axis=1)
+    safe = jnp.where(rcnt > 0, rcnt, 1.0)[:, None]
+    nonzero = (rcnt > 0)[:, None]
+    return dict(
+        avg_fft=((cos_s[0] + 1j * sin_s[0]) * wvec / vcnt).astype(
+            jnp.complex64
+        ),
+        avg_amp=amp_s[0] * wvec / vcnt,
+        avg_ph=finish_unwrap(inc_s[0] / vcnt),
+        roi_amp=jnp.where(nonzero, amp_s[1:] * wvec[None, :] / safe, 0.0),
+        roi_ph=finish_unwrap(jnp.where(nonzero, inc_s[1:] / safe, 0.0)),
+    )
+
+
+def spectral_reduction_sums(spec_c, spec_s, masks):
+    """One-pass spectral reductions.
+
+    ``spec_c``/``spec_s``: (N, F) f32 real/imag of the filtered spectrum
+    (flattened pixels). ``masks``: (M, N) f32 0/1 stack, row 0 = valid
+    mask, rows 1.. = ROIs. Returns ``(amp_sums, inc_sums, cos_sums,
+    sin_sums)``, each (M, F) f32 row-sums; divide by mask counts for the
+    means, ``finish_unwrap`` the inc means for true phases.
+    """
+    import os
+
+    n, f = spec_c.shape
+    block = _pick_block(n, f)
+    if block is None:
+        raise ValueError(f"no row-block divides N={n}")
+    interpret = (
+        jax.default_backend() != "tpu"
+        or os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"
+    )
+    return _specred_call(
+        spec_c, spec_s, masks, block=block, interpret=interpret
+    )

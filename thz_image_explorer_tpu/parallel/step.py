@@ -49,6 +49,12 @@ class StepConfig(NamedTuple):
     #: chain and finish tiny cumsums after the publish reductions instead
     #: of materializing the cube-wide unwrap (lean_update sets this)
     lean_phases: bool = False
+    #: lean programs only: compute every spectral publish reduction with
+    #: the one-pass pallas kernel (ops/pallas_specred) over the RAW
+    #: spectrum — the per-frequency FD masks factor out of the sums —
+    #: instead of materializing amp / increment cubes as mask-matmul
+    #: operands (lean_update sets this when supported)
+    specred: bool = False
 
 
 @_pytree_dataclass
@@ -128,6 +134,7 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
         )
     cube = forward_fft(cube, cfg.window_type, params.window_low,
                        params.window_high, lean_phases=cfg.lean_phases)
+    raw_fd = cube  # post-window spectrum, before the FD filters
     if cfg.fd_active:
         fft, amps = bp.fd_bandpass(
             cube.fft, cube.amplitudes, cube.freq,
@@ -153,14 +160,15 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
             )
         )
     img = intensity_image(cube.data)
-    return cube, img
+    return cube, img, raw_fd
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def interactive_update(cube: ScanCube, params: StepParams, cfg: StepConfig):
     """One fused update of the full interactive chain. Returns
     ``(cube_out, intensity_image)``."""
-    return _step(cube, params, cfg)
+    c, img, _ = _step(cube, params, cfg)
+    return c, img
 
 
 def _lean_phases_env() -> bool:
@@ -187,15 +195,33 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
     and the published phase vectors are finished with tiny cumsums after
     the reductions — mathematically identical (cumsum is linear), see
     ``ops/fourier.phase_increments``."""
-    cfg = cfg._replace(lean_phases=_lean_phases_env())
+    cfg = _resolve_cfg(cube, cfg, masks)
     return _lean_update_jit(cube, params, cfg, masks, pix)
+
+
+def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
+    """Apply the host-side env/dispatch decisions to the static cfg."""
+    from thz_image_explorer_tpu.ops.pallas_specred import specred_supported
+
+    x, y, t = cube.data.shape
+    nf = t // 2 + 1
+    sharded = (
+        getattr(getattr(cube.data, "sharding", None), "num_devices", 1) > 1
+    )
+    use_specred = (
+        not cfg.avg_in_fourier_space
+        and specred_supported(x * y, nf, masks.shape[0] + 1, sharded)
+    )
+    return cfg._replace(
+        lean_phases=_lean_phases_env(), specred=use_specred
+    )
 
 
 def lean_update_lowered(cube, params: StepParams, cfg: StepConfig,
                         masks, pix):
     """AOT ``.lower()`` of the exact program :func:`lean_update`
     dispatches (same env-resolved cfg) — the bench cost-analysis seam."""
-    cfg = cfg._replace(lean_phases=_lean_phases_env())
+    cfg = _resolve_cfg(cube, cfg, masks)
     return _lean_update_jit.lower(cube, params, cfg, masks, pix)
 
 
@@ -208,18 +234,54 @@ def _lean_update_jit(cube: ScanCube, params: StepParams, cfg: StepConfig,
 
     fin = finish_unwrap if cfg.lean_phases else (lambda x: x)
 
-    c, img = _step(cube, params, cfg)
-    return dict(
+    c, img, raw_fd = _step(cube, params, cfg)
+    out = dict(
         data=c.data,
         img=img,
-        avg_fft=c.avg_fft,
-        avg_amp=c.avg_signal_fft,
-        avg_ph=fin(c.avg_phase_fft),
         avg_signal=masked_pixel_mean(c.data, c.valid_wh),
-        roi_amp=masked_mean_stack(c.amplitudes, masks),
-        roi_ph=fin(masked_mean_stack(c.phases, masks)),
         roi_trace=masked_mean_stack(c.data, masks),
         pix_sig=c.data[pix[0], pix[1]],
         pix_amp=c.amplitudes[pix[0], pix[1]],
         pix_ph=fin(c.phases[pix[0], pix[1]]),
     )
+    if cfg.specred:
+        out.update(_specred_reductions(c, raw_fd, params, cfg, masks))
+    else:
+        out.update(
+            avg_fft=c.avg_fft,
+            avg_amp=c.avg_signal_fft,
+            avg_ph=fin(c.avg_phase_fft),
+            roi_amp=masked_mean_stack(c.amplitudes, masks),
+            roi_ph=fin(masked_mean_stack(c.phases, masks)),
+        )
+    return out
+
+
+def _specred_reductions(c, raw_fd, params: StepParams, cfg: StepConfig,
+                        masks):
+    """All spectral publish reductions from ONE pallas pass over the RAW
+    spectrum (``ops/pallas_specred.lean_spectral_outputs``); this wrapper
+    just assembles the per-frequency FD weight product for the bench
+    chain's builtin stages."""
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.ops.bandpass import (
+        fd_bandpass_weights,
+        water_notch_weights,
+    )
+    from thz_image_explorer_tpu.ops.pallas_specred import (
+        lean_spectral_outputs,
+    )
+
+    nf = raw_fd.fft.shape[-1]
+    wvec = jnp.ones((nf,), jnp.float32)
+    if cfg.fd_active:
+        wvec = wvec * fd_bandpass_weights(
+            raw_fd.freq, params.fd_low, params.fd_high, params.fd_width
+        )
+    if cfg.notch_active:
+        wvec = wvec * water_notch_weights(
+            raw_fd.freq, params.water_lines,
+            params.notch_width, params.notch_depth,
+        )
+    return lean_spectral_outputs(raw_fd.fft, wvec, masks, c.valid_wh)

@@ -663,6 +663,17 @@ class Pipeline:
         # key), so toggling THZ_LEAN_PHASES mid-process selects the other
         # compiled variant instead of silently reusing the cached one
         enc = lean and os.environ.get("THZ_LEAN_PHASES", "1") != "0"
+        # one-pass spectral reductions (ops/pallas_specred): requires the
+        # increments encoding AND every ACTIVE FD-domain stage in the
+        # range to be a per-frequency multiply (fd_weight_vector) so the
+        # masks factor out of the raw-spectrum sums; shape feasibility is
+        # re-checked at trace time
+        specred_ok = (
+            enc
+            and not cfg.avg_in_fourier_space
+            and os.environ.get("THZ_SPECRED", "1") != "0"
+            and self._fd_stages_weightable(names, actives)
+        )
         key = (
             names,
             tuple(actives),
@@ -672,6 +683,7 @@ class Pipeline:
             bool(cfg.avg_in_fourier_space),
             lean,
             enc,
+            specred_ok,
         )
         fn = self._fused_cache.get(key)
         if fn is None:
@@ -686,6 +698,7 @@ class Pipeline:
                 rawfd_idx,
                 lean,
                 enc,
+                specred_ok,
             )
             self._fused_cache[key] = fn
 
@@ -805,8 +818,24 @@ class Pipeline:
             self._dispatch_lean(pub, epoch, record=False)
         return jax.device_get(self._pub_out)
 
+    def _fd_stages_weightable(self, names, actives) -> bool:
+        """True when every ACTIVE stage between the range's fft and ifft
+        is a pure per-frequency multiply (exposes ``fd_weight_vector``) —
+        the factorization the one-pass spectral reduction relies on. A
+        custom fused FD extension without the accessor disables it."""
+        if "fft" not in names or "ifft" not in names:
+            return False
+        i0, i1 = names.index("fft"), names.index("ifft")
+        for k in range(i0 + 1, i1):
+            if actives[k] and not hasattr(
+                self.filters.get(names[k]), "fd_weight_vector"
+            ):
+                return False
+        return True
+
     def _build_fused(self, names, actives, statics, window_type, scale,
-                     avg_flag, start, rawfd_idx, lean=False, enc=False):
+                     avg_flag, start, rawfd_idx, lean=False, enc=False,
+                     specred_ok=False):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
         from the traced ``stage_params`` dict (stage.py protocol).
@@ -831,6 +860,9 @@ class Pipeline:
 
         def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
+            raw_spec = None
+            wvec = None
+            in_fd = False
             for k, (name, active, static) in enumerate(
                 zip(names, actives, statics)
             ):
@@ -840,9 +872,25 @@ class Pipeline:
                 elif name == "fft":
                     cube = forward_fft(cube, window_type, window_low,
                                        window_high, lean_phases=enc)
+                    if specred_ok:
+                        raw_spec = cube.fft  # post-window, pre-FD masks
+                        import jax.numpy as jnp
+
+                        wvec = jnp.ones(
+                            (cube.fft.shape[-1],), jnp.float32
+                        )
+                    in_fd = True
                 elif name == "ifft":
                     cube = inverse_fft(cube, avg_flag, phases_encoded=enc)
+                    in_fd = False
                 elif active:
+                    if specred_ok and in_fd:
+                        # FD stages are per-frequency multiplies here
+                        # (_fd_stages_weightable gated the build):
+                        # accumulate the factorized weight vector
+                        wvec = wvec * filters[name].fd_weight_vector(
+                            cube.freq, stage_params[name]
+                        )
                     cube = filters[name].fused_apply(
                         cube, stage_params[name], static
                     )
@@ -850,10 +898,16 @@ class Pipeline:
                     cube = self._replan(cube)
                 if start + k == rawfd_idx:
                     rawfd = (cube.amplitudes, cube.phases, cube.freq)
-            return cube, rawfd
+            return cube, rawfd, raw_spec, wvec
 
         if not lean:
-            return jax.jit(chain)
+            def exact_chain(cube, window_low, window_high, stage_params):
+                final, rawfd, _, _ = chain(
+                    cube, window_low, window_high, stage_params
+                )
+                return final, rawfd
+
+            return jax.jit(exact_chain)
 
         from thz_image_explorer_tpu.pipeline.publish import (
             compute_publish_traced,
@@ -861,7 +915,21 @@ class Pipeline:
 
         def fn(cube, raw_data, raw_time, window_low, window_high,
                stage_params, pub):
-            final, rawfd = chain(cube, window_low, window_high, stage_params)
+            final, rawfd, raw_spec, wvec = chain(
+                cube, window_low, window_high, stage_params
+            )
+            specred = None
+            if specred_ok and raw_spec is not None:
+                from thz_image_explorer_tpu.ops.pallas_specred import (
+                    specred_supported,
+                )
+
+                x, y, nf = raw_spec.shape
+                r = pub["masks"].shape[0]
+                # shape feasibility at trace time (concrete shapes): a
+                # grid with no usable row-block falls back in-place
+                if specred_supported(x * y, nf, r + 1, sharded=False):
+                    specred = (raw_spec, wvec)
             out = compute_publish_traced(
                 raw_data,
                 raw_time,
@@ -876,10 +944,18 @@ class Pipeline:
                 pub,
                 avg_fourier=avg_flag,
                 phases_encoded=enc,
+                specred=specred,
             )
             lean_final = final.replace(
                 fft=None, amplitudes=None, phases=None
             )
+            if specred is not None:
+                # the kernel supplies the published means; nulling the
+                # cube's avg leaves lets XLA drop their full-spectrum
+                # reductions from the program entirely
+                lean_final = lean_final.replace(
+                    avg_fft=None, avg_signal_fft=None, avg_phase_fft=None
+                )
             return lean_final, out
 
         return jax.jit(fn)

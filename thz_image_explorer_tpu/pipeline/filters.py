@@ -231,6 +231,12 @@ class FrequencyBandPass(FilterStage):
         )
         return cube.replace(fft=fft, amplitudes=amplitudes)
 
+    def fd_weight_vector(self, freq, params):
+        """The stage's whole effect as a per-frequency weight (the
+        one-pass spectral-reduction dispatch relies on FD stages being
+        per-frequency multiplies — ``ops/pallas_specred``)."""
+        return bp.fd_bandpass_weights(freq, params[0], params[1], params[2])
+
 
 @register_filter
 class WaterVaporNotch(FilterStage):
@@ -277,6 +283,12 @@ class WaterVaporNotch(FilterStage):
             cube.fft, cube.amplitudes, cube.freq, lines, width, depth
         )
         return cube.replace(fft=fft, amplitudes=amplitudes)
+
+    def fd_weight_vector(self, freq, params):
+        """Per-frequency weight of the whole stage (see
+        ``FrequencyBandPass.fd_weight_vector``)."""
+        width, depth, lines = params
+        return bp.water_notch_weights(freq, lines, width, depth)
 
 
 @register_filter

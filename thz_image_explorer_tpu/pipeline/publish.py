@@ -146,6 +146,7 @@ def compute_publish_traced(
     *,
     avg_fourier: bool,
     phases_encoded: bool = False,
+    specred=None,
 ):
     """The publish reductions as a traced function over in-program chain
     values — the leaf-level sparse-materialization core (round-4 task 1):
@@ -164,6 +165,12 @@ def compute_publish_traced(
     BEFORE any nonlinear consumer (polar reconstruction, optical
     properties). Cumsum is linear, so reduce-then-cumsum equals the
     exact path's cumsum-then-reduce.
+
+    ``specred``: optional ``(raw_spec, wvec)`` — the RAW spectrum cube
+    and the factored per-frequency FD weight product. When given, every
+    spectral mean comes from ONE pallas pass
+    (``ops/pallas_specred.lean_spectral_outputs``) instead of
+    materializing amplitude / increment cubes as mask-matmul operands.
     """
     from thz_image_explorer_tpu.ops.fourier import finish_unwrap
 
@@ -172,8 +179,19 @@ def compute_publish_traced(
 
     n_time = final.data.shape[-1]
     f_amp, f_ph = final.amplitudes, final.phases
-    roi_amp = masked_mean_stack(f_amp, masks)
-    roi_ph = fin(masked_mean_stack(f_ph, masks))
+    if specred is not None:
+        from thz_image_explorer_tpu.ops.pallas_specred import (
+            lean_spectral_outputs,
+        )
+
+        sr = lean_spectral_outputs(
+            specred[0], specred[1], masks, final.valid_wh
+        )
+        roi_amp, roi_ph = sr["roi_amp"], sr["roi_ph"]
+    else:
+        sr = None
+        roi_amp = masked_mean_stack(f_amp, masks)
+        roi_ph = fin(masked_mean_stack(f_ph, masks))
     if avg_fourier:
         spec_ri = jnp.stack(
             [roi_amp * jnp.cos(roi_ph), roi_amp * jnp.sin(roi_ph)]
@@ -206,8 +224,12 @@ def compute_publish_traced(
         filtered_signal_fft=pix_amp,
         filtered_phase_fft=pix_ph,
         avg_signal=avg_signal,
-        avg_signal_fft=final.avg_signal_fft,
-        avg_phase_fft=fin(final.avg_phase_fft),
+        avg_signal_fft=(
+            sr["avg_amp"] if sr is not None else final.avg_signal_fft
+        ),
+        avg_phase_fft=(
+            sr["avg_ph"] if sr is not None else fin(final.avg_phase_fft)
+        ),
         roi_amp=roi_amp,
         roi_ph=roi_ph,
         roi_trace=roi_trace,
