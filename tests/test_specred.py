@@ -142,3 +142,41 @@ def test_product_executor_specred_matches(monkeypatch, tmp_path):
         np.asarray(ga[1]), np.asarray(ra[1]), atol=5e-5, rtol=1e-4,
         err_msg="roi fft",
     )
+
+
+def test_fd_weight_vector_contract():
+    """Every FD builtin's fused_apply must equal multiplying the
+    spectrum by its fd_weight_vector — the factorization the one-pass
+    reduction dispatch relies on (a stage edit that breaks this must
+    fail here, not silently skew the published means)."""
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.pipeline.stage import instantiate_filters
+
+    rng = np.random.default_rng(1)
+    t = (np.arange(64) * 0.05).astype(np.float32)
+    data = np.float32(rng.standard_normal((6, 5, 64)))
+    cube = make_cube(t, data, dx=1.0, dy=1.0)
+    spec = jnp.asarray(
+        np.float32(rng.standard_normal((6, 5, 33)))
+        + 1j * np.float32(rng.standard_normal((6, 5, 33)))
+    )
+    cube = cube.replace(fft=spec.astype(jnp.complex64),
+                        amplitudes=jnp.abs(spec).astype(jnp.float32))
+
+    filters = instantiate_filters()
+    fd = [f for f in filters.values() if hasattr(f, "fd_weight_vector")]
+    assert len(fd) >= 2  # band-pass + notch
+    for stage in fd:
+        stage.active = True
+        params = stage.traced_params()
+        out = stage.fused_apply(cube, params, ())
+        w = np.asarray(stage.fd_weight_vector(cube.freq, params))
+        assert (w >= 0).all() and (w <= 1.0 + 1e-6).all()
+        np.testing.assert_allclose(
+            np.asarray(out.fft), np.asarray(cube.fft) * w,
+            atol=1e-6, err_msg=stage.config().name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.amplitudes), np.asarray(cube.amplitudes) * w,
+            atol=1e-6, err_msg=stage.config().name,
+        )
