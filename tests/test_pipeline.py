@@ -721,6 +721,22 @@ def test_fused_matches_exact_random_configs(tmp_path, seed):
     """Property-style sweep: random active-sets, parameters, downscale and
     window types must produce identical product surfaces (final slot,
     raw-spectrum view, published image) in fused and exact modes."""
+    _run_random_config_sweep(tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_matches_exact_random_configs_specred(
+    tmp_path, seed, monkeypatch
+):
+    """The same sweep with the one-pass spectral-reduction kernel forced
+    (interpret mode on CPU): random FD active-sets / tilt / downscale /
+    avg-in-Fourier must still match the exact per-stage surfaces."""
+    monkeypatch.setenv("THZ_SPECRED", "1")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    _run_random_config_sweep(tmp_path, seed)
+
+
+def _run_random_config_sweep(tmp_path, seed):
     rng = np.random.default_rng(seed)
     path, *_ = _scan_file(
         tmp_path, width=int(rng.integers(9, 20)),
