@@ -270,7 +270,8 @@ def test_tilt_changes_time_axis_and_replans(tmp_path):
     ex.update_filter("tilt_compensation")
     out = p.output
     assert out.n_time > 64
-    assert out.freq.shape[0] == out.n_time // 2 + 1
+    # n_freq must work on the lean final slot too (spectral leaves None)
+    assert out.n_freq == out.n_time // 2 + 1
     assert len(ex.plot.filtered_time) == out.n_time
     assert len(ex.plot.filtered_frequencies) == out.n_time // 2 + 1
 

@@ -414,3 +414,90 @@ def test_idle_refresh_never_reverts_apply(tmp_path):
     assert p.refresh_stage_timings() is True
     np.testing.assert_array_equal(np.asarray(p.output.data), out_applied)
     np.testing.assert_array_equal(np.asarray(ex.image), img_applied)
+
+
+# ------------------------------------------- round-4 self-review findings
+def test_n_freq_on_lean_final_slot(tmp_path):
+    """``ScanCube.n_freq`` is part of the documented data-model contract
+    (``data_container.rs:109-162``); it must work on the default lean
+    pipeline output, whose spectral leaves are None (the merged program
+    materializes only published leaves)."""
+    t, raw = synthetic_scan(width=12, height=10, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    ex.open_file(path)
+    out = ex.pipeline.output
+    if out.fft is None:  # lean mode (the default)
+        assert out.n_freq == out.n_time // 2 + 1
+
+
+def test_join_idle_survives_fast_call_polling():
+    """A state reader polling ``call()`` faster than the worker's 0.1 s
+    take window (two browser tabs at ~150 ms each interleave well below
+    it) must not starve ``join_idle``: idle is evaluated after every
+    processed command, not only on the take timeout."""
+    import threading
+    import time
+
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    w = ExplorerWorker()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                w.call(lambda ex: None, timeout=2.0)
+            except TimeoutError:
+                pass
+            time.sleep(0.02)
+
+    th = threading.Thread(target=poll, daemon=True)
+    th.start()
+    try:
+        time.sleep(0.3)  # polling cadence established
+        assert w.join_idle(5.0), "join_idle starved by sub-100ms polling"
+    finally:
+        stop.set()
+        th.join(2.0)
+        w.close()
+
+
+def test_specred_without_complex_sums():
+    """``with_complex=False`` (the product publish path) must produce the
+    same amp / increment sums and compile the cos/sin accumulators out."""
+    from thz_image_explorer_tpu.ops.pallas_specred import (
+        spectral_reduction_sums,
+    )
+
+    rng = np.random.default_rng(7)
+    c = np.float32(rng.standard_normal((64, 33)))
+    s = np.float32(rng.standard_normal((64, 33)))
+    masks = np.float32(rng.uniform(0, 1, (3, 64)) > 0.4)
+    full = spectral_reduction_sums(
+        jnp.asarray(c), jnp.asarray(s), jnp.asarray(masks)
+    )
+    lean = spectral_reduction_sums(
+        jnp.asarray(c), jnp.asarray(s), jnp.asarray(masks),
+        with_complex=False,
+    )
+    assert lean[2] is None and lean[3] is None
+    np.testing.assert_allclose(np.asarray(lean[0]), np.asarray(full[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lean[1]), np.asarray(full[1]),
+                               rtol=1e-6)
+
+
+def test_settings_load_tolerates_corrupted_file(tmp_path):
+    """A state file whose JSON top level is not a dict must load as
+    defaults (the reference's ``preferences`` crate falls back too) —
+    and must never raise out of serve()'s teardown path."""
+    from thz_image_explorer_tpu.utils.settings import (
+        PsfToolState,
+        Settings,
+    )
+
+    (tmp_path / Settings.FILE).write_text("[1, 2, 3]")
+    (tmp_path / PsfToolState.FILE).write_text('["not", "a", "dict"]')
+    assert Settings.load(str(tmp_path)) == Settings()
+    assert PsfToolState.load(str(tmp_path)) == PsfToolState()

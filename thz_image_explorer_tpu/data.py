@@ -116,7 +116,12 @@ class ScanCube:
 
     @property
     def n_freq(self) -> int:
-        return self.fft.shape[2]
+        # the lean executor's final slot nulls the spectral cubes
+        # (executor._build_fused materializes only published leaves); the
+        # freq axis is always present and has exactly the fft's bin count
+        if self.fft is not None:
+            return self.fft.shape[2]
+        return self.freq.shape[0]
 
     def replace(self, **kwargs) -> "ScanCube":
         return dataclasses.replace(self, **kwargs)

@@ -57,8 +57,9 @@ def _pick_block(n: int, f: int) -> int | None:
     return None
 
 
-def _kernel(c_ref, s_ref, m_ref, amp_ref, inc_ref, cos_ref, sin_ref, *,
-            n_masks: int):
+def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
+            with_complex: bool):
+    amp_ref, inc_ref = out_refs[0], out_refs[1]
     i = pl.program_id(0)
     c = c_ref[...]
     s = s_ref[...]
@@ -78,29 +79,34 @@ def _kernel(c_ref, s_ref, m_ref, amp_ref, inc_ref, cos_ref, sin_ref, *,
 
     @pl.when(i == 0)
     def _init():
-        amp_ref[...] = jnp.zeros_like(amp_ref)
-        inc_ref[...] = jnp.zeros_like(inc_ref)
-        cos_ref[...] = jnp.zeros_like(cos_ref)
-        sin_ref[...] = jnp.zeros_like(sin_ref)
+        for ref in out_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     m = m_ref[...]  # (M, B) 0/1 f32
     # unrolled VPU masked sums: exact f32 adds (a bf16 MXU dot here would
-    # round the very values the optical formulas difference)
+    # round the very values the optical formulas difference). The cos/sin
+    # (complex-mean) sums only exist when the caller consumes them — the
+    # product publish path never reads avg_fft (specred is gated off when
+    # avg_in_fourier_space would need it), and XLA cannot DCE inside a
+    # pallas_call, so they are compiled out here instead.
     for r in range(n_masks):
         wr = m[r][:, None]
         amp_ref[r, :] += jnp.sum(amp * wr, axis=0)
         inc_ref[r, :] += jnp.sum(inc * wr, axis=0)
-        cos_ref[r, :] += jnp.sum(c * wr, axis=0)
-        sin_ref[r, :] += jnp.sum(s * wr, axis=0)
+        if with_complex:
+            out_refs[2][r, :] += jnp.sum(c * wr, axis=0)
+            out_refs[3][r, :] += jnp.sum(s * wr, axis=0)
 
 
-@partial(jax.jit, static_argnames=("block", "interpret"))
-def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool):
+@partial(jax.jit, static_argnames=("block", "interpret", "with_complex"))
+def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool,
+                  with_complex: bool):
     n, f = spec_c.shape
     m = masks.shape[0]
     grid = (n // block,)
-    kern = partial(_kernel, n_masks=m)
-    return pl.pallas_call(
+    n_out = 4 if with_complex else 2
+    kern = partial(_kernel, n_masks=m, with_complex=with_complex)
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -108,15 +114,11 @@ def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool):
             pl.BlockSpec((block, f), lambda i: (i, 0)),
             pl.BlockSpec((m, block), lambda i: (0, i)),
         ],
-        out_specs=[
-            pl.BlockSpec((m, f), lambda i: (0, 0)),
-            pl.BlockSpec((m, f), lambda i: (0, 0)),
-            pl.BlockSpec((m, f), lambda i: (0, 0)),
-            pl.BlockSpec((m, f), lambda i: (0, 0)),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((m, f), jnp.float32)] * 4,
+        out_specs=[pl.BlockSpec((m, f), lambda i: (0, 0))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((m, f), jnp.float32)] * n_out,
         interpret=interpret,
     )(spec_c, spec_s, masks)
+    return tuple(out) + (None,) * (4 - n_out)
 
 
 def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
@@ -134,7 +136,8 @@ def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
     return _pick_block(n, f) is not None
 
 
-def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh):
+def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh,
+                          with_complex: bool = True):
     """The lean publisher's five spectral reductions from ONE kernel pass.
 
     ``raw_fft``: (X, Y, F) complex64 RAW spectrum (post-window, pre-FD
@@ -147,7 +150,10 @@ def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh):
     exactly zero, so the valid mean is a plain sum / count —
     ``data.masked_pixel_mean``). Returns the publish dict fields
     ``avg_fft / avg_amp / avg_ph / roi_amp / roi_ph`` (phases finished
-    with the cumsum — the kernel emits ``phase_increments``)."""
+    with the cumsum — the kernel emits ``phase_increments``).
+    ``with_complex=False`` (the product publish path, which never reads
+    the complex mean) compiles the cos/sin accumulators out of the kernel
+    and omits ``avg_fft`` from the result."""
     from thz_image_explorer_tpu.ops.fourier import finish_unwrap
 
     x, y, nf = raw_fft.shape
@@ -159,24 +165,28 @@ def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh):
     mstack = jnp.concatenate(
         [jnp.ones((1, n), jnp.float32), mflat], axis=0
     )
-    amp_s, inc_s, cos_s, sin_s = spectral_reduction_sums(sc, ss, mstack)
+    amp_s, inc_s, cos_s, sin_s = spectral_reduction_sums(
+        sc, ss, mstack, with_complex=with_complex
+    )
 
     vcnt = jnp.maximum(valid_wh[0] * valid_wh[1], 1).astype(jnp.float32)
     rcnt = jnp.sum(mflat, axis=1)
     safe = jnp.where(rcnt > 0, rcnt, 1.0)[:, None]
     nonzero = (rcnt > 0)[:, None]
-    return dict(
-        avg_fft=((cos_s[0] + 1j * sin_s[0]) * wvec / vcnt).astype(
-            jnp.complex64
-        ),
+    out = dict(
         avg_amp=amp_s[0] * wvec / vcnt,
         avg_ph=finish_unwrap(inc_s[0] / vcnt),
         roi_amp=jnp.where(nonzero, amp_s[1:] * wvec[None, :] / safe, 0.0),
         roi_ph=finish_unwrap(jnp.where(nonzero, inc_s[1:] / safe, 0.0)),
     )
+    if with_complex:
+        out["avg_fft"] = ((cos_s[0] + 1j * sin_s[0]) * wvec / vcnt).astype(
+            jnp.complex64
+        )
+    return out
 
 
-def spectral_reduction_sums(spec_c, spec_s, masks):
+def spectral_reduction_sums(spec_c, spec_s, masks, with_complex=True):
     """One-pass spectral reductions.
 
     ``spec_c``/``spec_s``: (N, F) f32 real/imag of the filtered spectrum
@@ -184,6 +194,8 @@ def spectral_reduction_sums(spec_c, spec_s, masks):
     mask, rows 1.. = ROIs. Returns ``(amp_sums, inc_sums, cos_sums,
     sin_sums)``, each (M, F) f32 row-sums; divide by mask counts for the
     means, ``finish_unwrap`` the inc means for true phases.
+    ``with_complex=False`` skips the cos/sin accumulation entirely
+    (returns ``None`` in their slots).
     """
     import os
 
@@ -196,5 +208,6 @@ def spectral_reduction_sums(spec_c, spec_s, masks):
         or os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"
     )
     return _specred_call(
-        spec_c, spec_s, masks, block=block, interpret=interpret
+        spec_c, spec_s, masks, block=block, interpret=interpret,
+        with_complex=bool(with_complex),
     )

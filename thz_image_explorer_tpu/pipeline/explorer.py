@@ -169,6 +169,7 @@ class Explorer:
         self.sample_selection = ""
         self.reference_selection = ""
         self.sample_thickness = 1.0  # (application.rs:184)
+        self._opt_active = False  # set by _lean_pub_provider per publish
         self.image: Optional[np.ndarray] = None
         self.file_path: Optional[str] = None
         self.housekeeping = HouseKeeping()
@@ -609,9 +610,13 @@ class Explorer:
             # lean final slot: the merged program owns the publish outputs
             host = self.pipeline.lean_publish()
             if host is not None:
-                nf = self.pipeline._lean_plan["spec"].n_freq
-                opt_shown = self._optical_request(poly_rois, nf) is not None
-                self._fill_plot(plot, host, poly_rois, optical=opt_shown)
+                # _lean_pub_provider just ran inside lean_publish() and
+                # recorded whether the optical selection resolved — don't
+                # re-resolve it (dataset lookups + pseudo-spectrum stacks)
+                # a second time per publish
+                self._fill_plot(
+                    plot, host, poly_rois, optical=self._opt_active
+                )
                 return
 
         raw_fd = self.pipeline.raw_fd_view()
@@ -809,7 +814,11 @@ class Explorer:
                 [min(px // scale, w - 1), min(py // scale, h - 1)], np.int32
             )
 
-        opt = self._optical_request(poly_rois, spec.n_freq) or {}
+        opt = self._optical_request(poly_rois, spec.n_freq)
+        #: consumed by _publish_plot's lean branch in the same publish —
+        #: whether the optical tab has a resolved reference selection
+        self._opt_active = opt is not None
+        opt = opt or {}
         mode_code = {"roi": 1, "pseudo": 2, "pixel": 3}
         zeros2f = np.zeros((2, spec.n_freq), np.float32)
         pub = {

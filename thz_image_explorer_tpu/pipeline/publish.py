@@ -184,8 +184,12 @@ def compute_publish_traced(
             lean_spectral_outputs,
         )
 
+        # with_complex=False: nothing below reads a complex mean (the
+        # executor gates specred off when avg_in_fourier_space is on), so
+        # the kernel's cos/sin accumulators are compiled out
         sr = lean_spectral_outputs(
-            specred[0], specred[1], masks, final.valid_wh
+            specred[0], specred[1], masks, final.valid_wh,
+            with_complex=False,
         )
         roi_amp, roi_ph = sr["roi_amp"], sr["roi_ph"]
     else:

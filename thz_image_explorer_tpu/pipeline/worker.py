@@ -277,53 +277,57 @@ class ExplorerWorker:
     def _run(self):
         while not self._stop.is_set():
             cmd = self.queue.take(timeout=0.1)
-            if cmd is None:
-                if self._stop.is_set():
-                    continue  # close() woke the take(): exit, never start
-                    # device work the 5 s join could not outwait
-                if not self._idle.is_set() and self.queue.empty():
-                    try:
-                        on_idle = getattr(self.explorer, "on_idle", None)
-                        probe = getattr(
-                            self.explorer, "idle_housekeeping_pending", None
-                        )
-                        needs = on_idle is not None and (
-                            probe() if probe is not None else True
-                        )
-                        if needs:
-                            if (_time.monotonic() - self._last_send
-                                    < self.IDLE_QUIET_S):
-                                # user may still be interacting: idle (and
-                                # the refresh) wait for the quiet period
-                                continue
-                            # the burst has genuinely settled. Idle
-                            # housekeeping (per-stage timing refresh) runs
-                            # HERE, debounced, BEFORE idle is signalled so
-                            # join_idle observers see fresh timings, and
-                            # outside the idle lock — it dispatches device
-                            # work and must not block send(). When nothing
-                            # is pending, idle is signalled immediately —
-                            # no quiet-period tax on fast commands.
-                            on_idle()
-                    except Exception:  # noqa: BLE001
-                        import traceback
+            if cmd is not None:
+                self._idle.clear()
+                self.abort_flag.clear()
+                method, args, kwargs = cmd
+                try:
+                    if callable(method):  # closure from call()
+                        method(self.explorer)
+                    else:
+                        getattr(self.explorer, method)(*args, **kwargs)
+                        for cb in self._on_update:
+                            cb(self.explorer)
+                except Exception:  # noqa: BLE001 — survive bad commands
+                    import traceback
 
-                        traceback.print_exc()
-                with self._idle_lock:
-                    if self.queue.empty():
-                        self._idle.set()
-                continue
-            self._idle.clear()
-            self.abort_flag.clear()
-            method, args, kwargs = cmd
-            try:
-                if callable(method):  # closure from call()
-                    method(self.explorer)
-                else:
-                    getattr(self.explorer, method)(*args, **kwargs)
-                    for cb in self._on_update:
-                        cb(self.explorer)
-            except Exception:  # noqa: BLE001 — worker must survive bad commands
-                import traceback
+                    traceback.print_exc()
+            if self._stop.is_set():
+                continue  # close() woke the take(): exit, never start
+                # device work the 5 s join could not outwait
+            # Idle evaluation runs after EVERY iteration — both on the
+            # take timeout and right after a processed command. Doing it
+            # only on the timeout starves join_idle under a state reader
+            # polling call() faster than the 0.1 s take window (the queue
+            # then never looks empty long enough to reach the timeout).
+            if not self._idle.is_set() and self.queue.empty():
+                try:
+                    on_idle = getattr(self.explorer, "on_idle", None)
+                    probe = getattr(
+                        self.explorer, "idle_housekeeping_pending", None
+                    )
+                    needs = on_idle is not None and (
+                        probe() if probe is not None else True
+                    )
+                    if needs:
+                        if (_time.monotonic() - self._last_send
+                                < self.IDLE_QUIET_S):
+                            # user may still be interacting: idle (and
+                            # the refresh) wait for the quiet period
+                            continue
+                        # the burst has genuinely settled. Idle
+                        # housekeeping (per-stage timing refresh) runs
+                        # HERE, debounced, BEFORE idle is signalled so
+                        # join_idle observers see fresh timings, and
+                        # outside the idle lock — it dispatches device
+                        # work and must not block send(). When nothing
+                        # is pending, idle is signalled immediately —
+                        # no quiet-period tax on fast commands.
+                        on_idle()
+                except Exception:  # noqa: BLE001
+                    import traceback
 
-                traceback.print_exc()
+                    traceback.print_exc()
+            with self._idle_lock:
+                if self.queue.empty():
+                    self._idle.set()

@@ -127,6 +127,8 @@ class Settings:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
             return cls()
+        if not isinstance(d, dict):  # corrupted file (e.g. JSON list)
+            return cls()
         psf = d.pop("psf", None)
         known = {f.name for f in dataclasses.fields(cls)}
         out = cls(**{k: v for k, v in d.items() if k in known and k != "psf"})
@@ -167,6 +169,8 @@ class PsfToolState:
             with open(path) as f:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
+            return cls()
+        if not isinstance(d, dict):  # corrupted file (e.g. JSON list)
             return cls()
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})

@@ -914,11 +914,18 @@ def serve(port: int = 8080, scan: str | None = None, open_worker=None,
     except KeyboardInterrupt:
         pass
     finally:
-        app.save_settings()  # exit autosave (main.rs:116-126)
-        # stop a mid-flight PSF compute before the JAX runtime goes away
-        # (a daemon thread parked in native device code hangs teardown)
-        app.psf_tool._shutdown()
-        app.worker.close()
+        try:
+            app.save_settings()  # exit autosave (main.rs:116-126)
+            # stop a mid-flight PSF compute before the JAX runtime goes
+            # away (a daemon thread parked in native device code hangs
+            # teardown). getattr, not the property: the lazy property
+            # would CONSTRUCT the tool (state-file read that can raise)
+            # just to shut down zero threads when it was never used.
+            tool = getattr(app, "_psf_tool", None)
+            if tool is not None:
+                tool._shutdown()
+        finally:
+            app.worker.close()
 
 
 PAGE = r"""<!DOCTYPE html>
