@@ -501,3 +501,98 @@ def test_settings_load_tolerates_corrupted_file(tmp_path):
     (tmp_path / PsfToolState.FILE).write_text('["not", "a", "dict"]')
     assert Settings.load(str(tmp_path)) == Settings()
     assert PsfToolState.load(str(tmp_path)) == PsfToolState()
+
+
+def test_web_apply_runs_deconvolution_in_fused_mode(tmp_path):
+    """The web Apply button sends ``update_filter(uuid)`` with no force
+    flag (``web.py`` filter panel); in the default FUSED mode this must
+    still run the deconvolution — the reference's suppression rule is
+    keyed on the trigger, and an ``UpdateFilter`` from the deconvolution
+    itself always executes it (``data_thread.rs:1139-1149``)."""
+    t, raw = synthetic_scan(width=16, height=16, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+    ex = Explorer()
+    assert ex.pipeline.fused_mode, "fused mode should be the default"
+    ex.open_file(path)
+    ex.open_psf("/root/reference/sample_data/psf.npz")
+    f = ex.pipeline.filters["deconvolution"]
+    f.active = True
+    f.params.n_iterations, f.params.n_filters = 4, 3
+    calls = []
+    orig_apply = f.apply
+
+    def counting_apply(cube, ctx):
+        calls.append(1)
+        return orig_apply(cube, ctx)
+
+    f.apply = counting_apply
+    ex.update_filter("deconvolution")  # the exact web Apply command
+    assert calls, "Apply was a silent no-op in fused mode"
+    out_applied = np.asarray(ex.pipeline.output.data).copy()
+    # suppression unchanged: an upstream slider change must NOT rerun it
+    calls.clear()
+    ex.set_fft_window_low(1.1)
+    assert not calls, "slider change reran the deconvolution"
+    # and a second Apply runs it again on the new upstream state
+    ex.update_filter("deconvolution")
+    assert calls
+    assert not np.allclose(np.asarray(ex.pipeline.output.data),
+                           out_applied)
+
+
+def test_fusable_deconvolution_extension_respects_suppression(tmp_path):
+    """An extension with ``is_deconvolution=True`` AND ``fusable=True``
+    (both protocol-sanctioned) must never execute inside an interactive
+    fused program — suppression is decided by the marker BEFORE the
+    fusable test; only its own ``update_filter`` runs it."""
+    from thz_image_explorer_tpu.pipeline.stage import (
+        _REGISTRY,
+        FilterConfig,
+        FilterDomain,
+        FilterStage,
+        register_filter,
+    )
+
+    applies = []
+
+    @register_filter
+    class FusableDeconv(FilterStage):
+        fusable = True
+        is_deconvolution = True
+
+        def __init__(self):
+            self.active = False
+
+        def config(self):
+            return FilterConfig(
+                name="Fusable Deconv X", description="ext",
+                domain=FilterDomain.TIME_AFTER_FFT_PRIO_LAST,
+            )
+
+        def fused_apply(self, cube, params, static):
+            raise AssertionError(
+                "a deconvolution must never run inside the fused program"
+            )
+
+        def apply(self, cube, ctx):
+            applies.append(1)
+            return cube.replace(data=cube.data * 2.0)
+
+    try:
+        t, raw = synthetic_scan(width=12, height=10, n_time=64)
+        path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+        ex = Explorer()
+        ex.open_file(path)
+        f = ex.pipeline.filters["fusable_deconv"]
+        f.active = True
+        base = np.asarray(ex.pipeline.output.data).copy()
+        # interactive fused updates: forced identity, fused_apply unreached
+        ex.set_fft_window_low(1.1)
+        ex.set_fft_window_low(1.3)
+        assert not applies
+        # its own Apply runs the exact stage body
+        ex.update_filter("fusable_deconv")
+        assert applies
+        assert not np.allclose(np.asarray(ex.pipeline.output.data), base)
+    finally:
+        _REGISTRY.pop("fusable_deconv", None)

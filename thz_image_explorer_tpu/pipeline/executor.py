@@ -410,7 +410,15 @@ class Pipeline:
         """
         if block_timings is None:
             block_timings = force_all
-        start = self._resolve_start(max(start_idx, 1))
+        # the REQUESTED start defines the suppression semantics: the
+        # reference keys the deconvolution-rerun rule on the trigger's
+        # own index (data_thread.rs:1139-1149 — an UpdateFilter from the
+        # deconvolution itself always runs it), independent of how far
+        # back the executed range actually reaches (fused runs always
+        # execute from slot 0; VIRTUAL-slot resolution can move the
+        # exact start earlier too)
+        req_start = max(start_idx, 1)
+        start = self._resolve_start(req_start)
         run_deconvolution = True
         if fused is None:
             fused = self.fused_mode and not block_timings
@@ -423,7 +431,9 @@ class Pipeline:
             # its device cost is a few hundred µs of the ~6 ms program.
             start = 1
         if fused:
-            end, has_custom, forced_identity = self._fused_range_end(start)
+            end, has_custom, forced_identity = self._fused_range_end(
+                start, req_start
+            )
             inp = self.slots[start - 1]
             usable = (
                 end - start >= 2
@@ -451,12 +461,13 @@ class Pipeline:
             block_timings=block_timings,
             run_deconvolution=run_deconvolution,
             fresh_timer=fresh_timer,
+            req_start=req_start,
         )
 
     def _run_stages(
         self, start_idx: int, *, force_all: bool,
         block_timings: bool, run_deconvolution: bool = True,
-        fresh_timer: bool = True,
+        fresh_timer: bool = True, req_start: int = 0,
     ):
         """Per-stage dispatch of ``chain[start_idx:]`` (the exact/debug
         mode, and the tail after a fused prefix)."""
@@ -490,9 +501,12 @@ class Pipeline:
             else:
                 stage = self.filters[name]
                 is_deconv = stage.is_deconvolution
-                if not is_deconv:
-                    # any other custom filter in the range suppresses a
-                    # deconvolution rerun (data_thread.rs:1144-1147)
+                if not is_deconv and i >= req_start:
+                    # any other custom filter in the REQUESTED range
+                    # suppresses a deconvolution rerun
+                    # (data_thread.rs:1144-1147); stages the executed
+                    # range merely re-derives (VIRTUAL-slot resolution
+                    # reaching earlier than the trigger) don't count
                     run_deconvolution = False
                 if stage.active and not (
                     is_deconv and not (run_deconvolution or force_all)
@@ -519,7 +533,11 @@ class Pipeline:
                 # right after an Apply.
                 if block_timings:
                     if out is not inp:
-                        jax.block_until_ready(out.data)
+                        # the WHOLE output pytree: FD stages leave .data
+                        # untouched (they replace fft/amplitudes), so a
+                        # data-only barrier would return at enqueue time
+                        # and credit their device work to the next stage
+                        jax.block_until_ready(out)
                         self.timings[name] = _time.perf_counter() - t_start
                     self.timings_stale.discard(name)
                 elif out is not inp:  # keep last ms + stale until probed
@@ -535,18 +553,25 @@ class Pipeline:
             self.slots[i] = out
 
     # ---------------------------------------------------- fused mode
-    def _fused_range_end(self, start: int) -> tuple[int, bool, frozenset]:
+    def _fused_range_end(
+        self, start: int, req_start: int = 0
+    ) -> tuple[int, bool, frozenset]:
         """Longest fusable prefix of ``chain[start:]``: builtin stages,
         fusable stages, and inactive stages (identity) are fusable; the
         first *active non-fusable* stage (a custom extension) ends the
-        range. An ACTIVE deconvolution whose suppression is already
-        guaranteed (another custom stage precedes it in the range, and
-        fused mode is never the force/Apply path) is included as a forced
-        identity instead of breaking the range — otherwise merely enabling
-        the deconvolution toggle would degrade every interactive update to
-        per-stage dispatch. Also reports whether any custom
-        non-deconvolution stage lies in the range (the suppression
-        bookkeeping of the exact path)."""
+        range. An ACTIVE deconvolution whose suppression is guaranteed
+        (another custom stage lies in the REQUESTED range ``req_start..``
+        before it — the reference's rule, ``data_thread.rs:1139-1149``)
+        is included as a forced identity instead of breaking the range —
+        otherwise merely enabling the deconvolution toggle would degrade
+        every interactive update to per-stage dispatch. When the trigger
+        IS the deconvolution (``req_start`` at its index, the web Apply
+        button's ``update_filter``), suppression does NOT hold: the range
+        breaks there so the exact tail runs the deconvolution — fusable
+        or not, a deconvolution never executes inside an interactive
+        fused program. Also reports whether any custom non-deconvolution
+        stage lies in the requested range (the suppression bookkeeping of
+        the exact tail)."""
         end = start
         has_custom = False
         forced_identity = set()
@@ -554,13 +579,16 @@ class Pipeline:
             name = self.chain[end]
             if name not in ("scaling", "fft", "ifft"):
                 stage = self.filters[name]
-                is_deconv = stage.is_deconvolution
-                if not is_deconv:
-                    has_custom = True
-                if stage.active and not stage.fusable:
-                    if is_deconv and has_custom:
-                        forced_identity.add(end)
-                    else:
+                if stage.is_deconvolution:
+                    if stage.active:
+                        if has_custom:
+                            forced_identity.add(end)
+                        else:
+                            break  # the trigger: run it in the tail
+                else:
+                    if end >= req_start:
+                        has_custom = True
+                    if stage.active and not stage.fusable:
                         break
             end += 1
         return end, has_custom, frozenset(forced_identity)
@@ -730,37 +758,57 @@ class Pipeline:
 
         self._lean_plan = None
         self._pub_out = None
-        if self.record_timings:
+        final, rawfd = self._run_fused_program(
+            fn, inp,
+            lambda: fn(
+                inp,
+                np.float32(cfg.fft_window[0]),
+                np.float32(cfg.fft_window[1]),
+                stage_params,
+            ),
+            record=self.record_timings,
+        )
+        if rawfd is not None:
+            self._raw_fd_partial = RawFDView(
+                rawfd[0], rawfd[1], rawfd[2], rawfd_scaling
+            )
+        self._commit_fused_slots(
+            final, names, start, end, host_times,
+            record=self.record_timings,
+        )
+
+    def _run_fused_program(self, fn, inp, call, *, record: bool):
+        """Shared dispatch prologue of both fused paths: the chain-timer
+        run mark, first-dispatch compile-phase surfacing, and the
+        dispatched-shape bookkeeping. Returns ``call()``'s outputs."""
+        if record:
             self._timer.mark_run_start()
         shape_key = (id(fn), inp.data.shape, inp.time.shape)
         if shape_key not in self._dispatched:
             self.phase = "compiling"
         try:
-            final, rawfd = fn(
-                inp,
-                np.float32(cfg.fft_window[0]),
-                np.float32(cfg.fft_window[1]),
-                stage_params,
-            )
+            return call()
         finally:
             self._dispatched.add(shape_key)
             self.phase = None
+
+    def _commit_fused_slots(self, final, names, start, end, host_times, *,
+                            record: bool):
+        """Shared dispatch epilogue: VIRTUAL-slot sparse materialization,
+        per-slot host time axes, the one honest fused ``chain`` ms, and
+        the stale marking that schedules the idle per-stage refresh."""
         for off in range(len(names) - 1):
             self.slots[start + off] = VIRTUAL
             self._host_time[start + off] = host_times[off]
         self.slots[end - 1] = final
         self._host_time[end - 1] = host_times[-1]
-        if rawfd is not None:
-            self._raw_fd_partial = RawFDView(
-                rawfd[0], rawfd[1], rawfd[2], rawfd_scaling
-            )
-        if self.record_timings:
+        if record:
             # one program = one honest device-time number; per-stage ms
             # keep their last exact-mode values (class docstring) and are
-            # marked stale until the next idle refresh
+            # marked stale until the next idle refresh — every stage in
+            # the fused range (including ones with no entry yet) needs
+            # that refresh to show a current ms
             self._timer.record("chain", final.data)
-            # every stage in the fused range (including ones with no
-            # entry yet) needs an idle refresh to show a current ms
             self.timings_stale.update(names)
 
     def _dispatch_lean(self, pub, epoch, *, record: bool):
@@ -773,13 +821,9 @@ class Pipeline:
         start, end, names = plan["start"], plan["end"], plan["names"]
         host_times = plan["host_times"]
         wl, wh = plan["window"]
-        if record:
-            self._timer.mark_run_start()
-        shape_key = (id(fn), inp.data.shape, inp.time.shape)
-        if shape_key not in self._dispatched:
-            self.phase = "compiling"
-        try:
-            final, pub_out = fn(
+        final, pub_out = self._run_fused_program(
+            fn, inp,
+            lambda: fn(
                 inp,
                 self.slots[0].data,
                 self.slots[0].time,
@@ -787,21 +831,15 @@ class Pipeline:
                 wh,
                 plan["stage_params"],
                 pub,
-            )
-        finally:
-            self._dispatched.add(shape_key)
-            self.phase = None
-        for off in range(len(names) - 1):
-            self.slots[start + off] = VIRTUAL
-            self._host_time[start + off] = host_times[off]
-        self.slots[end - 1] = final
-        self._host_time[end - 1] = host_times[-1]
+            ),
+            record=record,
+        )
         self._raw_fd_partial = None  # publish outputs carry the slices
         self._pub_out = pub_out
         self._pub_epoch = epoch
-        if record:
-            self._timer.record("chain", final.data)
-            self.timings_stale.update(names)
+        self._commit_fused_slots(
+            final, names, start, end, host_times, record=record
+        )
 
     def lean_publish(self):
         """Host copy of the publish outputs for the current publish
