@@ -596,3 +596,55 @@ def test_fusable_deconvolution_extension_respects_suppression(tmp_path):
         assert not np.allclose(np.asarray(ex.pipeline.output.data), base)
     finally:
         _REGISTRY.pop("fusable_deconv", None)
+
+
+def test_show_data_extension_contract(tmp_path):
+    """``show_data`` extensions get the reference contract
+    (``data_thread.rs:858,1322-1334``): a fully populated final dataset
+    (even in lean mode, where the final slot's spectra are None) and the
+    pixel in the final slot's DOWNSCALED coordinates; negative clicks
+    are sanitized at the entry point."""
+    from thz_image_explorer_tpu.pipeline.stage import (
+        _REGISTRY,
+        FilterConfig,
+        FilterDomain,
+        FilterStage,
+        register_filter,
+    )
+
+    seen = []
+
+    @register_filter
+    class PreviewProbe(FilterStage):
+        def __init__(self):
+            self.active = False
+
+        def config(self):
+            return FilterConfig(name="Preview Probe", description="x",
+                                domain=FilterDomain.TIME_AFTER_FFT)
+
+        def show_data(self, cube, pixel):
+            seen.append((cube.amplitudes is not None, pixel))
+
+        def apply(self, cube, ctx):
+            return cube
+
+    try:
+        t, raw = synthetic_scan(width=20, height=20, n_time=64)
+        path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+        ex = Explorer()
+        ex.open_file(path)
+        ex.set_downscaling(2)
+        seen.clear()
+        ex.set_selected_pixel(15, 12)
+        assert seen, "show_data never called for the overriding extension"
+        has_spectra, pixel = seen[-1]
+        assert has_spectra, "show_data saw a lean slot with None spectra"
+        assert pixel == (7, 6)  # divided by the slot's scaling
+        seen.clear()
+        ex.set_selected_pixel(-3, 10**6)  # sanitized + clamped
+        _h, pixel = seen[-1]
+        assert pixel[0] == 0 and pixel[1] <= 9
+        assert ex.pixel_selected[0] == 0
+    finally:
+        _REGISTRY.pop("preview_probe", None)

@@ -170,6 +170,7 @@ class Explorer:
         self.reference_selection = ""
         self.sample_thickness = 1.0  # (application.rs:184)
         self._opt_active = False  # set by _lean_pub_provider per publish
+        self._warned_optical: set = set()  # once-per-mismatch log guard
         self.image: Optional[np.ndarray] = None
         self.file_path: Optional[str] = None
         self.housekeeping = HouseKeeping()
@@ -272,7 +273,7 @@ class Explorer:
         v0 = self.pipeline.valid_wh0 or (inp.width, inp.height)
         positions, rgba, *_ = extract_instances(
             out.data,
-            time_span=float(t[-1] - t[0]),
+            time_span=float(t[-1] - t[0]) if len(t) > 1 else 1.0,
             scaling=out.scaling,
             original_dims=(v0[0], v0[1], inp.n_time),
             valid_grid=self.pipeline.valid_for(out),
@@ -533,12 +534,39 @@ class Explorer:
     # ------------------------------------------------------- selection
     def set_selected_pixel(self, x: int, y: int):
         """Cheap path: re-publish plot slices only
-        (``data_thread.rs:853-903``)."""
-        self.pixel_selected = [x, y]
-        for f in self.pipeline.filters.values():
-            out = self.pipeline.output
+        (``data_thread.rs:853-903``). Coordinates are sanitized here —
+        the single entry point — so every publish path (device gathers
+        clamp negatives to 0, the numpy fallback would wrap to the
+        opposite edge) sees the same non-negative ints.
+
+        ``show_data`` is an extension-only preview hook (no builtin
+        overrides it): stages that override get the reference contract —
+        a fully populated final dataset (``data_thread.rs:1322-1334``)
+        and the pixel in the FINAL slot's downscaled coordinates
+        (``data_thread.rs:858`` divides by ``data.scaling``)."""
+        from thz_image_explorer_tpu.pipeline.stage import FilterStage
+
+        self.pixel_selected = [max(int(x), 0), max(int(y), 0)]
+        overriders = [
+            f for f in self.pipeline.filters.values()
+            if type(f).show_data is not FilterStage.show_data
+        ]
+        if overriders:
+            out = self.pipeline.materialize_output()
             if out is not None:
-                f.show_data(out, tuple(self.pixel_selected))
+                s = max(out.scaling, 1)
+                # clamp into the VALID region of a bucket-padded grid —
+                # padded pixels hold zeros, not scan data
+                vw, vh = (
+                    self.pipeline.valid_for(out)
+                    or (out.width, out.height)
+                )
+                px = (
+                    min(self.pixel_selected[0] // s, vw - 1),
+                    min(self.pixel_selected[1] // s, vh - 1),
+                )
+                for f in overriders:
+                    f.show_data(out, px)
         self.publish()
 
     # ------------------------------------------------------- ROIs
@@ -710,13 +738,21 @@ class Explorer:
                 return None
             if len(data[1]) != nf:
                 # loud, like the reference's mismatch warning
-                # (data_thread.rs:405-412) — never a silent skip
-                log.warning(
-                    "optical selection %r skipped: its spectrum has %d "
-                    "frequency bins but the scan has %d (different time "
-                    "axis); reload it after opening this scan",
-                    self._label_for(uuid), len(data[1]), nf,
-                )
+                # (data_thread.rs:405-412) — never a silent skip. Warned
+                # ONCE per (selection, bin-count): the resolver runs on
+                # every interactive publish, and a slider drag must not
+                # flood the log with duplicates (the reference warns at
+                # load time only)
+                wkey = (uuid, len(data[1]), nf)
+                if wkey not in self._warned_optical:
+                    self._warned_optical.add(wkey)
+                    log.warning(
+                        "optical selection %r skipped: its spectrum has "
+                        "%d frequency bins but the scan has %d "
+                        "(different time axis); reload it after opening "
+                        "this scan",
+                        self._label_for(uuid), len(data[1]), nf,
+                    )
                 return None
             _trace, amp, ph = data
             return "pseudo", 0, np.stack([amp, ph]).astype(np.float32)
@@ -767,16 +803,6 @@ class Explorer:
         indices, so it needs R >= 1 even with no ROIs)."""
         shape = tuple(shape)
         valid = tuple(valid)
-        key = (
-            tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
-            shape,
-            valid,
-            scaling,
-            min_r,
-        )
-        cached = getattr(self, "_mask_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
         # bucket the ROI COUNT to a multiple of 4 with all-zero masks
         # (masked_mean_stack yields zeros for them): the mask-stack
         # shape is static in the publish/chain program, so without this
@@ -784,6 +810,20 @@ class Explorer:
         # ROI on a remote-compile TPU
         r = len(poly_rois)
         r_total = max(min_r, r + (-r % 4)) if (r or min_r) else 0
+        # the cache keys on the RESULT geometry (r_total), not min_r:
+        # the lean (min_r=4) and standalone (min_r=0) publish paths
+        # usually produce identical stacks and must share the entry
+        # instead of evicting each other on every mode switch
+        key = (
+            tuple((u, tuple(map(tuple, poly))) for u, _n, poly in poly_rois),
+            shape,
+            valid,
+            scaling,
+            r_total,
+        )
+        cached = getattr(self, "_mask_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         stack = np.zeros((r_total,) + shape, np.float32)
         for i, (_u, _n, poly) in enumerate(poly_rois):
             m = np.asarray(polygon_mask(poly, valid, scaling), np.float32)
@@ -872,8 +912,23 @@ def _align_reference(
     ):
         return signal
     target_len = len(scan_time)
+    # the reference is LOUD about both adjustments
+    # (data_thread.rs:405-425): the resize notice and the dt mismatch
+    # (offset placement is only exact for matching sample steps)
+    if len(signal) != target_len:
+        log.warning(
+            "reference pulse resized from %d to %d samples to match the "
+            "scan's time axis", len(signal), target_len,
+        )
     if len(scan_time) > 1 and len(time) > 1:
         ref_dt = time[1] - time[0]
+        scan_dt = scan_time[1] - scan_time[0]
+        if abs(float(ref_dt) - float(scan_dt)) > 1e-9:
+            log.warning(
+                "time steps of scan (%.4g ps) and reference (%.4g ps) do "
+                "not match; the aligned reference trace is approximate",
+                float(scan_dt), float(ref_dt),
+            )
         offset = int(np.round((scan_time[0] - time[0]) / ref_dt))
         out = np.zeros(target_len, np.float32)
         src_start = offset if offset > 0 else 0
