@@ -64,6 +64,21 @@ def _publish_program(
     ref_mode: str,  # none | roi | pseudo
     samp_mode: str,  # roi | pixel | pseudo
 ):
+    """Standalone publish over MATERIALIZED slots (exact mode / lean off).
+
+    INVARIANT: this body and :func:`compute_publish_traced` are the same
+    publication contract expressed twice — once over materialized slot
+    arrays with STATIC optical selectors (cheap here: a recompile costs
+    one small program), once over in-program chain temporaries with
+    TRACED selectors (mandatory there: a recompile would rebuild the
+    whole fused chain).  They are deliberately NOT merged: a shared core
+    would need a knob per divergence (selector staticness, the
+    ``phases_encoded`` finish, the specred source) in parity-critical
+    code.  Any change to the published keys or reduction math must be
+    made in BOTH bodies; the equivalence is pinned by the random
+    fused-vs-exact sweeps ``tests/test_pipeline.py::
+    test_fused_matches_exact_random_configs`` (and ``_specred``).
+    """
     n_time = f_data.shape[-1]
     roi_amp = masked_mean_stack(f_amp, masks)
     roi_ph = masked_mean_stack(f_ph, masks)
@@ -158,6 +173,8 @@ def compute_publish_traced(
     slots), the optical reference/sample selectors are TRACED int codes
     (0=none/zeros, 1=roi, 2=pseudo, 3=selected-pixel) — changing the
     optical selection must not recompile the whole chain program.
+    See the INVARIANT note on :func:`_publish_program`: the two bodies
+    are one contract expressed twice; edit both together.
 
     ``phases_encoded``: the chain ran ``forward_fft(lean_phases=True)``,
     so every phase cube/mean carries :func:`phase_increments` — the
