@@ -144,6 +144,104 @@ def test_product_executor_specred_matches(monkeypatch, tmp_path):
     )
 
 
+def _break_kernel(monkeypatch):
+    """Arm the latch test: specred forced on, the kernel raising (as an
+    opaque remote-Mosaic rejection would), latch restored on teardown."""
+    from thz_image_explorer_tpu.ops import pallas_specred as psr
+
+    monkeypatch.setattr(psr, "_RUNTIME_BROKEN", [False])
+    monkeypatch.setenv("THZ_SPECRED", "1")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+
+    def boom(*a, **k):
+        raise RuntimeError("Mosaic failed to legalize (simulated)")
+
+    monkeypatch.setattr(psr, "lean_spectral_outputs", boom)
+    return psr
+
+
+def test_lean_update_specred_compile_failure_falls_back(monkeypatch):
+    """A specred kernel failure at first compile must NOT kill the bench
+    step: lean_update latches the kernel off process-wide and retries
+    with the XLA reductions, producing identical outputs."""
+    import jax.numpy as jnp
+
+    from make_sample import synthetic_scan
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig, StepParams, lean_update,
+    )
+
+    t, raw = synthetic_scan(width=10, height=8, n_time=64)
+    data = np.pad(np.asarray(raw, np.float32), ((0, 6), (0, 8), (0, 0)))
+    cube = make_cube(t, data, dx=0.5, dy=0.5, valid_wh=(10, 8))
+    params = StepParams.defaults()
+    cfg = StepConfig(fd_active=True, notch_active=True)
+    masks = np.zeros((2, 16, 16), np.float32)
+    masks[0, 2:6, 2:6] = 1.0
+    pix = jnp.asarray([3, 4], jnp.int32)
+
+    monkeypatch.setenv("THZ_SPECRED", "0")
+    ref = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+
+    psr = _break_kernel(monkeypatch)
+    got = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    assert psr.is_runtime_broken()
+    for k in ("avg_amp", "avg_ph", "roi_amp", "roi_ph", "img"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]),
+            atol=5e-5, rtol=1e-4, err_msg=k,
+        )
+    # non-specred failures must re-raise, not loop
+    psr._RUNTIME_BROKEN[0] = False
+    monkeypatch.setenv("THZ_SPECRED", "0")
+
+    def boom2(*a, **k):
+        raise RuntimeError("unrelated")
+
+    from thz_image_explorer_tpu.parallel import step as step_mod
+
+    monkeypatch.setattr(step_mod, "_lean_update_jit", boom2)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+    assert not psr.is_runtime_broken()
+
+
+def test_product_executor_specred_compile_failure_falls_back(
+    monkeypatch, tmp_path
+):
+    """The PRODUCT lean dispatch survives a specred kernel failure: the
+    executor rebuilds the merged program with the XLA reductions in
+    place and the published plot values are unchanged."""
+    from make_sample import synthetic_scan, write_scan_thz
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    t, raw = synthetic_scan(width=18, height=14, n_time=64)
+    path = write_scan_thz(str(tmp_path / "s.thzimg"), t, raw)
+
+    def drive():
+        ex = Explorer()
+        ex.open_file(path)
+        ex.set_filter_active("frequency_band_pass", True)
+        ex.add_roi("u1", "r1", [(1, 1), (8, 1), (8, 8)])
+        ex.set_selected_pixel(3, 4)
+        ex.set_fft_window_low(1.1)  # fused lean run
+        return ex.plot
+
+    monkeypatch.setenv("THZ_SPECRED", "0")
+    ref = drive()
+
+    psr = _break_kernel(monkeypatch)
+    got = drive()
+    assert psr.is_runtime_broken()
+    for k in ("avg_signal_fft", "avg_phase_fft", "filtered_signal_fft",
+              "filtered_phase_fft", "signal_fft", "phase_fft"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, k)), np.asarray(getattr(ref, k)),
+            atol=5e-5, rtol=1e-4, err_msg=k,
+        )
+
+
 def test_fd_weight_vector_contract():
     """Every FD builtin's fused_apply must equal multiplying the
     spectrum by its fd_weight_vector — the factorization the one-pass

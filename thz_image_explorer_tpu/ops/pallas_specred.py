@@ -121,10 +121,39 @@ def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool,
     return tuple(out) + (None,) * (4 - n_out)
 
 
+# Process-wide fallback latch: the Mosaic compiler on the remote TPU
+# runtime can reject kernels that interpret mode accepts (CLAUDE.md:
+# "big lane-shift unrolls fail the remote compiler opaquely"). The first
+# dispatch failure of a specred-bearing program trips this latch and the
+# caller rebuilds without the kernel (pipeline/executor._dispatch_lean,
+# parallel/step.lean_update) — the product degrades to the XLA
+# mask-matmul reductions instead of a dead interactive path.
+_RUNTIME_BROKEN: list = [False]
+
+
+def mark_runtime_broken(err: BaseException) -> None:
+    """Latch the kernel off for the rest of the process, loudly."""
+    if not _RUNTIME_BROKEN[0]:
+        _RUNTIME_BROKEN[0] = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "one-pass spectral-reduction kernel failed at compile/run "
+            "time; falling back to XLA reductions for this process: %s",
+            err,
+        )
+
+
+def is_runtime_broken() -> bool:
+    return _RUNTIME_BROKEN[0]
+
+
 def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
     """Host-side dispatch predicate (the kernel is single-device)."""
     import os
 
+    if _RUNTIME_BROKEN[0]:
+        return False
     if os.environ.get("THZ_SPECRED", "1") == "0":
         return False
     if sharded or n_masks > 16:

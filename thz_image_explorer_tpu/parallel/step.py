@@ -195,8 +195,22 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
     and the published phase vectors are finished with tiny cumsums after
     the reductions — mathematically identical (cumsum is linear), see
     ``ops/fourier.phase_increments``."""
-    cfg = _resolve_cfg(cube, cfg, masks)
-    return _lean_update_jit(cube, params, cfg, masks, pix)
+    rcfg = _resolve_cfg(cube, cfg, masks)
+    try:
+        return _lean_update_jit(cube, params, rcfg, masks, pix)
+    except Exception as err:  # noqa: BLE001 — latch-and-retry or reraise
+        from thz_image_explorer_tpu.ops import pallas_specred as _psr
+
+        # same fallback as pipeline/executor._dispatch_lean: a
+        # specred-bearing program failing its first real (non-interpret)
+        # compile latches the kernel off and the XLA-reductions variant
+        # is dispatched instead; non-specred failures re-raise
+        if not rcfg.specred or _psr.is_runtime_broken():
+            raise
+        _psr.mark_runtime_broken(err)
+        return _lean_update_jit(
+            cube, params, _resolve_cfg(cube, cfg, masks), masks, pix
+        )
 
 
 def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
