@@ -110,6 +110,42 @@ def test_plan_bands_guards():
     assert plan_bands(params, psf, t, (20, 18), 0.01, 0.01) is None
 
 
+class _ConstFit:
+    def __init__(self, v):
+        self.v = np.float32(v)
+
+    def eval(self, f):
+        return np.full(np.asarray(f).shape, self.v, np.float32)
+
+    eval_const_extrap = eval
+
+
+def test_plan_bands_psf_canvas_must_fit_the_axis_it_pads():
+    """The reference caps a band's x spatial range against img_COLS
+    (deconvolution.rs:920-951), so on a strongly asymmetric scan the
+    regridded canvas pad (k//2, in integer mm) can reach the ROW axis it
+    actually pads; the reference then panics out of bounds in its
+    reflective pad (deconvolution.rs:646-648). plan_bands must refuse
+    (pass-through) instead of silently clipping the reflect-pad matrix."""
+    wide = type(
+        "StubPSF", (), {
+            "is_loaded": True,
+            "wx_fit": _ConstFit(7.0),  # 7 mm beam -> ~21 mm spatial range
+            "wy_fit": _ConstFit(1.0),
+            "x0_spline": _ConstFit(0.0),
+            "y0_spline": _ConstFit(0.0),
+        },
+    )()
+    t, _ = _small_cube(n=128)
+    params = DeconvolutionParams(n_filters=3, n_iterations=4)
+    # 20 rows: pad_r = floor(21 mm) = 21 >= 20 -> refused
+    assert plan_bands(params, wide, t, (20, 200), 0.5, 0.5) is None
+    # the same beam on a tall-enough image plans fine
+    geo = plan_bands(params, wide, t, (64, 200), 0.5, 0.5)
+    assert geo is not None
+    assert int(geo.pad_r.max()) < 64 and int(geo.pad_c.max()) < 200
+
+
 # ---------------------------------------------------------------- device vs oracle
 @needs_psf
 def test_deconvolve_matches_oracle():

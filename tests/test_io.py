@@ -102,6 +102,46 @@ def test_roi_metadata_roundtrip():
     assert "ROI 0" not in md.md
 
 
+def test_roi_metadata_draft_roi_keeps_index_alignment():
+    """A draft ROI (coords=None) must leave an EMPTY label slot so later
+    'ROI {i}' keys stay aligned with the label list (data_thread.rs:
+    119-127 emits a bare comma) — compacting would silently drop every
+    ROI after the draft on round-trip."""
+    md = DotthzMetadata()
+    md.set_rois({
+        "u1": ("draft", None),
+        "u2": ("real", [(1, 2), (3, 4)]),
+    })
+    assert md.md["ROI Labels"] == ",real"
+    assert "ROI 0" not in md.md
+    assert md.md["ROI 1"] == "[1,2],[3,4]"
+    assert md.get_rois() == [("real", [(1, 2), (3, 4)])]
+
+
+def test_roi_metadata_parse_is_tolerant():
+    """Float / malformed coordinate tokens must parse like the reference
+    (data_thread.rs:656-676: f64 filter_map, pairs-only, cast to usize)
+    instead of raising and aborting the scan open."""
+    md = DotthzMetadata()
+    md.md["ROI Labels"] = "a,b,c"
+    md.md["ROI 0"] = "[1.5,2.9],[3,4]"        # floats -> truncate
+    md.md["ROI 1"] = "[1,2,3],[x,5],[6,7]"    # bad points dropped
+    md.md["ROI 2"] = "garbage"                # fully invalid -> no ROI
+    got = md.get_rois()
+    assert got == [("a", [(1, 2), (3, 4)]), ("b", [(6, 7)])]
+
+
+def test_attr_str_integral_floats_match_rust_display():
+    """HDF5 numeric attrs print through Rust Display: 100.0 -> '100'
+    (io.rs:565 then parses width/height as usize); 0.5 stays '0.5'."""
+    from thz_image_explorer_tpu.io.dotthz import _attr_str
+
+    assert _attr_str(np.float64(100.0)) == "100"
+    assert _attr_str(np.float32(0.5)) == "0.5"
+    assert _attr_str(np.array([7.0])) == "7"
+    assert _attr_str(-3.0) == "-3"
+
+
 @pytest.mark.skipif(not os.path.exists(REF_KNIFE_X), reason="fixture missing")
 def test_real_knife_edge_file_first_group():
     """The real (non-LFS) knife-edge fixture parses as a pulse group."""

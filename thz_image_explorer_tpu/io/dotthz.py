@@ -60,15 +60,27 @@ class DotthzMetadata:
         labels = []
         for i, (_uuid, (label, coords)) in enumerate(rois.items()):
             if coords is None:
+                # keep the label slot EMPTY but present, so "ROI {i}"
+                # indices stay aligned with the label list — the
+                # reference emits a bare comma for draft ROIs
+                # (data_thread.rs:119-127); compacting the list here
+                # would silently re-key every later ROI
+                labels.append("")
                 continue
             labels.append(label)
             self.md[f"ROI {i}"] = ",".join(f"[{x},{y}]" for x, y in coords)
         self.md["ROI Labels"] = ",".join(labels)
 
     def get_rois(self) -> list[tuple[str, list[tuple[int, int]]]]:
-        """Parse ROI entries back into (label, polygon) pairs."""
-        labels = self.md.get("ROI Labels", "")
-        if not labels:
+        """Parse ROI entries back into (label, polygon) pairs.
+
+        Tolerant like the reference (data_thread.rs:656-676): points are
+        split on "],", values parsed as floats with unparsable tokens
+        dropped, a point kept only when exactly two values survive, and
+        the ROI kept only when its polygon is non-empty — a malformed
+        coordinate never aborts the file open."""
+        labels = self.md.get("ROI Labels")
+        if labels is None:
             return []
         out = []
         for i, label in enumerate(labels.split(",")):
@@ -76,11 +88,20 @@ class DotthzMetadata:
             if not coords_str:
                 continue
             coords = []
-            for part in coords_str.replace("],[", "]|[").split("|"):
-                part = part.strip("[]")
-                xs, ys = part.split(",")
-                coords.append((int(xs), int(ys)))
-            out.append((label, coords))
+            for part in coords_str.split("],"):
+                vals = []
+                for tok in part.strip().strip("[]").split(","):
+                    try:
+                        vals.append(float(tok.strip()))
+                    except ValueError:
+                        continue
+                if len(vals) == 2:
+                    # reference casts f64 -> usize (saturating at 0)
+                    coords.append(
+                        (int(max(vals[0], 0.0)), int(max(vals[1], 0.0)))
+                    )
+            if coords:
+                out.append((label, coords))
         return out
 
 
@@ -94,8 +115,14 @@ def _attr_str(val) -> str:
     if isinstance(val, np.ndarray) and val.size == 1:
         return _attr_str(val.reshape(-1)[0])
     if isinstance(val, (np.floating, float)):
-        # Rust reads HDF5 float attrs through Display; repr matches closely
-        return repr(float(val))
+        # Rust reads HDF5 float attrs through Display, which prints
+        # integral floats WITHOUT the trailing ".0" (100.0f64 -> "100");
+        # repr(float) would yield "100.0" and break downstream integer
+        # parsing (width/height metadata, io.rs:565 parse::<usize>)
+        f = float(val)
+        if f.is_integer() and abs(f) < 1e16:
+            return str(int(f))
+        return repr(f)
     return str(val)
 
 
@@ -243,8 +270,6 @@ def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
 
 def _shape_bucket() -> int:
     """Pixel-grid bucket quantum (env ``THZ_SHAPE_BUCKET``, 0/1 disables)."""
-    import os
-
     try:
         return int(os.environ.get("THZ_SHAPE_BUCKET", "16"))
     except ValueError:

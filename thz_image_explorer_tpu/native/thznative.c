@@ -19,7 +19,18 @@
 #include <stddef.h>
 #include <string.h>
 #include <stdlib.h>
+#include <time.h>
 #include <pthread.h>
+
+/* Absolute CLOCK_REALTIME deadline, computed ONCE per wait (recomputing
+ * per loop iteration would restart the timeout on every spurious or
+ * raced wakeup, letting a timed take block far past timeout_ms). */
+static void thz_deadline(struct timespec *ts, long timeout_ms) {
+    clock_gettime(CLOCK_REALTIME, ts);
+    ts->tv_sec += timeout_ms / 1000;
+    ts->tv_nsec += (timeout_ms % 1000) * 1000000L;
+    if (ts->tv_nsec >= 1000000000L) { ts->tv_sec++; ts->tv_nsec -= 1000000000L; }
+}
 
 /* ------------------------------------------------------------------ */
 /* Polygon rasterization                                               */
@@ -145,30 +156,29 @@ void thz_cmd_slot_put(void *p, uint64_t seq) {
  * 0 on timeout, -1 if closed. timeout_ms < 0 waits forever. */
 int thz_cmd_slot_take(void *p, long timeout_ms, uint64_t *seq) {
     thz_cmd_slot *s = (thz_cmd_slot *)p;
+    struct timespec ts;
+    if (timeout_ms >= 0) thz_deadline(&ts, timeout_ms);
     pthread_mutex_lock(&s->mu);
     while (!s->occupied && !s->closed) {
         if (timeout_ms < 0) {
             pthread_cond_wait(&s->cv, &s->mu);
-        } else {
-            struct timespec ts;
-            clock_gettime(CLOCK_REALTIME, &ts);
-            ts.tv_sec += timeout_ms / 1000;
-            ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
-            if (ts.tv_nsec >= 1000000000L) { ts.tv_sec++; ts.tv_nsec -= 1000000000L; }
-            if (pthread_cond_timedwait(&s->cv, &s->mu, &ts) != 0) {
-                pthread_mutex_unlock(&s->mu);
-                return s->closed ? -1 : 0;
-            }
+        } else if (pthread_cond_timedwait(&s->cv, &s->mu, &ts) != 0) {
+            /* Deadline passed — but decide from the PREDICATE, under the
+             * lock: a put() racing the expiry may have filled the slot,
+             * and returning 0 here would misreport a pending command as
+             * "none" for a whole poll period. */
+            break;
         }
     }
-    if (s->closed && !s->occupied) {
+    if (s->occupied) {
+        *seq = s->seq;
+        s->occupied = 0;
         pthread_mutex_unlock(&s->mu);
-        return -1;
+        return 1;
     }
-    *seq = s->seq;
-    s->occupied = 0;
+    int closed = s->closed; /* read under the lock */
     pthread_mutex_unlock(&s->mu);
-    return 1;
+    return closed ? -1 : 0;
 }
 
 void thz_cmd_slot_close(void *p) {
@@ -268,26 +278,20 @@ int thz_cmd_queue_push(void *p, uint64_t seq) {
  * -1 when closed and empty. timeout_ms < 0 waits forever. */
 int thz_cmd_queue_pop(void *p, long timeout_ms, uint64_t *seq) {
     thz_cmd_queue *q = (thz_cmd_queue *)p;
+    struct timespec ts;
+    if (timeout_ms >= 0) thz_deadline(&ts, timeout_ms);
     pthread_mutex_lock(&q->mu);
     while (!q->head && !q->closed) {
         if (timeout_ms < 0) {
             pthread_cond_wait(&q->cv, &q->mu);
-        } else {
-            struct timespec ts;
-            clock_gettime(CLOCK_REALTIME, &ts);
-            ts.tv_sec += timeout_ms / 1000;
-            ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
-            if (ts.tv_nsec >= 1000000000L) { ts.tv_sec++; ts.tv_nsec -= 1000000000L; }
-            if (pthread_cond_timedwait(&q->cv, &q->mu, &ts) != 0) {
-                int closed = q->closed && !q->head;
-                pthread_mutex_unlock(&q->mu);
-                return closed ? -1 : 0;
-            }
+        } else if (pthread_cond_timedwait(&q->cv, &q->mu, &ts) != 0) {
+            break; /* deadline passed: decide from the predicate below */
         }
     }
-    if (!q->head) { /* closed and empty */
+    if (!q->head) { /* timed out, or closed and empty */
+        int closed = q->closed;
         pthread_mutex_unlock(&q->mu);
-        return -1;
+        return closed ? -1 : 0;
     }
     thz_q_node *n = q->head;
     *seq = n->seq;

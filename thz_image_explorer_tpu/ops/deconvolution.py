@@ -198,6 +198,16 @@ def plan_bands(
 
     kr = np.array([len(p) for p in px_list], np.int32)
     kc = np.array([len(p) for p in py_list], np.int32)
+    # The spatial-range cap above reproduces the reference's axis quirk
+    # (cr_x capped by img_COLS, deconvolution.rs:920-951), so on a
+    # strongly asymmetric scan a band's reflect pad (k//2) can reach or
+    # exceed the axis it pads; there the reference PANICS out of bounds
+    # in its reflective pad (deconvolution.rs:646-648). A single-fold
+    # reflection needs pad <= dim-1 — degrade to pass-through instead of
+    # letting _reflect_pad_matrix silently clip rows to the image edge
+    # and corrupt the gains.
+    if int(kr.max()) // 2 >= img_rows or int(kc.max()) // 2 >= img_cols:
+        return None
     kr_max = int(kr.max())
     kc_max = int(kc.max())
     # canvas dims must stay odd so centred embedding preserves the centre
@@ -665,14 +675,12 @@ def _plan_dispatch(data, geometry, chunk_size: int, rl_impl: str | None):
 
 
 def deconv_cost_analysis(data, geometry, chunk_size: int = 5,
-                         rl_impl: str | None = None) -> Optional[float]:
+                         rl_impl: str | None = None) -> float:
     """Total XLA-reported FLOPs of one :func:`deconvolve_cube` run (the
     bench roofline/MFU denominator): sums ``cost_analysis()['flops']`` of
     the three compiled programs (spectra prep, gains chunks, spectral band
     sum) at the exact shapes a run dispatches. AOT compiles here hit the
     persistent compilation cache when the run itself already compiled."""
-    import jax
-
     plan = _plan_dispatch(data, geometry, chunk_size, rl_impl)
 
     def flops_of(compiled) -> float:

@@ -16,7 +16,6 @@ import numpy as np
 
 C_LIGHT = 299_792_458.0  # m/s
 FOCAL_LENGTH_MM = 152.4  # 6 inches, measured at 1 THz (diagnostics.rs:6)
-FREQ_REF_HZ = 1.0e12
 
 
 def _linear_fit(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
