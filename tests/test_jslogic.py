@@ -33,13 +33,23 @@ def test_roi_close_uses_larger_dimension():
     assert not jl.roi_click_closes((0, 0), (4, 0), (10, 10))  # tol = 0.5
 
 
-def test_display_to_pixel_flip():
-    """Click mapping flips y: the displayed row 0 is data y = H-1
-    (matrix_plot.rs:409-426)."""
-    assert jl.display_to_pixel(0.0, 0.0, 2.0, 20) == (0, 19)
-    assert jl.display_to_pixel(5.0, 38.0, 2.0, 20) == (2, 0)
+def test_display_to_plot_flip():
+    """ROI vertices live in plot coords: x = column, y = vertically
+    flipped row (egui plot y-up; matrix_plot.rs:585,605-613)."""
+    assert jl.display_to_plot(0.0, 0.0, 2.0, 20) == (0, 19)
+    assert jl.display_to_plot(5.0, 38.0, 2.0, 20) == (2, 0)
     # floor, not round
-    assert jl.display_to_pixel(3.9, 0.0, 2.0, 20)[0] == 1
+    assert jl.display_to_plot(3.9, 0.0, 2.0, 20)[0] == 1
+
+
+def test_display_to_pixel_is_row_col():
+    """Pixel select: plot x -> data y and inverted plot y -> data x
+    (matrix_plot.rs:610-613) — composed with the plot mapping the flips
+    cancel, so data pixel = (row, column) of the canvas."""
+    assert jl.display_to_pixel(0.0, 0.0, 2.0, 20) == (0, 0)
+    assert jl.display_to_pixel(5.0, 38.0, 2.0, 20) == (19, 2)
+    # canvas row r maps straight to data x = r
+    assert jl.display_to_pixel(0.0, 7.9, 2.0, 20) == (3, 0)
 
 
 def test_gauge_mapping():
@@ -90,7 +100,14 @@ def test_js_click_mapping_matches_mirror():
         r"const x = Math\.floor\(\(ev\.clientX-r\.left\)/imgScale\);\s*"
         r"const y = H-1-Math\.floor\(\(ev\.clientY-r\.top\)/imgScale\);",
         web.PAGE,
-    ), "the page's click->pixel mapping (floor + y flip) drifted"
+    ), "the page's click->plot-coord mapping (floor + y flip) drifted"
+    # plot-space H is the canvas pixel height = data width (x size); both
+    # handlers must use image_shape[0], not [1] (the round-4 orientation
+    # bug fed data coords into the plot-coord rasterizer)
+    assert len(re.findall(r"const H = S\.image_shape\[0\];", web.PAGE)) >= 3
+    assert not re.search(r"S\.image_shape\[1\];", web.PAGE)
+    # pixel select converts plot -> data pixel (matrix_plot.rs:610-613)
+    assert "cmd('set_selected_pixel', [H-1-y, x]);" in web.PAGE
 
 
 def test_js_gauge_constants_match_mirror():

@@ -291,6 +291,26 @@ def test_diagnostics_input_validation():
         DiagnosticResults.compute([1.0], [1.0, 2.0], [1.0])
 
 
+def test_knife_edge_loader_pads_short_traces(tmp_path):
+    """A truncated later group loads degraded, not crashing: the reference
+    copies each trace into an Array2::zeros sized by the FIRST group's
+    time axis (data_loader.rs:99-104), zero-padding short tails — round-4
+    review found np.asarray raising on the ragged list instead."""
+    import h5py
+
+    path = str(tmp_path / "knife.thz")
+    t = np.linspace(0.0, 10.0, 50)
+    with h5py.File(path, "w") as f:
+        for i, (pos, n) in enumerate([(-1.0, 50), (0.0, 30), (1.0, 50)]):
+            g = f.create_group(f"Beam Width Measurement x={pos}")
+            g.create_dataset("ds", data=np.stack([t[:n], np.ones(n) * (i + 1)], 1))
+    m = KnifeEdgeMeasurement.from_thz_file(path)
+    assert m.time_traces.shape == (3, 50)
+    np.testing.assert_allclose(m.time_traces[1, :30], 2.0)
+    np.testing.assert_allclose(m.time_traces[1, 30:], 0.0)  # zero-padded
+    np.testing.assert_allclose(m.positions, [-1.0, 0.0, 1.0])
+
+
 # ------------------------------------------------------------------ real data
 @needs_data
 def test_real_knife_edge_full_pipeline(tmp_path):

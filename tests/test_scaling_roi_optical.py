@@ -105,11 +105,68 @@ def test_polygon_mask_native_matches_python(monkeypatch):
     np.testing.assert_array_equal(native_mask, py_mask)
 
 
+def test_polygon_mask_negative_coords_fallback_matches_native(monkeypatch):
+    """A vertex dragged past the image edge goes negative; the Rust
+    release build wraps it mod 2^64 (math_tools.rs:574-609) so the bbox
+    clamp pins it to size-1. The pure-Python fallback must reproduce the
+    wrap instead of indexing out of bounds (round-4 review finding)."""
+    polygon = [(-2, -2), (5, -2), (5, 5), (-2, 5)]
+    native_mask = roi.polygon_mask(polygon, (8, 8))
+    # with scaling: the wrapped value is divided, not the signed one
+    native_s = roi.polygon_mask(polygon, (8, 8), scaling=2)
+    monkeypatch.setattr(roi.native, "load", lambda: None)
+    py_mask = roi.polygon_mask(polygon, (8, 8))
+    py_s = roi.polygon_mask(polygon, (8, 8), scaling=2)
+    np.testing.assert_array_equal(native_mask, py_mask)
+    np.testing.assert_array_equal(native_s, py_s)
+
+
 def test_polygon_mask_scaling_division():
     polygon = [(2, 2), (12, 2), (12, 10), (2, 10)]
     m1 = roi.polygon_mask(polygon, (8, 8), scaling=2)
     m2 = roi.polygon_mask([(1, 1), (6, 1), (6, 5), (1, 5)], (8, 8), scaling=1)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_roi_click_to_mask_selects_drawn_pixels():
+    """End-to-end orientation regression (round-4 review finding): a ROI
+    drawn on the canvas around a hot stripe must average exactly those
+    data pixels.
+
+    The canvas shows ``screen[(r, c)] = data[(r, c)]``
+    (``viz.colormap.intensity_image_rgba``), clicks become PLOT coords via
+    ``jslogic.display_to_plot`` (mirroring the page JS), and
+    ``polygon_mask`` consumes plot coords with the reference's swap/flip
+    (``math_tools.rs:611-648``). Before the fix the page emitted DATA
+    coords, so the rasterized mask selected transposed pixels — for this
+    stripe, an all-zero trace instead of the hot value."""
+    from thz_image_explorer_tpu.viz import jslogic as jl
+    from thz_image_explorer_tpu.viz.colormap import intensity_image_rgba
+
+    X, Y, T = 5, 3, 4
+    data = np.zeros((X, Y, T), np.float32)
+    data[2, :, :] = 7.0  # hot stripe at data x=2, every y
+
+    # the user sees the stripe on canvas row 2 (screen row = data x)
+    rgba = intensity_image_rgba(data[:, :, 0])
+    red_rows = np.unique(np.nonzero(rgba[:, :, 0] == 255)[0])
+    np.testing.assert_array_equal(red_rows, [2])
+
+    # shift-clicks around the stripe: canvas (col, row) px at scale 1;
+    # display_to_plot(image_h = canvas pixel rows = X)
+    clicks = [(0.5, 2.5), (3.5, 2.5), (3.5, 1.5), (0.5, 1.5)]
+    polygon = [jl.display_to_plot(cx, cy, 1.0, X) for cx, cy in clicks]
+    assert polygon == [(0, 2), (3, 2), (3, 3), (0, 3)]
+
+    mask = roi.polygon_mask(polygon, (X, Y))
+    expected = np.zeros((X, Y), bool)
+    expected[2, :] = True  # exactly the hot stripe
+    np.testing.assert_array_equal(mask, expected)
+
+    trace = np.asarray(
+        roi.masked_mean_trace(jnp.asarray(data), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(trace, 7.0)
 
 
 def test_optical_properties_formulas():

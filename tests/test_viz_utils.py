@@ -46,12 +46,16 @@ def test_colormap_hot_is_red():
 
 
 def test_intensity_image_rgba_orientation():
+    """Reference on-screen layout: screen[(r, c)] = data[(r, c)] — the
+    texture swap (matrix_plot.rs:405-426) and the plot's y-up axis cancel,
+    so the hottest data pixel (x, y) lights canvas row x, column y."""
     img = np.zeros((4, 3))
     img[3, 0] = 1.0  # hottest pixel at (x=3, y=0)
     rgba = intensity_image_rgba(img)
-    assert rgba.shape == (3, 4, 4)
-    # display[(y, x)] with vertical flip: y=0 -> row 2
-    assert rgba[2, 3, 0] == 255  # red at the flipped position
+    assert rgba.shape == (4, 3, 4)
+    assert rgba[3, 0, 0] == 255  # red at row 3, column 0
+    # every other pixel is cold (blue-ish), i.e. no transpose/flip applied
+    assert (rgba[:3, :, 0] < 255).all() and (rgba[3, 1:, 0] < 255).all()
 
 
 # ------------------------------------------------------- plot math
@@ -72,6 +76,10 @@ def test_fft_plot_floor():
     amp2 = np.array([10.0, 1.0, 0.001, 0.00001])
     out2 = fft_plot_series(amp2, reference_amplitudes=amp, log_plot=True)
     np.testing.assert_allclose(out2[3], 20 * np.log10(floor))
+    # an exact-zero bin under a zero floor is -inf like the reference's
+    # log10 (center_panel.rs:224-231); web.py maps it to null for JSON
+    out3 = fft_plot_series(np.array([1.0, 0.0]), log_plot=True)
+    assert out3[1] == -np.inf and out3[0] == 0.0
 
 
 def test_dr_and_ptp():

@@ -9,6 +9,8 @@ On TPU this is a fused reduction epilogue of whatever stage produced
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -17,9 +19,6 @@ import jax.numpy as jnp
 def intensity_image(data: jnp.ndarray) -> jnp.ndarray:
     """Sum of squares along the time axis."""
     return jnp.sum(data * data, axis=-1)
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("scale",))

@@ -75,8 +75,15 @@ def polygon_mask(
         if count >= 0:
             return mask.astype(bool)
 
-    # Pure-Python fallback, identical semantics.
-    poly = [(int(x) // int(scaling), int(y) // int(scaling)) for x, y in polygon]
+    # Pure-Python fallback, identical semantics — including the u64 wrap
+    # of negative coordinates (a vertex dragged past the image edge wraps
+    # to ~2^64 in the Rust release build, so the min/max clamp below pins
+    # it to size-1 instead of indexing out of bounds; the C path and
+    # math_tools.rs:604-609 divide the WRAPPED value).
+    poly = [
+        ((int(x) % _M64) // int(scaling), (int(y) % _M64) // int(scaling))
+        for x, y in polygon
+    ]
     x_size, y_size = shape1, shape0
     xs = [p[0] for p in poly]
     ys = [p[1] for p in poly]

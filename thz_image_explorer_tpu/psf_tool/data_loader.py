@@ -10,12 +10,9 @@ dataset is a 2-D ``[time, signal]`` array. Traces are sorted by position;
 from __future__ import annotations
 
 import dataclasses
-import re
 
 import h5py
 import numpy as np
-
-_POS_RE = re.compile(r"=\s*([0-9.+\-]+)")
 
 
 def _position_from_group_name(name: str) -> float | None:
@@ -65,7 +62,16 @@ class KnifeEdgeMeasurement:
         if times is None or not positions:
             raise ValueError(f"no knife-edge groups in {path}")
         positions = np.asarray(positions, np.float64)
-        traces = np.asarray(traces, np.float64)
+        # the reference copies each trace into an Array2::zeros sized by
+        # the FIRST group's time axis (data_loader.rs:99-104): shorter
+        # traces zero-pad the tail; longer ones would index out of bounds
+        # there (panic), so here they truncate instead of crashing
+        n_t = len(times)
+        padded = np.zeros((len(traces), n_t), np.float64)
+        for i, tr in enumerate(traces):
+            m = min(len(tr), n_t)
+            padded[i, :m] = tr[:m]
+        traces = padded
         order = np.argsort(positions, kind="stable")
         return KnifeEdgeMeasurement(
             positions=positions[order], time_traces=traces[order], times=times

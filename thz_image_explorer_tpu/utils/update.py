@@ -8,6 +8,7 @@ the check reports "unknown" instead of failing.
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import re
@@ -51,7 +52,8 @@ def check_for_updates(
         if tag and is_newer(tag, current):
             return tag
         return None
-    except (urllib.error.URLError, OSError, ValueError, json.JSONDecodeError):
+    except (urllib.error.URLError, http.client.HTTPException, OSError,
+            ValueError):
         return None
 
 
@@ -62,7 +64,8 @@ def fetch_release_tarball_url(timeout: float = 5.0) -> Optional[tuple[str, str]]
             data = json.load(r)
         tag, url = data.get("tag_name", ""), data.get("tarball_url", "")
         return (tag, url) if tag and url else None
-    except (urllib.error.URLError, OSError, ValueError, json.JSONDecodeError):
+    except (urllib.error.URLError, http.client.HTTPException, OSError,
+            ValueError):
         return None
 
 

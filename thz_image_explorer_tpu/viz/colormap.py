@@ -62,10 +62,17 @@ def intensity_image_rgba(
     bw: bool = False,
 ) -> np.ndarray:
     """Render the intensity image to uint8 RGBA in the reference's display
-    orientation: the GUI draws ``img_display[(y, x)] = data[(x, y)]`` with a
-    vertical flip (``matrix_plot.rs:409-426``)."""
-    rotated = img.T[::-1, :]
-    rgb = color_from_intensity(rotated, float(img.max()) or 1.0, cut_off, midpoint, bw)
+    orientation: screen row = data x, screen column = data y.
+
+    The GUI builds a swapped texture ``img[(col=y, row=x)]``
+    (``matrix_plot.rs:405-426``) whose row 0 renders at the TOP of a
+    ``PlotImage`` centered at (w/2, h/2) in egui plot coordinates (y up,
+    ``matrix_plot.rs:443-448``); the texture-top-first and plot-y-up flips
+    cancel, so the net on-screen layout is ``screen[(r, c)] = data[(r, c)]``
+    — the raw array, no transpose or flip. The click mapping confirms it:
+    ``pixel_y = floor(val.x)`` (column) and ``pixel_x = (h-1)-floor(val.y)``
+    (row) at ``matrix_plot.rs:610-613``."""
+    rgb = color_from_intensity(img, float(img.max()) or 1.0, cut_off, midpoint, bw)
     rgba = np.concatenate(
         [rgb, np.ones(rgb.shape[:-1] + (1,), rgb.dtype)], axis=-1
     )

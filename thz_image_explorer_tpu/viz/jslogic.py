@@ -36,15 +36,31 @@ def roi_click_closes(
     return math.hypot(first_vertex[0] - click[0], first_vertex[1] - click[1]) < tol
 
 
-def display_to_pixel(
+def display_to_plot(
     client_x: float, client_y: float, img_scale: float, image_h: int
 ) -> tuple[int, int]:
-    """Canvas click -> data pixel: x is the column, y is vertically
-    flipped (the reference renders ``img[(y, x)]`` from ``data[(x, y)]``
-    with the flip, ``matrix_plot.rs:409-426``)."""
+    """Canvas click -> reference PLOT coordinates, the system ROI polygon
+    vertices live in (``matrix_plot.rs:585`` pushes raw ``[plot_x,
+    plot_y]``): the canvas shows ``screen[(r, c)] = data[(r, c)]`` (see
+    :func:`~thz_image_explorer_tpu.viz.colormap.intensity_image_rgba`), and
+    egui's plot y axis points up, so plot x = column and plot y =
+    vertically flipped row. ``image_h`` is the canvas pixel height = the
+    data width (x size)."""
     x = math.floor(client_x / img_scale)
     y = image_h - 1 - math.floor(client_y / img_scale)
     return x, y
+
+
+def display_to_pixel(
+    client_x: float, client_y: float, img_scale: float, image_h: int
+) -> tuple[int, int]:
+    """Canvas click -> selected DATA pixel ``(x, y)``: the reference maps
+    plot x -> data y and inverts plot y -> data x (``pixel_y =
+    floor(val.x)``, ``pixel_x = (h-1) - floor(val.y)``,
+    ``matrix_plot.rs:610-613``); composed with :func:`display_to_plot` the
+    two flips cancel to (row, column)."""
+    px, py = display_to_plot(client_x, client_y, img_scale, image_h)
+    return image_h - 1 - py, px
 
 
 def gauge_fraction(value: float, min_i: float, max_i: float, log: bool) -> float:

@@ -31,11 +31,13 @@ def fft_plot_series(
     ref = amp if reference_amplitudes is None else np.asarray(reference_amplitudes)
     floor = float(ref.min()) / 5.0 if len(ref) else 0.0
     with np.errstate(divide="ignore"):
-        # a zero floor yields -inf exactly like the reference's f32 log10
+        # an exact-zero bin under a zero floor yields -inf, like the
+        # reference's log10 (center_panel.rs:224-231); the web layer maps
+        # non-finite values to null at the JSON boundary (web.py:67)
         return np.where(
             amp < floor,
-            20.0 * np.log10(max(floor, 1e-300)),
-            20.0 * np.log10(np.maximum(amp, 1e-300)),
+            20.0 * np.log10(floor) if floor > 0.0 else -np.inf,
+            20.0 * np.log10(amp),
         )
 
 

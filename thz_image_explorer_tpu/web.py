@@ -1158,9 +1158,10 @@ function render() {
       ctx.clearRect(0,0,c.width,c.height);
       ctx.imageSmoothingEnabled = false;
       ctx.drawImage(im, 0, 0, im.width*sc, im.height*sc);
-      // selected pixel marker: display coords (x -> col, y flipped row)
-      const H = S.image_shape[1];
-      const dx = S.pixel[0]*sc, dy = (H-1-S.pixel[1])*sc;
+      // selected pixel marker: screen row = data x, column = data y
+      // (matrix_plot.rs:405-426 — the texture swap and plot-y-up cancel)
+      const H = S.image_shape[0];
+      const dx = S.pixel[1]*sc, dy = S.pixel[0]*sc;
       ctx.strokeStyle='#fff'; ctx.strokeRect(dx-3, dy-3, 6, 6);
       // saved ROI outlines, hovered one highlighted (matrix_plot.rs:497-567)
       const roiColors = ['#e66','#6ae','#6e8','#ea6','#c6e'];
@@ -1273,7 +1274,9 @@ async function setParam(uuid, key, value) {
 el('img').addEventListener('mousemove', ev => {
   if (!S || !S.image_shape[0]) return;
   const r = ev.target.getBoundingClientRect();
-  const H = S.image_shape[1];
+  // plot coords: x = column (data y), y = flipped row (canvas height =
+  // data width = image_shape[0]) — the frame ROI polygons live in
+  const H = S.image_shape[0];
   const x = (ev.clientX-r.left)/imgScale;
   const y = H-1-(ev.clientY-r.top)/imgScale;
   let found = null;
@@ -1284,7 +1287,8 @@ el('img').addEventListener('mousemove', ev => {
 el('img').addEventListener('click', ev => {
   if (!S || !S.image_shape[0]) return;
   const r = ev.target.getBoundingClientRect();
-  const H = S.image_shape[1];
+  // plot coords (matrix_plot.rs:585 stores ROI vertices in plot space)
+  const H = S.image_shape[0];
   const x = Math.floor((ev.clientX-r.left)/imgScale);
   const y = H-1-Math.floor((ev.clientY-r.top)/imgScale);
   if (ev.shiftKey) {
@@ -1302,7 +1306,9 @@ el('img').addEventListener('click', ev => {
     roiDraft.push([x, y]); render();
   } else {
     roiDraft = [];
-    cmd('set_selected_pixel', [x, y]);
+    // plot -> data pixel: data x = (H-1)-plot_y (row), data y = plot_x
+    // (matrix_plot.rs:610-613)
+    cmd('set_selected_pixel', [H-1-y, x]);
   }
 });
 async function refresh() {
