@@ -516,3 +516,121 @@ def test_command_fuzz_worker_survives(app):
     assert s.get("image_shape"), "state lost the scan"
     img = app.worker.explorer.image
     assert img is not None and np.isfinite(np.asarray(img)).all()
+
+
+def test_filter_param_integer_coercion(app):
+    """The UI sends every number through parseFloat; integer params
+    (n_filters, n_iterations) must be coerced back to int server-side or
+    the Apply path crashes in range()/linspace(num=...)."""
+    ex = app.worker.explorer
+    uuid = next(
+        u for u, f in ex.pipeline.filters.items()
+        if getattr(f, "is_deconvolution", False)
+    )
+    f = ex.pipeline.filters[uuid]
+    app.command("set_filter_param", [uuid, "n_filters", 10.0], {})
+    app.command("set_filter_param", [uuid, "n_iterations", 7.9], {})
+    app.worker.join_idle()
+    assert f.params.n_filters == 10
+    assert isinstance(f.params.n_filters, int)
+    assert isinstance(f.params.n_iterations, int)
+    # floats stay floats
+    app.command("set_filter_param", ["frequency_band_pass", "low", 0.35], {})
+    app.worker.join_idle()
+    assert ex.pipeline.filters["frequency_band_pass"].low == 0.35
+
+
+def test_state_nonfinite_scalars_sanitized(app):
+    """A NaN/Inf scalar anywhere in the payload must never reach the
+    browser: json.dumps(allow_nan=True) would emit a bare NaN token,
+    JSON.parse rejects it and the polling UI freezes for good."""
+    def poison(ex):
+        ex.plot.signal = np.full(8, np.nan, np.float32)
+        ex.housekeeping.ambient_pressure = float("inf")
+
+    app.worker.call(poison)
+    s = app.state()
+    json.dumps(s, allow_nan=False)  # must not raise
+    assert s["readouts"]["ptp"] == 0.0
+    assert s["housekeeping"]["ambient_pressure"] is None
+
+
+def test_nan2null_backstop():
+    from thz_image_explorer_tpu.web import _nan2null
+
+    obj = {"a": float("nan"), "b": [1.0, float("inf"), "x"], "c": {"d": -float("inf")}}
+    clean = _nan2null(obj)
+    json.dumps(clean, allow_nan=False)
+    assert clean == {"a": None, "b": [1.0, None, "x"], "c": {"d": None}}
+
+
+def test_state_build_error_falls_back_to_snapshot(app):
+    """Any _build_state exception (not just TimeoutError) must serve the
+    last snapshot — an {"error": ...} body would be assigned to S and
+    crash render() on S.siblings.length."""
+    s0 = app.state()
+    assert not s0.get("stale")
+
+    def boom(ex):
+        raise RuntimeError("transient device error")
+
+    orig = app._build_state
+    app._build_state = boom
+    try:
+        s = app.state()
+    finally:
+        app._build_state = orig
+    assert s.get("stale") and s.get("busy")
+    assert s["file"] == s0["file"]  # last good snapshot, not an error body
+    json.dumps(s)
+
+
+def test_png_encode_cached_across_polls(app, monkeypatch):
+    """The 1 Hz poll must not redo colormap+PNG+zlib for an unchanged
+    image+view (pure-Python encode steals worker time on a 1-core host)."""
+    import thz_image_explorer_tpu.web as web
+
+    calls = {"n": 0}
+    orig = web.encode_png
+
+    def counting(rgba):
+        calls["n"] += 1
+        return orig(rgba)
+
+    monkeypatch.setattr(web, "encode_png", counting)
+    if hasattr(app, "_png_cache"):
+        del app._png_cache
+    s1 = app.state()
+    s2 = app.state()
+    assert calls["n"] == 1
+    assert s1["image"] == s2["image"]
+    # a view change invalidates; a new scan (replaced image array) too
+    app.command("set_view", ["midpoint", 60], {})
+    app.state()
+    assert calls["n"] == 2
+    app.command("open_sibling", [1], {})
+    app.worker.join_idle()
+    app.state()
+    assert calls["n"] == 3
+
+
+def test_js_escapes_and_guards_pinned():
+    """Source pins for frontend fixes without a browser in the env:
+    (a) file-derived option text is HTML-escaped (XSS via ROI labels),
+    (b) innerHTML rebuilds go through the focus-preserving setHTML,
+    (c) loadVoxels treats busy/error as 'keep current cloud',
+    (d) refresh() never assigns an error body to S,
+    (e) restored config is mirrored into the widgets."""
+    from thz_image_explorer_tpu import web
+
+    page = web.PAGE
+    assert "${escH(o)}</option>" in page, "option text must be escaped"
+    assert "${o}</option>" not in page
+    for target in ("'filters'", "'roilist'", "'siblist'", "'timings'"):
+        assert f"setHTML({target}" in page, target
+    assert "el('filters').innerHTML" not in page
+    assert "r.busy" in page and "r.error !== undefined" in page
+    assert "j.error !== undefined" in page
+    for ctl in ("'logplot'", "'wtype'", "'wlo'", "'dscale'", "'thick'",
+                "'cutlo'", "'midpt'", "'bw'"):
+        assert f"syncInput({ctl}" in page, ctl

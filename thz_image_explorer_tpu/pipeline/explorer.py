@@ -504,9 +504,21 @@ class Explorer:
         state directly)."""
         f = self.pipeline.filters[uuid]
         if hasattr(f, "params") and hasattr(f.params, key):
-            setattr(f.params, key, value)
+            target = f.params
         elif hasattr(f, key):
-            setattr(f, key, value)
+            target = f
+        else:
+            return
+        # coerce to the declared field type: the UI sends every number as
+        # a float, but integer params (n_iterations, n_filters) must stay
+        # integers or the Apply path crashes in range()/linspace(num=...)
+        # (the reference's typed struct fields can't drift, filter.rs:96)
+        cur = getattr(target, key)
+        if isinstance(cur, bool):
+            value = bool(value)
+        elif isinstance(cur, (int, float)):
+            value = type(cur)(value)
+        setattr(target, key, value)
 
     def set_metadata_field(self, key: str, value):
         """Edit a top-level metadata field (``left_panel.rs:693-1009``)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 import os as _os
 import struct
 import threading
@@ -67,6 +68,34 @@ def _series(arr, limit=2048):
     return [None if not np.isfinite(v) else round(float(v), 6) for v in a]
 
 
+def _finite(v, ndigits=None, default=None):
+    """NaN/Inf scalar → ``default``: a bare ``NaN`` token in the state
+    payload is invalid JSON and a single one freezes the polling UI
+    (``JSON.parse`` rejects the whole response). Non-numbers pass
+    through unchanged."""
+    if isinstance(v, bool):
+        return v
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return v
+    if not math.isfinite(f):
+        return default
+    return round(f, ndigits) if ndigits is not None else v
+
+
+def _nan2null(obj):
+    """Deep-copy ``obj`` with non-finite floats nulled — the slow-path
+    backstop behind ``_json``'s ``allow_nan=False`` fast path."""
+    if isinstance(obj, dict):
+        return {k: _nan2null(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_nan2null(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
 class WebApp:
     def __init__(self, worker: ExplorerWorker | None = None,
                  load_settings: bool = False):
@@ -115,7 +144,16 @@ class WebApp:
             with self._lock:
                 self._snapshot = snap
             return snap
-        except TimeoutError:
+        except Exception as e:  # noqa: BLE001 — ANY build failure degrades
+            # to the last snapshot: a transient jit/device error must not
+            # reach the frontend as a {"error": ...} body that render()
+            # then dereferences as state (S.siblings.length, …)
+            if not isinstance(e, TimeoutError):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "state build failed, serving last snapshot: %s", e
+                )
             with self._lock:
                 snap = (
                     dict(self._snapshot)
@@ -145,13 +183,27 @@ class WebApp:
         image_b64 = None
         img_shape = (0, 0)
         if ex.image is not None and ex.image.size:
-            rgba = intensity_image_rgba(
-                ex.image,
-                cut_off=(self.view["cut_low"], self.view["cut_high"]),
-                midpoint=self.view["midpoint"],
-                bw=self.view["bw"],
+            # colormap + pure-Python PNG encode + zlib costs real worker
+            # time on this 1-core host; the 1 Hz poll mostly re-requests
+            # an identical image, so cache on (image identity, view).
+            # Holding the array reference keeps the identity check exact
+            # (ex.image is always REPLACED on update, explorer.py:191,707)
+            vkey = (
+                self.view["cut_low"], self.view["cut_high"],
+                self.view["midpoint"], self.view["bw"],
             )
-            image_b64 = base64.b64encode(encode_png(rgba)).decode()
+            cached = getattr(self, "_png_cache", None)
+            if cached is not None and cached[0] is ex.image and cached[1] == vkey:
+                image_b64 = cached[2]
+            else:
+                rgba = intensity_image_rgba(
+                    ex.image,
+                    cut_off=(vkey[0], vkey[1]),
+                    midpoint=vkey[2],
+                    bw=vkey[3],
+                )
+                image_b64 = base64.b64encode(encode_png(rgba)).decode()
+                self._png_cache = (ex.image, vkey, image_b64)
             img_shape = ex.image.shape
 
         filters = {}
@@ -201,7 +253,9 @@ class WebApp:
             "timings_ms": {
                 k: round(v * 1e3, 2) for k, v in pipeline.timings.items()
             },
-            "housekeeping": vars(ex.housekeeping),
+            "housekeeping": {
+                k: _finite(v) for k, v in vars(ex.housekeeping).items()
+            },
             "view": dict(self.view),
             "metadata": {
                 "fields": {
@@ -212,8 +266,11 @@ class WebApp:
                 },
                 "md": dict(ex.metadata.md),
             },
-            "siblings": [_os.path.basename(s) for s in ex.sibling_files()],
-            "sibling_paths": list(ex.sibling_files()),
+            # one listing for both keys: a second call re-scans the
+            # directory and can index-shift names vs paths if a file
+            # appears/disappears between the two scans
+            "sibling_paths": (sib := list(ex.sibling_files())),
+            "siblings": [_os.path.basename(s) for s in sib],
             "log": self.logbuf.tail(40),
             "last_warning": self.logbuf.last_warning,
             "filters": filters,
@@ -222,8 +279,8 @@ class WebApp:
                 for u, (n, p) in ex.rois.items()
             },
             "readouts": {
-                "dr_db": round(dynamic_range_db(plot.signal_fft), 1),
-                "ptp": round(peak_to_peak(plot.signal), 2),
+                "dr_db": _finite(dynamic_range_db(plot.signal_fft), 1, 0.0),
+                "ptp": _finite(peak_to_peak(plot.signal), 2, 0.0),
             },
             "selection": {
                 "reference": ex.reference_selection,
@@ -456,7 +513,11 @@ class WebApp:
             "filter_params": _dc.asdict(tool.filter_params),
             "fit_params": _dc.asdict(tool.fit_params),
             "running": running,
-            "progress": {k: list(v) for k, v in tool.progress.items()},
+            # snapshot the items first: the compute thread inserts keys
+            # concurrently and iterating the live dict can raise
+            # "dictionary changed size during iteration" (values are
+            # immutable (cur, total) tuples, so item copies are safe)
+            "progress": {k: list(v) for k, v in list(tool.progress.items())},
             "error": tool.error,
             "warnings": [],
             "result": None,
@@ -703,7 +764,13 @@ def make_handler(app: WebApp):
             pass
 
         def _json(self, obj, code=200):
-            payload = json.dumps(obj).encode()
+            try:
+                payload = json.dumps(obj, allow_nan=False).encode()
+            except ValueError:
+                # a non-finite scalar slipped past the producers — null
+                # it rather than emit NaN/Infinity tokens JSON.parse
+                # rejects (which would freeze the polling UI for good)
+                payload = json.dumps(_nan2null(obj)).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
@@ -1106,6 +1173,25 @@ const escJ = s => JSON.stringify(String(s)).slice(1,-1).replace(/'/g,"\\'");
 // for inline event-handler attributes: JS-escape THEN HTML-escape, or a
 // quote inside file-derived text breaks out of the attribute
 const escA = s => escH(escJ(s));
+// innerHTML rebuild guard: skip when content is unchanged (no relayout)
+// or when the user is mid-edit inside the container — the 1 Hz poll must
+// never destroy a focused input before its onchange fires (the metadata
+// editor's mdEdit guard, generalized)
+function setHTML(id, html) {
+  const e = el(id);
+  if (e.__html === html) return;
+  if (e.contains(document.activeElement)) return;
+  e.innerHTML = html; e.__html = html;
+}
+// write server state back into a control unless the user is on it —
+// after a reload the widgets must show the persisted/restored config,
+// not their HTML defaults
+function syncInput(id, v) {
+  const e = el(id);
+  if (!e || v == null || document.activeElement === e) return;
+  if (e.type === 'checkbox') e.checked = !!v;
+  else if (String(e.value) !== String(v)) e.value = v;
+}
 async function cmd(method, args) {
   await fetch('/api/command', {method:'POST', body: JSON.stringify({method, args})});
   setTimeout(refresh, 150);
@@ -1208,14 +1294,27 @@ function render() {
   if (S.plots.window_shape && S.plots.window_shape.length)
     drawSeries(el('winplot').getContext('2d'),
       S.plots.window_shape.map((_,i)=>i), [{y:S.plots.window_shape}], ['#9ecbff']);
-  el('timings').innerHTML = Object.entries(S.timings_ms)
-    .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>');
+  setHTML('timings', Object.entries(S.timings_ms)
+    .map(([k,v])=>k+': <b>'+v+' ms</b>').join('<br>'));
+  // mirror server-side config/view into the controls (widgets must not
+  // misrepresent restored settings after a reload)
+  syncInput('logplot', S.config.fft_log_plot);
+  syncInput('avgf', S.config.avg_in_fourier_space);
+  syncInput('wtype', S.config.fft_window_type);
+  syncInput('wlo', S.config.fft_window[0]);
+  syncInput('whi', S.config.fft_window[1]);
+  syncInput('dscale', S.config.scale_factor);
+  syncInput('thick', S.selection.thickness);
+  syncInput('cutlo', S.view.cut_low);
+  syncInput('cuthi', S.view.cut_high);
+  syncInput('midpt', S.view.midpoint);
+  syncInput('bw', S.view.bw);
   el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
   // sibling-file table, click to open (left_panel.rs:165-275)
   const curBase = S.file ? S.file.split('/').pop() : '';
-  el('siblist').innerHTML = S.siblings.length > 1 ? S.siblings.map((n, i) =>
+  setHTML('siblist', S.siblings.length > 1 ? S.siblings.map((n, i) =>
     `<div style="cursor:pointer;${n===curBase?'color:#9ecbff;font-weight:bold':''}"
-       onclick="cmd('open_file',['${escA(S.sibling_paths[i])}'])">${escH(n)}</div>`).join('') : '';
+       onclick="cmd('open_file',['${escA(S.sibling_paths[i])}'])">${escH(n)}</div>`).join('') : '');
   const hk = S.housekeeping;
   // ambient/sample conditions appear only when the file's metadata
   // carried them (hk.measured); defaults are never shown as measurements
@@ -1241,7 +1340,7 @@ function render() {
   else wb.style.display='none';
   if (!mdEdit) renderMetadata();
   // filters panel
-  el('filters').innerHTML = Object.entries(S.filters).map(([u,f])=>{
+  setHTML('filters', Object.entries(S.filters).map(([u,f])=>{
     const params = Object.entries(f.params).filter(([k])=>k!=='active')
       .map(([k,v])=>`<label>${escH(k)} <input type="number" step="0.1" value="${v}"
         onchange="setParam('${escA(u)}','${escA(k)}',this.value)"></label>`).join(' ');
@@ -1254,17 +1353,19 @@ function render() {
       <span class="switch ${f.active?'on':''}" title="${f.active?'active':'inactive'}"
         onclick="cmd('set_filter_active',['${escA(u)}',${!f.active}])"><span class="knob"></span></span>
       <button onclick="cmd('update_filter',['${escA(u)}'],)">Apply</button> ${params}</div>`;
-  }).join('');
+  }).join(''));
   // ROI list with inline rename (left_panel.rs:601-690)
-  el('roilist').innerHTML = Object.entries(S.rois).map(([u,r])=>
+  setHTML('roilist', Object.entries(S.rois).map(([u,r])=>
     `<input type="text" value="${escH(r.name)}" style="width:80px"
        onchange="renameRoi('${escA(u)}',this.value)">
-     <button class="off" onclick="cmd('delete_roi',['${escA(u)}'])">x</button>`).join(' ');
+     <button class="off" onclick="cmd('delete_roi',['${escA(u)}'])">x</button>`).join(' '));
   for (const sel of ['refsel','sampsel']) {
     const opts = (sel==='refsel'?S.selection.available_references:S.selection.available_samples);
     const cur = sel==='refsel'?S.selection.reference:S.selection.sample;
-    el(sel).innerHTML = '<option></option>' + opts.map(o=>
-      `<option ${o===cur?'selected':''}>${o}</option>`).join('');
+    // escH both sides: ROI labels come from scan-file metadata — the one
+    // place file-derived text was reaching innerHTML unescaped (XSS)
+    setHTML(sel, '<option></option>' + opts.map(o=>
+      `<option value="${escH(o)}" ${o===cur?'selected':''}>${escH(o)}</option>`).join(''));
   }
 }
 async function setParam(uuid, key, value) {
@@ -1312,7 +1413,12 @@ el('img').addEventListener('click', ev => {
   }
 });
 async function refresh() {
-  try { S = await (await fetch('/api/state')).json(); render(); } catch(e) {}
+  // an {"error":...} body is NOT a state snapshot — keep the last good S
+  try {
+    const j = await (await fetch('/api/state')).json();
+    if (!j || j.error !== undefined) return;
+    S = j; render();
+  } catch(e) {}
 }
 setInterval(refresh, 1000);
 refresh();
@@ -1336,6 +1442,9 @@ async function loadVoxels() {
   const q = `threshold=${el('vthr').value}&contrast=${el('vcon').value}` +
             `&sigma=${el('vsig').value}&radius=${el('vrad').value}`;
   const r = await (await fetch('/api/voxels?' + q)).json();
+  // busy/error are not "empty cube": keep the current cloud on screen
+  if (r.busy) { el('voxinfo').textContent = 'worker busy — try again'; return; }
+  if (r.error !== undefined) { el('voxinfo').textContent = 'error: ' + r.error; return; }
   if (!r.n) { vox = null; el('voxinfo').textContent = 'no voxels'; return; }
   const pos = new Float32Array(Uint8Array.from(atob(r.positions), c=>c.charCodeAt(0)).buffer);
   const col = Uint8Array.from(atob(r.rgba), c=>c.charCodeAt(0));
