@@ -648,3 +648,138 @@ def test_show_data_extension_contract(tmp_path):
         assert ex.pixel_selected[0] == 0
     finally:
         _REGISTRY.pop("preview_probe", None)
+
+
+# ------------------------------------------------- registry key hygiene
+def test_register_filter_subclass_never_clobbers_parent():
+    """A subclass of a registered stage must not inherit its parent's
+    registry key: @register_filter on the subclass derives a fresh slug
+    from the subclass name (inherited `uuid` attributes don't count)."""
+    from thz_image_explorer_tpu.pipeline.stage import (
+        _REGISTRY,
+        register_filter,
+    )
+    from thz_image_explorer_tpu.pipeline.filters import FrequencyBandPass
+
+    parent_cls = _REGISTRY["frequency_band_pass"]
+    try:
+        @register_filter
+        class FrequencyBandPassSteeper(FrequencyBandPass):
+            pass
+
+        assert _REGISTRY["frequency_band_pass"] is parent_cls
+        assert _REGISTRY["frequency_band_pass_steeper"] is FrequencyBandPassSteeper
+        assert FrequencyBandPassSteeper.uuid == "frequency_band_pass_steeper"
+    finally:
+        _REGISTRY.pop("frequency_band_pass_steeper", None)
+
+    # an EXPLICIT uuid collision with a different class fails loudly
+    with pytest.raises(ValueError, match="already registered"):
+        @register_filter
+        class Impostor:
+            uuid = "frequency_band_pass"
+    assert _REGISTRY["frequency_band_pass"] is parent_cls
+
+
+# --------------------------------------------------- command queue keys
+def test_coalesce_key_kwargs_are_oneshot():
+    """Commands sent with kwargs must never share a coalescing key — two
+    kwarg-sent update_filter calls for different filters would otherwise
+    collapse and silently drop the first Apply."""
+    from thz_image_explorer_tpu.pipeline.worker import coalesce_key
+
+    assert coalesce_key("update_filter", ("fd",)) == ("update_filter", "fd")
+    assert coalesce_key("update_filter", (), {"uuid": "fd"}) is None
+    assert coalesce_key("set_fft_window_low", (), {"value": 1.0}) is None
+
+
+def test_metadata_edits_coalesce_per_name():
+    """set_metadata_field coalesces per FIELD NAME (latest value wins
+    while typing), not per (name, value) — the old key included the
+    payload so rapid re-saves piled up unboundedly."""
+    from thz_image_explorer_tpu.pipeline import CommandQueue
+    from thz_image_explorer_tpu.pipeline.worker import coalesce_key
+
+    q = CommandQueue()
+    put = lambda m, *a: q.put((m, a, {}), key=coalesce_key(m, a))
+    put("set_metadata_field", "comment", "a")
+    put("set_metadata_field", "comment", "ab")
+    put("set_metadata_field", "user", "x")
+    put("set_metadata_attr", "Operator", "1")
+    put("set_metadata_attr", "Operator", "12")
+    got = [q.take(timeout=1) for _ in range(3)]
+    assert [(g[0], g[1]) for g in got] == [
+        ("set_metadata_field", ("comment", "ab")),
+        ("set_metadata_field", ("user", "x")),
+        ("set_metadata_attr", ("Operator", "12")),
+    ]
+    assert q.take(timeout=0.05) is None
+    q.close()
+    q.release()
+
+
+# ------------------------------------------------------- abort semantics
+def test_abort_cancels_inflight_command():
+    """An abort raised while a command runs must cancel THAT command —
+    the old per-command flag.clear() could erase an abort that landed
+    between the queue pop and the clear."""
+    import threading
+    import time
+
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    w = ExplorerWorker()
+    try:
+        started = threading.Event()
+        outcome = {}
+
+        def long_cmd(ex):
+            started.set()
+            deadline = time.monotonic() + 5.0
+            while time.monotonic() < deadline:
+                if ex.pipeline.cancelled():
+                    outcome["cancelled"] = True
+                    return
+                time.sleep(0.005)
+            outcome["cancelled"] = False
+
+        w.queue.put((long_cmd, (), {}))
+        assert started.wait(2.0)
+        w.abort()
+        assert w.join_idle(5.0)
+        assert outcome.get("cancelled") is True
+
+        # ...and a STALE abort must not cancel the NEXT command
+        # (call() rides the same worker loop, so the per-command stale-
+        # abort clear has run by the time the closure executes)
+        assert w.call(lambda ex: ex.pipeline.cancelled(), timeout=5.0) is False
+    finally:
+        w.close()
+
+
+def test_worker_close_releases_native_queue():
+    """close() reclaims the native queue handle (mutex/cond/nodes) once
+    the consumer thread is provably out of take() — and a late send
+    degrades gracefully instead of crashing."""
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    w = ExplorerWorker()
+    w.close()
+    if w.queue._lib is not None:
+        assert w.queue._handle is None
+    w.send("publish")  # no-op after release; must not raise
+    w.queue.release()  # idempotent
+
+
+# ------------------------------------------- fused_static type hygiene
+def test_tilt_fused_static_rejects_traced_cube():
+    """fused_static must fail loudly when handed a real ScanCube (traced
+    valid_wh) instead of silently deriving tilt geometry from the
+    bucket-padded grid."""
+    from thz_image_explorer_tpu.pipeline.filters import TiltCompensation
+
+    cube = _deconv_cube(16, 16, 32)
+    tc = TiltCompensation()
+    tc.tilt_x = 5.0
+    with pytest.raises(TypeError, match="valid_wh"):
+        tc.fused_static(cube)

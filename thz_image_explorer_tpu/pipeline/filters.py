@@ -80,10 +80,17 @@ class TiltCompensation(FilterStage):
         if cube.dx is None or cube.dy is None:
             return (None,)
         # geometry from the TRUE scan size (meta.valid_wh), not the
-        # bucket-padded grid — see tilt_compensate
-        vwh = getattr(cube, "valid_wh", None)
+        # bucket-padded grid — see tilt_compensate. The executor always
+        # hands a host _Meta whose valid_wh is a tuple (executor.py:161);
+        # a traced ScanCube here would silently re-derive tilt geometry
+        # from the padded grid (THZ_SHAPE_BUCKET-dependent), so fail loud
+        vwh = cube.valid_wh
         if not isinstance(vwh, tuple):
-            vwh = (cube.width, cube.height)
+            raise TypeError(
+                "fused_static needs host meta with a tuple valid_wh "
+                f"(got {type(vwh).__name__}) — padded-grid tilt geometry "
+                "is forbidden (tilt_compensation.rs:104-143)"
+            )
         vw, vh = vwh
         return (
             extension_steps(

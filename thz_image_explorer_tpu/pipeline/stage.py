@@ -162,8 +162,21 @@ _REGISTRY: dict[str, type] = {}
 
 
 def register_filter(cls):
-    """Class decorator: auto-register a stage type under its slug uuid."""
-    uuid = getattr(cls, "uuid", "") or _slug(cls.__name__)
+    """Class decorator: auto-register a stage type under its slug uuid.
+
+    Only a uuid declared ON the class itself counts — a subclass of a
+    registered stage must NOT inherit its parent's registry key, or
+    ``@register_filter class DeconvolutionSharpen(Deconvolution)`` would
+    silently replace the builtin (``filter_macros/src/lib.rs:45-69``
+    registers each concrete type exactly once)."""
+    uuid = cls.__dict__.get("uuid") or _slug(cls.__name__)
+    existing = _REGISTRY.get(uuid)
+    if existing is not None and existing is not cls:
+        raise ValueError(
+            f"filter uuid {uuid!r} already registered by "
+            f"{existing.__name__}; declare a distinct `uuid` on "
+            f"{cls.__name__}"
+        )
     cls.uuid = uuid
     _REGISTRY[uuid] = cls
     return cls

@@ -64,20 +64,28 @@ COALESCE_BY_METHOD = frozenset(
 )
 
 #: Explorer methods that coalesce per (method, first positional arg) —
-#: per-filter parameter drags (``UpdateFilter(uuid)`` spam).
+#: per-filter parameter drags (``UpdateFilter(uuid)`` spam) and per-name
+#: metadata edits (latest value wins while a text field is typed into)
 COALESCE_BY_METHOD_AND_ARG = frozenset(
-    {"update_filter", "set_filter_active"}
+    {"update_filter", "set_filter_active",
+     "set_metadata_field", "set_metadata_attr"}
 )
 
-#: per (method, first two args) — e.g. one pending value per
+#: per (method, first two args) — one pending value per
 #: (filter uuid, param name) while a filter slider drags
-COALESCE_BY_METHOD_AND_TWO_ARGS = frozenset(
-    {"set_filter_param", "set_metadata_field", "set_metadata_attr"}
-)
+COALESCE_BY_METHOD_AND_TWO_ARGS = frozenset({"set_filter_param"})
 
 
-def coalesce_key(method: str, args: tuple) -> Optional[tuple]:
-    """Coalescing key for a command, or None for lossless one-shots."""
+def coalesce_key(method: str, args: tuple, kwargs: Optional[dict] = None
+                 ) -> Optional[tuple]:
+    """Coalescing key for a command, or None for lossless one-shots.
+
+    A command sent with kwargs is always a one-shot: the key is derived
+    from positional args only, so two kwarg-sent commands with different
+    payloads would otherwise collapse onto one key and the first would
+    be silently dropped."""
+    if kwargs:
+        return None
     if method in COALESCE_BY_METHOD:
         return (method,)
     if method in COALESCE_BY_METHOD_AND_ARG:
@@ -124,7 +132,13 @@ class CommandQueue:
             self._by_key[key] = [seq, command]
             self._seq2key[seq] = key
             if self._handle is not None:
-                self._lib.thz_cmd_queue_push(self._handle, seq)
+                if not self._lib.thz_cmd_queue_push(self._handle, seq):
+                    # allocation failure: the seq never entered the native
+                    # FIFO — leaving the payload behind would wedge
+                    # empty()/idle forever and blackhole this coalesce key
+                    del self._by_key[key]
+                    del self._seq2key[seq]
+                    raise MemoryError("native command queue push failed")
             else:
                 self._fifo.append(seq)
                 self._cv.notify()
@@ -180,6 +194,20 @@ class CommandQueue:
                 self._closed = True
                 self._cv.notify_all()
 
+    def release(self):
+        """Free the native queue (mutex/cond/nodes). Only safe once no
+        thread can still be inside take() on this handle — callers must
+        close() and join the consumer first. Late put()/take() calls
+        after release degrade to the closed pure-Python fallback."""
+        with self._py_lock:
+            if self._handle is not None:
+                h = self._handle
+                self._handle = None
+                self._cv = threading.Condition(self._py_lock)
+                self._fifo = deque()
+                self._closed = True
+                self._lib.thz_cmd_queue_free(h)
+
 
 class ExplorerWorker:
     """Worker thread owning an Explorer; commands are (method, args)."""
@@ -188,7 +216,13 @@ class ExplorerWorker:
         self.explorer = explorer or Explorer()
         self.queue = CommandQueue()
         self.abort_flag = threading.Event()
-        self.explorer.pipeline.cancelled = self.abort_flag.is_set
+        # abort/start timestamps resolve the race between abort() and the
+        # per-command flag reset: an abort raised at-or-after the current
+        # command's start always cancels it, and only an abort that is
+        # provably stale (older than the command) is cleared (_run)
+        self._abort_t = float("-inf")
+        self._cmd_t = float("inf")
+        self.explorer.pipeline.cancelled = self._cancelled
         self._on_update: list[Callable[[Explorer], None]] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -216,7 +250,9 @@ class ExplorerWorker:
             # cadence, and a UI polling state via call() must not starve
             # the timing refresh forever
             self._last_send = _time.monotonic()
-            self.queue.put((method, args, kwargs), key=coalesce_key(method, args))
+            self.queue.put(
+                (method, args, kwargs), key=coalesce_key(method, args, kwargs)
+            )
 
     def call(self, fn: Callable[[Explorer], Any], *, timeout: float = 2.0):
         """Run ``fn(explorer)`` ON the worker thread and return its result.
@@ -249,9 +285,15 @@ class ExplorerWorker:
             raise box["error"]
         return box["result"]
 
+    def _cancelled(self) -> bool:
+        return self.abort_flag.is_set() and self._abort_t >= self._cmd_t
+
     def abort(self):
         """Abort in-flight work and drain pending commands
-        (``data_thread.rs:163-172``)."""
+        (``data_thread.rs:163-172``). The timestamp is recorded BEFORE
+        the flag so _run's stale-abort check can never clear a fresh
+        abort aimed at the command it just popped."""
+        self._abort_t = _time.monotonic()
         self.abort_flag.set()
         self.queue.drain()
 
@@ -266,6 +308,10 @@ class ExplorerWorker:
         self._stop.set()
         self.queue.close()
         self._thread.join(timeout=5)
+        if not self._thread.is_alive():
+            # the consumer is provably out of take(): reclaim the native
+            # queue (mutex/cond/nodes) instead of leaking it per worker
+            self.queue.release()
 
     #: idle housekeeping quiet period: no mutating command for this long
     #: before the shadow timing refresh may run. Chosen above human
@@ -279,7 +325,14 @@ class ExplorerWorker:
             cmd = self.queue.take(timeout=0.1)
             if cmd is not None:
                 self._idle.clear()
-                self.abort_flag.clear()
+                # stamp the command start FIRST, then clear only a STALE
+                # abort (one raised before this command was popped); an
+                # abort landing between these two lines has
+                # _abort_t >= _cmd_t and survives the clear, so
+                # _cancelled() still cancels this command
+                self._cmd_t = _time.monotonic()
+                if self._abort_t < self._cmd_t:
+                    self.abort_flag.clear()
                 method, args, kwargs = cmd
                 try:
                     if callable(method):  # closure from call()
