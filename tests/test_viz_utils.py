@@ -315,3 +315,71 @@ def test_voxel_pallas_envelope_matches_xla():
     # W is bf16 in the kernel (VMEM budget): ~1e-3 display-path error
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_voxel_pallas_honors_interpret(monkeypatch):
+    """THZ_PALLAS_INTERPRET=1 must reach the voxel pallas kernel like it
+    reaches the deconvolution one: forced-pallas on a CPU backend runs
+    interpreted instead of raising 'only interpret mode supported'."""
+    monkeypatch.setenv("THZ_VOXEL_IMPL", "pallas")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(4, 4, 64)).astype(np.float32)
+    kernel = jnp.asarray(gaussian_kernel1d(3.0, 9))
+    opac_p, _ = voxel_opacities(
+        jnp.asarray(data), kernel, jnp.float32(2.0), jnp.float32(0.01), 9
+    )
+    monkeypatch.setenv("THZ_VOXEL_IMPL", "xla")
+    opac_x, _ = voxel_opacities(
+        jnp.asarray(data), kernel, jnp.float32(2.0), jnp.float32(0.01), 9
+    )
+    # bf16 tap quantization on the pallas path: display-grade agreement
+    assert np.allclose(np.asarray(opac_p), np.asarray(opac_x), atol=5e-3)
+
+    # the interpreted kernel matches jnp.power's 0^0 = 1 at contrast 0
+    # (f32::powf(0,0) = 1 in the reference, threed_plot.rs:173)
+    dz = np.asarray(data).copy()
+    dz[0, 0, :] = 0.0
+    monkeypatch.setenv("THZ_VOXEL_IMPL", "pallas")
+    oz_p, _ = voxel_opacities(
+        jnp.asarray(dz), kernel, jnp.float32(0.0), jnp.float32(0.01), 9
+    )
+    monkeypatch.setenv("THZ_VOXEL_IMPL", "xla")
+    oz_x, _ = voxel_opacities(
+        jnp.asarray(dz), kernel, jnp.float32(0.0), jnp.float32(0.01), 9
+    )
+    assert np.allclose(np.asarray(oz_p), np.asarray(oz_x), atol=5e-3)
+
+
+def test_dynamic_threshold_tie_spike_keeps_cap():
+    """A huge tie mass at the cap boundary must not collapse the kept
+    count to almost nothing: the reference's select_nth keeps the cap
+    including ties (threed_plot.rs:207-214), so the histogram picks the
+    edge BELOW the spike (tie overflow) over a near-empty view."""
+    import thz_image_explorer_tpu.ops.voxel as vox
+
+    rng = np.random.default_rng(2)
+    n_ties = vox.MAX_INSTANCES + 500_000
+    flat = np.concatenate([
+        np.full(n_ties, 0.999, np.float32),
+        rng.uniform(0.0, 0.9, 500_000).astype(np.float32),
+    ])
+    thr = float(vox._dynamic_threshold(jnp.asarray(flat)))
+    kept = int((flat >= thr).sum())
+    # the spike survives: kept >= the tie mass, not a ~500-point sliver
+    assert kept >= n_ties, (thr, kept)
+
+
+def test_extract_instances_scaling_folds_into_dims():
+    """The reference stamps scale=scaling on every instance
+    (threed_plot.rs:239,262); with one scalar per extraction it folds
+    into the returned rendered-voxel dims."""
+    data = np.zeros((4, 4, 32), np.float32)
+    data[2, 1, 16] = 3.0
+    _, _, cw1, ch1, cd1, _ = extract_instances(
+        jnp.asarray(data), time_span=10.0, scaling=1, original_dims=(8, 8, 32)
+    )
+    _, _, cw2, ch2, cd2, _ = extract_instances(
+        jnp.asarray(data), time_span=10.0, scaling=2, original_dims=(8, 8, 32)
+    )
+    assert (cw2, ch2, cd2) == (2 * cw1, 2 * ch1, 2 * cd1)

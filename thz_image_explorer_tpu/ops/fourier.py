@@ -125,17 +125,14 @@ def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """numpy-compatible 1-D phase unwrap with period 2π.
 
     Parallel reformulation of the reference's sequential loop
-    (``math_tools.rs:226-238``): adjusted diffs then a cumulative sum.
-    Strict inequalities match the reference (a jump of exactly π is kept).
+    (``math_tools.rs:226-238``): the blocked MXU cumsum of the
+    :func:`phase_increments` encoding — ONE source of truth for the
+    parity-critical wrap rule (strict ``> π`` comparisons; a jump of
+    exactly π is kept), so unwrap and the lean increments encoding can
+    never desynchronize.
     """
-    phase = jnp.moveaxis(phase, axis, -1)
-    d = phase[..., 1:] - phase[..., :-1]
-    two_pi = jnp.asarray(2.0 * jnp.pi, phase.dtype)
-    d_adj = d - two_pi * (d > jnp.pi) + two_pi * (d < -jnp.pi)
-    out = jnp.concatenate(
-        [phase[..., :1], phase[..., :1] + _cumsum_last(d_adj)], axis=-1
-    )
-    return jnp.moveaxis(out, -1, axis)
+    inc = jnp.moveaxis(phase_increments(phase, axis), axis, -1)
+    return jnp.moveaxis(_cumsum_last(inc), -1, axis)
 
 
 @partial(jax.jit, static_argnames=("window_type", "lean_phases"))

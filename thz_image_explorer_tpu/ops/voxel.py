@@ -71,15 +71,50 @@ def _dynamic_threshold(flat: jnp.ndarray) -> jnp.ndarray:
         # the maximum, never by a silent fall-through to the low edge
         ok = c <= MAX_INSTANCES
         idx = jnp.where(jnp.any(ok), jnp.argmax(ok), 64)
-        return edges[idx], edges[jnp.maximum(idx, 1) - 1]
+        below = jnp.maximum(idx, 1) - 1
+        return edges[idx], edges[below], c[idx], c[below]
 
-    e1, lo1 = refine(jnp.float32(0.0), jnp.float32(1.0))
-    e2, _ = refine(lo1, e1)
-    return e2
+    e1, lo1, _, _ = refine(jnp.float32(0.0), jnp.float32(1.0))
+    e2, lo2, n2, nb2 = refine(lo1, e1)
+    # tie-spike guard: when one refined bin holds a huge tie mass at the
+    # cap boundary, the chosen edge can keep almost nothing while the
+    # edge below keeps the whole tie set. The reference keeps the cap
+    # INCLUDING arbitrary ties (select_nth_unstable, threed_plot.rs:
+    # 207-214) — prefer a tie overflow over a near-empty view.
+    cliff = (n2 < MAX_INSTANCES // 4) & (nb2 > MAX_INSTANCES)
+    return jnp.where(cliff, lo2, e2)
+
+
+def _pallas_gate(data, impl: str | None = None) -> tuple[bool, bool]:
+    """One dispatch policy for BOTH voxel entry points: returns
+    ``(use_pallas, interpret)``. Policy: explicit ``impl`` argument,
+    else ``THZ_VOXEL_IMPL``, else pallas on an unsharded TPU cube whose
+    double-buffered line blocks + bf16 band matrix fit the VMEM budget.
+    ``THZ_PALLAS_INTERPRET=1`` runs the kernel interpreted (the same
+    debug/test switch the deconvolution pallas kernel honors,
+    ops/deconvolution.py)."""
+    import os
+
+    if impl is None:
+        impl = os.environ.get("THZ_VOXEL_IMPL", "auto")
+    interpret = os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"
+    sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
+    t = data.shape[-1]
+    # VMEM budget: double-buffered f32 in/out line blocks plus the
+    # double-buffered (t, t) bf16 banded kernel matrix
+    vmem = 2 * (2 * t * 4 * _PALLAS_LINES) + 2 * (2 * t * t)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and not sharded
+        and vmem <= 10 * 1024 * 1024
+    )
+    return use_pallas, interpret
 
 
 def _normalized_opacities(data, kernel, contrast, opacity_threshold,
-                          radius: int, use_pallas: bool):
+                          radius: int, use_pallas: bool,
+                          interpret: bool = False):
     """Envelope + per-trace min-max normalization (no cap threshold).
     ``kernel`` is the (2r+1,) tap vector on the XLA path, or the
     prebuilt bf16 banded matrix from :func:`_band_matrix_bf16` on the
@@ -88,6 +123,7 @@ def _normalized_opacities(data, kernel, contrast, opacity_threshold,
     if use_pallas:
         return _envelope_pallas(
             data.reshape(x * y, t), kernel, contrast, opacity_threshold,
+            interpret=interpret,
         ).reshape(x, y, t)
     sq = data * data
     powed = jnp.power(sq, contrast)
@@ -111,12 +147,14 @@ def _normalized_opacities(data, kernel, contrast, opacity_threshold,
     )
 
 
-@partial(jax.jit, static_argnames=("radius", "use_pallas"))
+@partial(jax.jit, static_argnames=("radius", "use_pallas", "interpret"))
 def _voxel_opacities_impl(data, kernel, contrast, opacity_threshold,
-                          radius: int, use_pallas: bool):
+                          radius: int, use_pallas: bool,
+                          interpret: bool = False):
     x, y, t = data.shape
     normalized = _normalized_opacities(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas
+        data, kernel, contrast, opacity_threshold, radius, use_pallas,
+        interpret,
     )
     if x * y * t > MAX_INSTANCES:
         threshold = _dynamic_threshold(normalized.reshape(-1))
@@ -148,21 +186,7 @@ def voxel_opacities(
     composition is the fallback (CPU, sharded inputs, oversized blocks).
     Measured v5e numbers in ``scripts/profile_voxel.py``.
     """
-    import os
-
-    if impl is None:
-        impl = os.environ.get("THZ_VOXEL_IMPL", "auto")
-    sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
-    t = data.shape[-1]
-    # VMEM budget: double-buffered f32 in/out line blocks plus the
-    # double-buffered (t, t) bf16 banded kernel matrix
-    vmem = 2 * (2 * t * 4 * _PALLAS_LINES) + 2 * (2 * t * t)
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and jax.default_backend() == "tpu"
-        and not sharded
-        and vmem <= 10 * 1024 * 1024
-    )
+    use_pallas, interpret = _pallas_gate(data, impl)
     if use_pallas:
         # pass host taps: np.asarray on a device array is a d2h readback
         # (a full round-trip on the tunnelled TPU)
@@ -170,7 +194,8 @@ def voxel_opacities(
             np.asarray(kernel, np.float32), data.shape[-1], radius
         )
     return _voxel_opacities_impl(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas
+        data, kernel, contrast, opacity_threshold, radius, use_pallas,
+        interpret,
     )
 
 
@@ -190,7 +215,12 @@ def _envelope_kernel(scal_ref, x_ref, w_ref, o_ref):
     contrast, thr = scal_ref[0], scal_ref[1]
     sq = v * v
     powed = jnp.exp(contrast * jnp.log(jnp.maximum(sq, 1e-30)))
-    powed = jnp.where(sq == 0.0, 0.0, powed)  # 0^c = 0, like jnp.power
+    # jnp.power semantics (and f32::powf, threed_plot.rs:173): 0^c = 0
+    # for c > 0 but 0^0 = 1 — the XLA path and the reference both
+    # return 1 at contrast == 0
+    powed = jnp.where(
+        sq == 0.0, jnp.where(contrast == 0.0, 1.0, 0.0), powed
+    )
     # zero-boundary 'same' correlation along t as ONE MXU matmul against
     # the banded kernel matrix (lane-shift unrolls are what kill Mosaic
     # compiles at larger radii — the old general-2D kernel's 9x9 cap).
@@ -263,21 +293,24 @@ def _envelope_pallas(flat, w, contrast, thr, *, interpret: bool = False):
 
 
 def _topk_core(data, kernel, contrast, opacity_threshold,
-               radius: int, use_pallas: bool, k: int):
+               radius: int, use_pallas: bool, k: int,
+               interpret: bool = False):
     """Shared opacity -> ``approx_max_k`` compaction behind both fetch
     formats (f16+i32 pair and packed u32) — one body, so the threshold /
     recall semantics can never diverge between them."""
     normalized = _normalized_opacities(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas
+        data, kernel, contrast, opacity_threshold, radius, use_pallas,
+        interpret,
     )
     flat = normalized.reshape(-1)
     k = min(k, flat.shape[0])
     return jax.lax.approx_max_k(flat, k, recall_target=0.95)
 
 
-@partial(jax.jit, static_argnames=("radius", "use_pallas", "k"))
+@partial(jax.jit, static_argnames=("radius", "use_pallas", "k", "interpret"))
 def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
-                     radius: int, use_pallas: bool, k: int):
+                     radius: int, use_pallas: bool, k: int,
+                     interpret: bool = False):
     """Opacity pipeline + on-device sparse compaction: the ``k`` brightest
     voxels' (values, flat indices) plus the 2M-cap threshold, so ONE
     small transfer replaces shipping the whole opacity volume to the host
@@ -296,7 +329,8 @@ def _voxel_topk_impl(data, kernel, contrast, opacity_threshold,
     vs ~4.4 ms for the whole envelope+top-k. Values ship as f16 (display
     precision; indices must stay int32 for 41M-element addressing)."""
     vals, idx = _topk_core(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas, k
+        data, kernel, contrast, opacity_threshold, radius, use_pallas, k,
+        interpret,
     )
     vals = vals.astype(jnp.float16)
     # threshold in the SAME rounded space the values ship in: f16 rounding
@@ -315,9 +349,10 @@ _PACK_ALPHA_MAX = (1 << _PACK_ALPHA_BITS) - 1
 _PACK_IDX_LIMIT = 1 << (32 - _PACK_ALPHA_BITS)
 
 
-@partial(jax.jit, static_argnames=("radius", "use_pallas", "k"))
+@partial(jax.jit, static_argnames=("radius", "use_pallas", "k", "interpret"))
 def _voxel_topk_packed(data, kernel, contrast, opacity_threshold,
-                       radius: int, use_pallas: bool, k: int):
+                       radius: int, use_pallas: bool, k: int,
+                       interpret: bool = False):
     """:func:`_voxel_topk_impl` with the (value, index) pair bit-packed
     into ONE uint32 per point: ``idx << 6 | round(opacity * 63)``.
 
@@ -329,7 +364,8 @@ def _voxel_topk_packed(data, kernel, contrast, opacity_threshold,
     ``threed_plot.rs:216-230``). Requires ``data.size < 2**26``; callers
     fall back to :func:`_voxel_topk_impl` above that."""
     vals, idx = _topk_core(
-        data, kernel, contrast, opacity_threshold, radius, use_pallas, k
+        data, kernel, contrast, opacity_threshold, radius, use_pallas, k,
+        interpret,
     )
     threshold = jnp.maximum(vals[-1], 0.0)
     q = jnp.clip(
@@ -366,16 +402,8 @@ def extract_instances_topk(
     """
     import os
 
-    impl = os.environ.get("THZ_VOXEL_IMPL", "auto")
-    sharded = getattr(getattr(data, "sharding", None), "num_devices", 1) > 1
+    use_pallas, interpret = _pallas_gate(data)
     t = data.shape[-1]
-    vmem = 2 * (2 * t * 4 * _PALLAS_LINES) + 2 * (2 * t * t)
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and jax.default_backend() == "tpu"
-        and not sharded
-        and vmem <= 10 * 1024 * 1024
-    )
     # keep the taps on the host until dispatch: converting them to a
     # device array and reading them back for the band-cache key costs a
     # full tunnel round-trip per call (~40 ms measured on the product
@@ -395,7 +423,7 @@ def extract_instances_topk(
             _voxel_topk_packed(
                 data, kernel, np.float32(contrast),
                 np.float32(opacity_threshold), kernel_radius, use_pallas,
-                int(max_points),
+                int(max_points), interpret,
             )
         )
         idx = (packed >> _PACK_ALPHA_BITS).astype(np.int64)
@@ -410,7 +438,7 @@ def extract_instances_topk(
             _voxel_topk_impl(
                 data, kernel, np.float32(contrast),
                 np.float32(opacity_threshold), kernel_radius, use_pallas,
-                int(max_points),
+                int(max_points), interpret,
             )
         )
         vals = vals.astype(np.float32)
@@ -450,7 +478,13 @@ def extract_instances_topk(
         jet_colormap(np.zeros_like(opacity))
     )
     rgba = np.concatenate([rgb, opacity[:, None]], axis=-1).astype(np.float32)
-    return positions, rgba, cube_width, cube_height, cube_depth, thr
+    # returned dims are the RENDERED voxel size: the reference stamps
+    # scale = scaling on every instance (threed_plot.rs:239,262) so
+    # downscaled cubes draw proportionally larger voxels; with one
+    # scalar per extraction that per-instance scale folds into the dims
+    s = float(scaling)
+    return (positions, rgba, cube_width * s, cube_height * s,
+            cube_depth * s, thr)
 
 
 def jet_colormap(value: np.ndarray) -> np.ndarray:
@@ -522,4 +556,8 @@ def extract_instances(
     ).astype(np.float32)
     rgb = jet_colormap((opacity - thr) / (1.0 - thr))
     rgba = np.concatenate([rgb, opacity[:, None]], axis=-1).astype(np.float32)
-    return positions, rgba, cube_width, cube_height, cube_depth, thr
+    # fold the reference's per-instance scale into the rendered voxel
+    # dims (threed_plot.rs:239,262 — see extract_instances_topk)
+    s = float(scaling)
+    return (positions, rgba, cube_width * s, cube_height * s,
+            cube_depth * s, thr)
