@@ -80,6 +80,11 @@ def polygon_mask(
     # to ~2^64 in the Rust release build, so the min/max clamp below pins
     # it to size-1 instead of indexing out of bounds; the C path and
     # math_tools.rs:604-609 divide the WRAPPED value).
+    if int(scaling) == 0:
+        # the C path guards scaling==0 with an empty mask
+        # (thznative.c:76); the fallback must not diverge into a
+        # ZeroDivisionError on the same input
+        return mask.astype(bool)
     poly = [
         ((int(x) % _M64) // int(scaling), (int(y) % _M64) // int(scaling))
         for x, y in polygon
@@ -98,20 +103,16 @@ def polygon_mask(
     return mask.astype(bool)
 
 
-@jax.jit
 def masked_mean_trace(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """ROI-averaged trace: mean over masked pixels for each t/f bin.
 
     Equivalent of the accumulation loop in ``average_polygon_roi``
     (``math_tools.rs:640-659``); an empty mask yields zeros, matching the
-    reference's untouched zero result array.
+    reference's untouched zero result array. One-ROI view of
+    :func:`masked_mean_stack` — a single source of truth for the
+    masked-mean semantics.
     """
-    m = mask.astype(data.dtype) if not jnp.issubdtype(
-        data.dtype, jnp.complexfloating
-    ) else mask.astype(jnp.float32)
-    count = jnp.sum(mask.astype(jnp.float32))
-    total = jnp.einsum("xy,xyt->t", m, data)
-    return jnp.where(count > 0, total / count.astype(total.dtype), 0.0)
+    return masked_mean_stack(data, mask[None])[0]
 
 
 @jax.jit

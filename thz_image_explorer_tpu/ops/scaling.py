@@ -4,7 +4,10 @@ Equivalent of ``scaling()`` (``/root/reference/src/math_tools.rs:242-310``)
 as a reshape-mean: crop to a multiple of the scale factor, reshape
 ``(X/s, s, Y/s, s, T)`` and average axes 1 and 3. Because the reference's
 block loop never reads out of bounds for ``nx < W/s`` (``math_tools.rs:283-
-296``), the crop-reshape-mean is bit-for-bit the same computation.
+296``), the crop-reshape-mean reads exactly the same elements; results
+are numerically equivalent up to f32 summation order (the reference
+accumulates the s*s block sequentially, XLA's block sum makes no
+ordering guarantee — last-ulp differences are possible).
 """
 
 from __future__ import annotations
