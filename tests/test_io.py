@@ -186,3 +186,69 @@ def test_vtk_export(tmp_path):
     text = open(path).read()
     assert "UnstructuredGrid" in text and 'NumberOfPoints="3"' in text
     assert "Opacity" in text
+
+
+def test_first_group_skips_root_datasets(tmp_path):
+    """A root-level dataset sorting before the group must not be picked
+    as 'the group' (the reference iterates groups only, io.rs:496-509)."""
+    import h5py
+
+    t, cube = synthetic_scan(width=4, height=4, n_time=32)
+    path = str(tmp_path / "odd.thz")
+    write_scan_thz(path, t, cube, dx=1.0, dy=1.0)
+    with h5py.File(path, "r+") as f:
+        f.create_dataset("AAA_rootlevel", data=np.arange(4.0))
+    cube2, img, md = open_scan(path)
+    assert img.shape == (4, 4)
+
+
+def test_single_pulse_metadata_dx_overrides_fallback(tmp_path):
+    """Metadata dx/dy override the single-pulse fallback's 1.0
+    (io.rs:598-604 assigns unconditionally when the key exists)."""
+    import h5py
+
+    path = str(tmp_path / "pulse.thz")
+    t = np.linspace(0.0, 10.0, 64, dtype=np.float32)
+    sig = np.sin(t).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Measurement")
+        g.create_dataset("ds1", data=np.stack([t, sig], axis=1))
+        g.attrs["mdDescription"] = "dx [mm],dy [mm]"
+        g.attrs["md1"] = "0.5"
+        g.attrs["md2"] = "0.25"
+    cube, _img, _md = open_scan(path)
+    assert cube.dx == 0.5 and cube.dy == 0.25
+
+
+def test_metadata_update_follows_open_group(tmp_path):
+    """Metadata save targets the group open_scan read from, not a
+    hardcoded 'Image' (a 'Measurement'-only file must not KeyError)."""
+    import h5py
+
+    path = str(tmp_path / "meas.thz")
+    t = np.linspace(0.0, 10.0, 64, dtype=np.float32)
+    sig = np.sin(t).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Measurement")
+        g.create_dataset("ds1", data=np.stack([t, sig], axis=1))
+    md = load_metadata(path)
+    md.md["Operator"] = "x"
+    update_metadata(path, md)
+    assert load_metadata(path).md["Operator"] == "x"
+
+
+def test_save_psf_writes_exact_path(tmp_path):
+    """save_psf writes to EXACTLY the requested path — np.savez's silent
+    '.npz' suffix append broke `--out /d/mypsf` (export.rs:8 writes the
+    given path verbatim)."""
+    import os
+
+    psf = load_psf("/root/reference/sample_data/psf.npz")
+    out = str(tmp_path / "mypsf")  # no .npz suffix
+    save_psf(out, psf)
+    assert os.path.exists(out) and not os.path.exists(out + ".npz")
+    again = load_psf(out)
+    f = np.linspace(0.3, 2.0, 7)
+    np.testing.assert_allclose(
+        psf.wx_fit.eval(f), again.wx_fit.eval(f), rtol=1e-6
+    )

@@ -227,7 +227,20 @@ def _load_kernel(data: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return data, jnp.sum(data * data, axis=-1)
 
 
+@jax.jit
+def _device_f32_copy(x: jnp.ndarray) -> jnp.ndarray:
+    # a non-donating jit always returns a fresh buffer — used to shield
+    # caller-owned device arrays from _load_kernel's donation
+    return x.astype(jnp.float32)
+
+
 def load_preprocess(data) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Load-time preprocessing on device: per-pixel DC-offset subtraction
-    using sample 0 plus the intensity image (``io.rs:576-595``)."""
+    using sample 0 plus the intensity image (``io.rs:576-595``).
+
+    ``_load_kernel`` donates its input (the raw cube is dead after the
+    DC subtraction); a caller-owned DEVICE array must be copied first or
+    donation silently invalidates the caller's buffer."""
+    if isinstance(data, jax.Array):
+        data = _device_f32_copy(data)
     return _load_kernel(jnp.asarray(data, jnp.float32))

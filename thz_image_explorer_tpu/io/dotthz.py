@@ -173,8 +173,13 @@ def clear_group_metadata(group: h5py.Group):
 
 
 def _first_group(f: h5py.File) -> Optional[str]:
-    names = sorted(f.keys())
-    return names[0] if names else None
+    """First top-level GROUP name — a root-level dataset must not be
+    picked up (the reference iterates ``get_group_names()``, groups
+    only, ``io.rs:496-509``)."""
+    for name in sorted(f.keys()):
+        if isinstance(f[name], h5py.Group):
+            return name
+    return None
 
 
 def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
@@ -236,8 +241,20 @@ def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
         # don't reshape silently — the reference indexes by metadata dims.
         if width * height == data.shape[0] * data.shape[1]:
             data = data.reshape(width, height, data.shape[2])
-    dx = _parse("dx [mm]", float) if dx is None else dx
-    dy = _parse("dy [mm]", float) if dy is None else dy
+    # metadata dx/dy OVERRIDE the single-pulse fallback's 1.0 (io.rs:
+    # 598-604 assigns unconditionally when the key exists — including
+    # parse().ok()'s None when the value is unparsable)
+    def _override(key, current):
+        val = metadata.md.get(key)
+        if val is None:
+            return current
+        try:
+            return float(val)
+        except ValueError:
+            return None
+
+    dx = _override("dx [mm]", dx)
+    dy = _override("dy [mm]", dy)
     x_min = _parse("x_min [mm]", float)
     y_min = _parse("y_min [mm]", float)
 
@@ -318,33 +335,32 @@ def save_scan(path: str, cube: ScanCube, metadata: DotthzMetadata):
             )
 
 
-def load_metadata(path: str, group_name: str = "Image") -> DotthzMetadata:
+def _resolve_group(f: h5py.File, group_name: Optional[str]) -> str:
+    """``"Image"`` when present, else the first group — metadata reads/
+    writes must target the SAME group ``open_scan`` read from, or a save
+    on a file whose only group is e.g. ``"Measurement"`` crashes with a
+    KeyError the reference's hardcoded-but-handled ``"Image"`` lookup
+    (``io.rs:363-380``) at least surfaced as an Err."""
+    if group_name is not None:
+        return group_name
+    if "Image" in f and isinstance(f["Image"], h5py.Group):
+        return "Image"
+    g = _first_group(f)
+    if g is None:
+        raise ValueError("no groups in file")
+    return g
+
+
+def load_metadata(path: str, group_name: Optional[str] = None) -> DotthzMetadata:
     """Metadata-only read (``io.rs:329-342``)."""
     with h5py.File(path, "r") as f:
-        return read_group_metadata(f[group_name])
+        return read_group_metadata(f[_resolve_group(f, group_name)])
 
 
-def update_metadata(path: str, metadata: DotthzMetadata, group_name: str = "Image"):
+def update_metadata(path: str, metadata: DotthzMetadata,
+                    group_name: Optional[str] = None):
     """Clear + rewrite metadata in place (``io.rs:363-380``)."""
     with h5py.File(path, "r+") as f:
-        group = f[group_name]
+        group = f[_resolve_group(f, group_name)]
         clear_group_metadata(group)
         write_group_metadata(group, metadata)
-
-
-def sibling_scan_path(path: str, delta: int) -> Optional[str]:
-    """Arrow-key navigation helper: next/previous file with the same
-    extension in the directory (``left_panel.rs:165-275``)."""
-    from thz_image_explorer_tpu.io.files import find_files_with_same_extension
-
-    files = find_files_with_same_extension(path)
-    if not files:
-        return None
-    try:
-        idx = files.index(os.path.abspath(path))
-    except ValueError:
-        return None
-    new = idx + delta
-    if 0 <= new < len(files):
-        return files[new]
-    return None

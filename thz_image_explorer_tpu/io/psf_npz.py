@@ -80,4 +80,9 @@ def save_psf(path: str, psf: PSF):
         **spline_entries("x0", psf.x0_spline),
         **spline_entries("y0", psf.y0_spline),
     }
-    np.savez(path, **entries)
+    # write through an opened handle: bare np.savez silently appends
+    # ".npz" to a suffix-less path, so `--out /d/mypsf` would land at
+    # /d/mypsf.npz while the CLI/web report the requested path (the
+    # reference's zip writer writes exactly the given path, export.rs:8)
+    with open(path, "wb") as fh:
+        np.savez(fh, **entries)

@@ -22,48 +22,42 @@ def export_to_vtk(
     if colors.shape[0] != n:
         raise ValueError("positions and colors must have the same length")
 
-    def fmt(arr, per_line=6):
-        flat = np.asarray(arr).reshape(-1)
-        return "\n".join(
-            " ".join(f"{v:.9g}" for v in flat[i : i + per_line])
-            for i in range(0, len(flat), per_line)
-        )
-
     connectivity = np.arange(n, dtype=np.int64)
     offsets = np.arange(1, n + 1, dtype=np.int64)
     types = np.full(n, 1, np.uint8)  # VTK_VERTEX
 
-    xml = f"""<?xml version="1.0"?>
+    # stream each DataArray with np.savetxt (one formatted row per point,
+    # whitespace-delimited ascii is what VTK parses) instead of building
+    # a multi-hundred-MB f-string document in memory: a dense 2M-instance
+    # export is ~10^7 per-value Python format calls the old way
+    with open(filename, "wb") as f:
+        def array(tag, arr, fmt):
+            f.write(tag.encode())
+            np.savetxt(f, arr, fmt=fmt)
+            f.write(b"        </DataArray>\n")
+
+        f.write(f"""<?xml version="1.0"?>
 <VTKFile type="UnstructuredGrid" version="1.0" byte_order="BigEndian">
   <UnstructuredGrid>
     <Piece NumberOfPoints="{n}" NumberOfCells="{n}">
       <Points>
-        <DataArray type="Float64" NumberOfComponents="3" format="ascii">
-{fmt(positions)}
-        </DataArray>
-      </Points>
-      <Cells>
-        <DataArray type="Int64" Name="connectivity" format="ascii">
-{fmt(connectivity)}
-        </DataArray>
-        <DataArray type="Int64" Name="offsets" format="ascii">
-{fmt(offsets)}
-        </DataArray>
-        <DataArray type="UInt8" Name="types" format="ascii">
-{fmt(types)}
-        </DataArray>
-      </Cells>
-      <PointData Vectors="RGB" Scalars="Opacity">
-        <DataArray type="Float64" Name="RGB" NumberOfComponents="3" format="ascii">
-{fmt(colors[:, :3])}
-        </DataArray>
-        <DataArray type="Float64" Name="Opacity" NumberOfComponents="1" format="ascii">
-{fmt(colors[:, 3])}
-        </DataArray>
-      </PointData>
-    </Piece>
-  </UnstructuredGrid>
-</VTKFile>
-"""
-    with open(filename, "w") as f:
-        f.write(xml)
+""".encode())
+        array('        <DataArray type="Float64" NumberOfComponents="3" format="ascii">\n',
+              positions, "%.9g")
+        f.write(b"      </Points>\n      <Cells>\n")
+        array('        <DataArray type="Int64" Name="connectivity" format="ascii">\n',
+              connectivity, "%d")
+        array('        <DataArray type="Int64" Name="offsets" format="ascii">\n',
+              offsets, "%d")
+        array('        <DataArray type="UInt8" Name="types" format="ascii">\n',
+              types, "%d")
+        f.write(b"      </Cells>\n"
+                b'      <PointData Vectors="RGB" Scalars="Opacity">\n')
+        array('        <DataArray type="Float64" Name="RGB" NumberOfComponents="3" format="ascii">\n',
+              colors[:, :3], "%.9g")
+        array('        <DataArray type="Float64" Name="Opacity" NumberOfComponents="1" format="ascii">\n',
+              colors[:, 3], "%.9g")
+        f.write(b"      </PointData>\n"
+                b"    </Piece>\n"
+                b"  </UnstructuredGrid>\n"
+                b"</VTKFile>\n")
