@@ -354,3 +354,131 @@ def test_compute_thread_shutdown_joins():
     assert tool._thread is not None
     tool._shutdown()
     assert not tool._thread.is_alive()
+
+
+def test_split_and_flip_odd_positions_equal_halves():
+    """An odd number of knife positions must yield EQUAL halves (the
+    middle row is dropped): the left/right trace averaging broadcasts
+    (B, P/2, T) cubes elementwise and an unbalanced split crashed the
+    whole run (the reference panics on the same input)."""
+    m = _synthetic_knife_edge(n_pos=21)
+    left, right = split_and_flip(m)
+    assert len(left.positions) == len(right.positions) == 10
+    # and a full compute on odd positions completes
+    res = compute_psf(m, m, FilterParams(n_filters=3, start_freq=0.5,
+                                         end_freq=2.0))
+    assert res is not None and res.curve_fits is not None
+
+
+def test_beam_fit_y_chain_deduped():
+    """With the same knife half for both axes (and the deduped mean fit
+    warm start) the y fit chain is skipped and popt_ys is bitwise
+    popt_xs — half the host Nelder-Mead cost."""
+    m = _synthetic_knife_edge(n_pos=20)
+    _left, right = split_and_flip(m)
+    mean_fit = fit_mean_beam(
+        right.positions, right.positions, right.time_traces, right.time_traces
+    )
+    assert mean_fit.popt_y == mean_fit.popt_x  # deduped mean fit
+    from thz_image_explorer_tpu.ops.firdesign import create_filter_bank
+    from thz_image_explorer_tpu.psf_tool.fitting import fit_beam_widths
+
+    taps, _ = create_filter_bank(3, 0.5, 2.0, 0.5, m.times)
+    fits = fit_beam_widths(
+        mean_fit, right.positions, right.positions,
+        right.time_traces, right.time_traces, taps, BeamFitParams(),
+    )
+    np.testing.assert_array_equal(fits.popt_ys, fits.popt_xs)
+
+
+def test_run_uses_param_snapshot():
+    """A parameter mutated WHILE a run is in flight must not leak into
+    that run: start_computation snapshots params (the reference clones
+    them into the Start message)."""
+    import time
+
+    from thz_image_explorer_tpu.psf_tool import app as app_mod
+    from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
+
+    m = _synthetic_knife_edge(n_pos=20)
+    orig_loader = app_mod.KnifeEdgeMeasurement.from_thz_file
+    started = __import__("threading").Event()
+
+    def slow_loader(_path):
+        started.set()
+        time.sleep(0.3)  # guarantee the mutation lands mid-run
+        return m
+
+    app_mod.KnifeEdgeMeasurement.from_thz_file = staticmethod(slow_loader)
+    tool = PsfToolApp()
+    try:
+        tool.x_path = "synthetic"
+        tool.filter_params.n_filters = 3
+        tool.filter_params.start_freq = 0.5
+        tool.filter_params.end_freq = 2.0
+        tool.start_computation()
+        assert started.wait(5.0)
+        tool.filter_params.n_filters = 5  # mid-run mutation
+        tool.wait(60.0)
+        assert tool.error is None, tool.error
+        assert len(tool.result.center_frequencies) == 3  # snapshot won
+    finally:
+        app_mod.KnifeEdgeMeasurement.from_thz_file = orig_loader
+        tool._shutdown()
+
+
+def test_failed_curve_fit_clears_stale_diagnostics():
+    """A new result without curve fits must not be served alongside the
+    PREVIOUS run's diagnostics (stale diffraction-limited verdict)."""
+    from thz_image_explorer_tpu.psf_tool import app as app_mod
+    from thz_image_explorer_tpu.psf_tool.app import PsfToolApp
+    from thz_image_explorer_tpu.psf_tool.diagnostics import DiagnosticResults
+
+    m = _synthetic_knife_edge(n_pos=20)
+    orig_loader = app_mod.KnifeEdgeMeasurement.from_thz_file
+    app_mod.KnifeEdgeMeasurement.from_thz_file = staticmethod(lambda _p: m)
+    tool = PsfToolApp()
+    try:
+        f = np.linspace(0.3, 2.0, 12)
+        tool.diagnostics = DiagnosticResults.compute(f, 2.0 / f, 2.2 / f)
+        tool.x_path = "synthetic"
+        # n_filters=2 -> curve fit needs >=3 points -> curve_fits None
+        tool.filter_params.n_filters = 2
+        tool.filter_params.start_freq = 0.5
+        tool.filter_params.end_freq = 2.0
+        tool.start_computation()
+        tool.wait(60.0)
+        assert tool.result is not None and tool.result.curve_fits is None
+        assert tool.diagnostics is None
+    finally:
+        app_mod.KnifeEdgeMeasurement.from_thz_file = orig_loader
+        tool._shutdown()
+
+
+def test_psf_state_poll_auto_recomputes():
+    """The web poll is the reference's frame loop: a changed param hash
+    with a path set auto-starts a recompute (app.rs:1043-1049)."""
+    from thz_image_explorer_tpu.psf_tool import app as app_mod
+    from thz_image_explorer_tpu.web import WebApp
+
+    m = _synthetic_knife_edge(n_pos=20)
+    orig_loader = app_mod.KnifeEdgeMeasurement.from_thz_file
+    app_mod.KnifeEdgeMeasurement.from_thz_file = staticmethod(lambda _p: m)
+    app = WebApp()
+    try:
+        tool = app.psf_tool
+        tool.filter_params.n_filters = 3
+        tool.filter_params.start_freq = 0.5
+        tool.filter_params.end_freq = 2.0
+        assert not app.psf_state()["running"]  # no path -> no auto-run
+        app.psf_command("set_path", ["x", "synthetic"])
+        app.psf_state()  # poll triggers the recompute
+        tool.wait(60.0)
+        assert tool.result is not None
+        n_runs = tool._run_id
+        app.psf_state()  # unchanged hash -> no new run
+        assert tool._run_id == n_runs
+    finally:
+        app_mod.KnifeEdgeMeasurement.from_thz_file = orig_loader
+        app.psf_tool._shutdown()
+        app.worker.close()

@@ -89,7 +89,6 @@ def _fit_axis(
     """Fit one axis: split+flip, fit both halves, average left/right and
     re-center (``app.rs:543-713``)."""
     left, right = split_and_flip(meas)
-    n_filters = taps.shape[0]
 
     results = []
     for half in (left, right):
@@ -308,13 +307,23 @@ class PsfToolApp:
             )
         )
 
+    def should_compute(self) -> bool:
+        """(``app.rs:358-366``) a path is set and no run is in flight."""
+        has_data = bool(self.x_path or self.y_path)
+        running = self._thread is not None and self._thread.is_alive()
+        return has_data and not running
+
     def maybe_recompute(self) -> bool:
         """Start a recompute if parameters changed since the last run
-        (the reference's param-hash trigger, ``app.rs:1043-1049``)."""
+        (the reference's param-hash trigger, ``app.rs:1043-1049``ff —
+        checked per frame there; the web frontend calls this from every
+        ``psf_state`` poll, its frame-loop equivalent). While a run is
+        in flight the trigger waits (``should_compute``), exactly like
+        the reference's ``can_compute`` gate, and fires on the next
+        poll after completion."""
         h = self._params_hash()
-        if h == self._last_params_hash:
+        if h == self._last_params_hash or not self.should_compute():
             return False
-        self._last_params_hash = h
         self.start_computation()
         return True
 
@@ -352,6 +361,19 @@ class PsfToolApp:
             self._run_id += 1
             run_id = self._run_id
             cancel = self._cancel
+            # the run computes from a SNAPSHOT of the parameters: a
+            # concurrent HTTP set_filter_param/set_path mutation mid-run
+            # must not produce a torn parameter set (the reference clones
+            # params into the Start message, app.rs:367-413)
+            self._last_params_hash = self._params_hash()  # app.rs:400
+            snapshot = (
+                self.x_path,
+                self.y_path,
+                dataclasses.replace(self.filter_params),
+                dataclasses.replace(self.fit_params),
+            )
+            # progress of superseded runs must not leak into this one
+            self.progress = {}
             if not self._atexit_registered:
                 # a daemon compute thread parked in native device code at
                 # interpreter exit hangs teardown (observed: process stuck
@@ -364,7 +386,8 @@ class PsfToolApp:
                 self._atexit_registered = True
             self._threads = [t for t in self._threads if t.is_alive()]
             self._thread = threading.Thread(
-                target=self._compute, args=(run_id, cancel), daemon=True
+                target=self._compute, args=(run_id, cancel, *snapshot),
+                daemon=True,
             )
             self._threads.append(self._thread)
             self._thread.start()
@@ -392,27 +415,31 @@ class PsfToolApp:
         if t is not None:
             t.join(timeout)
 
-    def _compute(self, run_id: int, cancel: threading.Event):
+    def _compute(self, run_id: int, cancel: threading.Event,
+                 x_path: Optional[str], y_path: Optional[str],
+                 filter_params: FilterParams, fit_params):
         try:
             x_meas = (
-                KnifeEdgeMeasurement.from_thz_file(self.x_path)
-                if self.x_path
+                KnifeEdgeMeasurement.from_thz_file(x_path)
+                if x_path
                 else None
             )
             y_meas = (
-                KnifeEdgeMeasurement.from_thz_file(self.y_path)
-                if self.y_path
+                KnifeEdgeMeasurement.from_thz_file(y_path)
+                if y_path
                 else None
             )
             if x_meas is None and y_meas is None:
                 raise ValueError("No files selected")
 
             def progress(axis, cur, total):
-                self.progress[axis] = (cur, total)
+                # a superseded run must not overwrite the new run's bars
+                if run_id == self._run_id:
+                    self.progress[axis] = (cur, total)
                 return not cancel.is_set()
 
             result = compute_psf(
-                x_meas, y_meas, self.filter_params, self.fit_params, progress
+                x_meas, y_meas, filter_params, fit_params, progress
             )
         except Exception as e:  # noqa: BLE001
             with self._lock:
@@ -427,6 +454,10 @@ class PsfToolApp:
             self.error = None
             if result is not None and result.curve_fits is not None:
                 self._update_diagnostics(result)
+            else:
+                # never pair a new result with the PREVIOUS run's
+                # diagnostics (stale diffraction-limited verdict)
+                self.diagnostics = None
             for cb in self.on_complete:
                 cb(result)
 

@@ -83,16 +83,21 @@ def split_and_flip(
 ) -> tuple[KnifeEdgeMeasurement, KnifeEdgeMeasurement]:
     """Split in half for double knife edge; the left half's positions are
     negated + reversed and its traces reversed
-    (``data_loader.rs:128-162``)."""
+    (``data_loader.rs:128-162``). For an ODD number of positions the
+    middle row is dropped so both halves have equal length — the
+    downstream left/right trace averaging broadcasts the two (B, P/2, T)
+    cubes elementwise (the reference panics on this input at its trace
+    averaging; equal-length halves are the only usable interpretation)."""
     n_half = len(meas.positions) // 2
+    start_r = len(meas.positions) - n_half  # == n_half + 1 when odd
     left = KnifeEdgeMeasurement(
         positions=-meas.positions[:n_half][::-1],
         time_traces=meas.time_traces[:n_half][::-1].copy(),
         times=meas.times,
     )
     right = KnifeEdgeMeasurement(
-        positions=meas.positions[n_half:].copy(),
-        time_traces=meas.time_traces[n_half:].copy(),
+        positions=meas.positions[start_r:].copy(),
+        time_traces=meas.time_traces[start_r:].copy(),
         times=meas.times,
     )
     return left, right

@@ -87,9 +87,14 @@ def fit_mean_beam(
     """Broadband beam fit for center + initial width
     (``fitting.rs:180-263``)."""
     ix = compute_intensity(np.asarray(x_traces))
-    iy = compute_intensity(np.asarray(y_traces))
     popt_x = fit_error_function(x_positions, ix, (0.0, 10.0))
-    popt_y = fit_error_function(y_positions, iy, (0.0, 10.0))
+    if y_traces is x_traces and y_positions is x_positions:
+        # _fit_axis passes the same knife half for both axes — a second
+        # identical Nelder-Mead would return the same optimum at full cost
+        popt_y = popt_x
+    else:
+        iy = compute_intensity(np.asarray(y_traces))
+        popt_y = fit_error_function(y_positions, iy, (0.0, 10.0))
     return MeanBeamFit(
         x0=popt_x[0], y0=popt_y[0], popt_x=popt_x, popt_y=popt_y
     )
@@ -157,6 +162,16 @@ def fit_beam_widths(
     (``fitting.rs:287-442``). Returns None when cancelled via ``progress``.
     """
     n_filters = taps.shape[0]
+    # the host fit chain dedupes exactly like the device filter call
+    # below: with identical inputs AND an identical warm start
+    # (mean_fit from the deduped fit_mean_beam) the y chain is bitwise
+    # the x chain — skipping it halves the dominant host cost (the
+    # sequential Nelder-Mead fits) on this 1-core host
+    dedupe_y = (
+        y_traces is x_traces
+        and y_positions is x_positions
+        and mean_fit.popt_y == mean_fit.popt_x
+    )
     x_positions = np.asarray(x_positions, np.float64)
     y_positions = np.asarray(y_positions, np.float64)
 
@@ -183,7 +198,6 @@ def fit_beam_widths(
 
     for nf in range(n_filters):
         ix = ix_all[nf]
-        iy = iy_all[nf]
 
         popt_x = fit_error_function(x_positions, ix, popt_x, bounds_x)
         if fit_params.use_monotonicity_constraint:
@@ -192,12 +206,20 @@ def fit_beam_widths(
         else:
             bounds_x = ((-range_max / 2.0, 0.01), (range_max / 2.0, w_max))
 
-        popt_y = fit_error_function(y_positions, iy, popt_y, bounds_y)
-        if fit_params.use_monotonicity_constraint:
-            y_off, w_y = popt_y
-            bounds_y = ((-w_y / 2.0 + y_off, 0.0), (w_y / 2.0 + y_off, w_y))
+        if dedupe_y:
+            popt_y, bounds_y = popt_x, bounds_x
         else:
-            bounds_y = ((-range_max / 2.0, 0.01), (range_max / 2.0, w_max))
+            iy = iy_all[nf]
+            popt_y = fit_error_function(y_positions, iy, popt_y, bounds_y)
+            if fit_params.use_monotonicity_constraint:
+                y_off, w_y = popt_y
+                bounds_y = (
+                    (-w_y / 2.0 + y_off, 0.0), (w_y / 2.0 + y_off, w_y)
+                )
+            else:
+                bounds_y = (
+                    (-range_max / 2.0, 0.01), (range_max / 2.0, w_max)
+                )
 
         popt_xs[nf] = (popt_x[0], abs(popt_x[1]))
         popt_ys[nf] = (popt_y[0], abs(popt_y[1]))

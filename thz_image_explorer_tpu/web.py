@@ -506,6 +506,10 @@ class WebApp:
         import dataclasses as _dc
 
         tool = self.psf_tool
+        # per-poll param-hash auto-recompute: the reference re-checks the
+        # hash every frame and restarts when params/paths changed
+        # (app.rs:1045-1049); the 1 Hz state poll is the frame loop here
+        tool.maybe_recompute()
         running = tool._thread is not None and tool._thread.is_alive()
         out = {
             "x_path": tool.x_path,
