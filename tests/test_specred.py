@@ -278,3 +278,33 @@ def test_fd_weight_vector_contract():
             np.asarray(out.amplitudes), np.asarray(cube.amplitudes) * w,
             atol=1e-6, err_msg=stage.config().name,
         )
+
+
+def test_pick_block_prefers_lane_aligned():
+    """The row block is also the masks operand's LANE tile: multiples of
+    128 are preferred (Mosaic handles interior lane splits only at the
+    128 lane width); %8 remains the fallback."""
+    from thz_image_explorer_tpu.ops.pallas_specred import _pick_block
+
+    b = _pick_block(208 * 208, 513)  # the bench shape
+    assert b is not None and b % 128 == 0
+    # a row count with no 128-multiple divisor still gets a %8 block
+    b2 = _pick_block(24, 513)
+    assert b2 == 24 or (b2 is not None and b2 % 8 == 0)
+
+
+def test_spectral_reduction_sums_enforces_contract():
+    """The documented refusals live in the function, not only in the
+    callers' gate: deep mask stacks raise instead of compiling an
+    unbounded unroll."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from thz_image_explorer_tpu.ops.pallas_specred import (
+        spectral_reduction_sums,
+    )
+
+    c = jnp.zeros((64, 16), jnp.float32)
+    m = jnp.zeros((17, 64), jnp.float32)
+    with _pytest.raises(ValueError, match="mask stack"):
+        spectral_reduction_sums(c, c, m)

@@ -175,11 +175,13 @@ def fir_correlate_bands(
     b, l = np.shape(taps)
     mid = l // 2
     shift = l - 1 - mid
-    flipped = np.asarray(taps, np.float64)[:, ::-1]
-    g_blks = np.stack([fir_block_matrix(h, block) for h in flipped])
+    flipped = np.ascontiguousarray(np.asarray(taps, np.float64)[:, ::-1])
+    # same LRU as the device path: rebuilding + re-uploading the ~15 MB
+    # bank costs ~150-220 ms per call on the tunnelled link
+    g_blks = _g_blks_device(flipped, block)
     out = _fir_program(
         jnp.asarray(np.asarray(traces, np.float32)),
-        jnp.asarray(g_blks),
+        g_blks,
         ntaps=l, shift=shift, block=block, n_time=t,
     )
     return np.asarray(out, np.float64)

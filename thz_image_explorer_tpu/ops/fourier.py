@@ -90,6 +90,16 @@ def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     return out[..., :n]
 
 
+def wrap_adjust(d: jnp.ndarray) -> jnp.ndarray:
+    """The parity-critical 2π wrap rule on raw diffs: strict ``> π`` /
+    ``< -π`` comparisons, one correction (``math_tools.rs:226-238`` —
+    a jump of exactly π is kept). THE single source of truth: used by
+    :func:`phase_increments`/:func:`unwrap` and inside the pallas
+    spectral-reduction kernel (``ops/pallas_specred._kernel``)."""
+    two_pi = jnp.asarray(2.0 * jnp.pi, d.dtype)
+    return d - two_pi * (d > jnp.pi) + two_pi * (d < -jnp.pi)
+
+
 def phase_increments(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """The cumsum-free unwrap representation: ``[phi_0, wrapped diffs]``
     along ``axis`` (same shape as the input), such that an inclusive
@@ -105,9 +115,7 @@ def phase_increments(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     a ~164 MB phase-cube materialization per update.
     """
     phase = jnp.moveaxis(phase, axis, -1)
-    d = phase[..., 1:] - phase[..., :-1]
-    two_pi = jnp.asarray(2.0 * jnp.pi, phase.dtype)
-    d_adj = d - two_pi * (d > jnp.pi) + two_pi * (d < -jnp.pi)
+    d_adj = wrap_adjust(phase[..., 1:] - phase[..., :-1])
     out = jnp.concatenate([phase[..., :1], d_adj], axis=-1)
     return jnp.moveaxis(out, -1, axis)
 

@@ -198,11 +198,19 @@ def rl_bands_separable_grouped(
     cs: jnp.ndarray,
     n_iter: jnp.ndarray,
     *,
-    group: int = 4,
+    group: int = 2,  # the ONLY group size measured to compile on Mosaic
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h2, w2 = padded.shape
     assert b % group == 0
+    # group=4 is a recorded Mosaic failure at reference geometry (20.3 MB
+    # of live unrolled temps vs the 16 MB scoped-VMEM limit, see the
+    # kernel docstring) — refuse early instead of an opaque remote error
+    if group > 2 and not interpret:
+        raise ValueError(
+            f"group={group} exceeds Mosaic's scoped-VMEM limit at "
+            "reference geometry (measured dead end; use group<=2)"
+        )
     return pl.pallas_call(
         partial(_sep_kernel_group, group=group),
         grid=(b // group,),

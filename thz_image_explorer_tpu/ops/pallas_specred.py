@@ -46,14 +46,23 @@ _TWO_PI = float(2.0 * np.pi)
 
 
 def _pick_block(n: int, f: int) -> int | None:
-    """Largest row-block B <= 1024 with B % 8 == 0 and B | n whose
-    ~6 f32 (B, F) working arrays fit the VMEM budget."""
+    """Largest row-block B <= 1024 with B | n whose ~6 f32 (B, F)
+    working arrays fit the VMEM budget.
+
+    The block is ALSO the lane-axis tile of the (M, N) masks operand
+    (``_specred_call``'s third BlockSpec), so multiples of 128 are
+    preferred — Mosaic handles interior lane splits only at the 128
+    lane width, and a %8-only block risks an opaque remote-compile
+    reject that would latch the kernel off for the process. %8 blocks
+    remain as the fallback for row counts with no 128-multiple divisor
+    (then the compile either works or the latch degrades to XLA)."""
     cap = max(8, min(1024, _VMEM_BUDGET // max(1, 6 * f * 4)))
-    b = (cap // 8) * 8
-    while b >= 8:
-        if n % b == 0:
-            return b
-        b -= 8
+    for quantum in (128, 8):
+        b = (cap // quantum) * quantum
+        while b >= quantum:
+            if n % b == 0:
+                return b
+            b -= quantum
     return None
 
 
@@ -66,14 +75,13 @@ def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
     amp = jnp.sqrt(c * c + s * s)
     ang = jnp.arctan2(s, c)
     # wrapped diffs along F: roll-by-one then fix lane 0 to ang itself
-    # (phase_increments: inc[0] = phi0, inc[k] = wrap(phi_k - phi_{k-1}))
+    # (phase_increments: inc[0] = phi0, inc[k] = wrap(phi_k - phi_{k-1}));
+    # the wrap rule itself is SHARED with ops/fourier (one source of
+    # truth for the parity-critical strict > pi comparisons)
+    from thz_image_explorer_tpu.ops.fourier import wrap_adjust
+
     sh = pltpu.roll(ang, shift=1, axis=1)
-    d = ang - sh
-    w = (
-        d
-        - jnp.float32(_TWO_PI) * (d > jnp.float32(np.pi))
-        + jnp.float32(_TWO_PI) * (d < jnp.float32(-np.pi))
-    )
+    w = wrap_adjust(ang - sh)
     col = jax.lax.broadcasted_iota(jnp.int32, ang.shape, 1)
     inc = jnp.where(col == 0, ang, w)
 
@@ -229,6 +237,17 @@ def spectral_reduction_sums(spec_c, spec_s, masks, with_complex=True):
     import os
 
     n, f = spec_c.shape
+    # enforce the module-docstring dispatch contract here, not only in
+    # the callers' specred_supported() gate: a sharded operand would
+    # fail deep inside pallas with an opaque error (the kernel is
+    # single-device), and the unrolled mask loop is bounded
+    for arr in (spec_c, spec_s, masks):
+        if getattr(getattr(arr, "sharding", None), "num_devices", 1) > 1:
+            raise ValueError("spectral_reduction_sums is single-device; "
+                             "gather or reduce per-shard instead")
+    if masks.shape[0] > 16:
+        raise ValueError(f"mask stack too deep ({masks.shape[0]} > 16): "
+                         "the per-mask sums are unrolled in the kernel")
     block = _pick_block(n, f)
     if block is None:
         raise ValueError(f"no row-block divides N={n}")
