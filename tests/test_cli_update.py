@@ -170,3 +170,70 @@ def test_cli_psf_fit(tmp_path, capsys):
     from thz_image_explorer_tpu.io import load_psf
 
     assert load_psf(out).is_loaded
+
+
+def test_cli_process_save_writes_processed_cube(scan_path, tmp_path):
+    """`process --save` writes the PROCESSED cube (the help text's
+    promise) — it used to write the raw input via Explorer.save_file."""
+    out_file = str(tmp_path / "proc.thz")
+    assert main([
+        "process", scan_path, "--fd-bandpass", "0.5", "1.5",
+        "--save", out_file,
+    ]) == 0
+    from thz_image_explorer_tpu.io import open_scan
+
+    raw, _, _ = open_scan(scan_path)
+    proc, _, _ = open_scan(out_file)
+    assert not np.allclose(
+        np.asarray(raw.data), np.asarray(proc.data), atol=1e-7
+    ), "saved cube equals the raw input — filters were dropped"
+
+
+def test_cli_process_prints_per_stage_timings(scan_path, capsys):
+    """The fused default records only an async 'chain' aggregate; the
+    CLI refreshes per-stage numbers before printing."""
+    assert main(["process", scan_path]) == 0
+    out = capsys.readouterr().out
+    # per-stage entries (fft/ifft), not just the fused 'chain' aggregate
+    # (scaling is a no-op at downscale 1 and is never timed)
+    assert "fft" in out and "ifft" in out
+
+
+def test_cli_deconvolve_skip_is_a_clean_error(tmp_path, capsys):
+    """A scan without dx/dy metadata makes the deconvolution stage skip;
+    the CLI reports that instead of a KeyError traceback."""
+    import h5py
+
+    t, cube = synthetic_scan(width=16, height=16, n_time=128)
+    p = write_scan_thz(str(tmp_path / "nodx.thzimg"), t, cube, dx=1.0, dy=1.0)
+    with h5py.File(p, "r+") as f:
+        g = f["Image"]
+        names = g.attrs["mdDescription"].split(",")
+        for i, name in enumerate(names):
+            if name.strip() in ("dx [mm]", "dy [mm]"):
+                g.attrs[f"md{i + 1}"] = "not-a-number"
+    rc = main(["deconvolve", p, "--psf",
+               "/root/reference/sample_data/psf.npz",
+               "--n-filters", "3", "--iterations", "4"])
+    assert rc == 1
+    assert "did not run" in capsys.readouterr().out
+
+
+def test_cli_psf_fit_requires_a_measurement(tmp_path, capsys):
+    rc = main(["psf-fit", "--out", str(tmp_path / "p.npz")])
+    assert rc == 2
+    assert "--x / --y" in capsys.readouterr().err
+
+
+def test_cli_info_single_pulse_no_crash(tmp_path, capsys):
+    """`info` on a 1-pixel single-pulse file (or any degenerate axis)
+    prints without IndexError."""
+    import h5py
+
+    p = str(tmp_path / "pulse.thz")
+    t = np.linspace(0.0, 10.0, 64, dtype=np.float32)
+    with h5py.File(p, "w") as f:
+        g = f.create_group("G")
+        g.create_dataset("ds1", data=np.stack([t, np.sin(t)], axis=1))
+    assert main(["info", p]) == 0
+    assert "1 x 1 pixels" in capsys.readouterr().out

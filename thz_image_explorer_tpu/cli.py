@@ -38,9 +38,11 @@ def _cmd_info(args):
     )
     print(f"dx/dy:     {cube.dx} / {cube.dy} mm")
     t = np.asarray(cube.time)
-    print(f"time:      {t[0]:.2f} .. {t[-1]:.2f} ps (dt {t[1]-t[0]:.4f})")
+    dt = f" (dt {t[1] - t[0]:.4f})" if len(t) > 1 else ""
+    print(f"time:      {t[0]:.2f} .. {t[-1]:.2f} ps{dt}")
     f = np.asarray(cube.freq)
-    print(f"freq:      0 .. {f[-1]:.2f} THz ({len(f)} bins, df {f[1]:.4f})")
+    df = f", df {f[1]:.4f}" if len(f) > 1 else ""
+    print(f"freq:      0 .. {f[-1]:.2f} THz ({len(f)} bins{df})")
     print(f"intensity: max {img.max():.4g}")
     if md.md:
         print("metadata:")
@@ -91,11 +93,23 @@ def _add_pipeline_args(p):
 def _cmd_process(args):
     ex = _make_explorer(args)
     ex.open_file(args.scan)
+    # the default fused mode records only an async aggregate; one exact
+    # shadow pass fills fresh PER-STAGE numbers before printing
+    refresh = getattr(ex.pipeline, "refresh_stage_timings", None)
+    if refresh is not None:
+        refresh()
     print("stage timings (ms):")
     for name, t in ex.pipeline.timings.items():
         print(f"  {name:30s} {t * 1e3:8.2f}")
     if args.save:
-        ex.save_file(args.save)
+        # the PROCESSED cube, matching the subcommand's help text (the
+        # GUI's Save writes the raw scan + metadata; that path stays on
+        # Explorer.save_file for the web frontend)
+        md = ex.metadata
+        md.ds_description = ["time", "dataset"]
+        from thz_image_explorer_tpu.io import save_scan
+
+        save_scan(args.save, ex.pipeline.output, md)
         print(f"saved processed scan -> {args.save}")
     if args.vtu:
         _export_vtu(ex, args.vtu)
@@ -115,7 +129,14 @@ def _cmd_deconvolve(args):
     dec.params.start_freq = args.start_freq
     dec.params.end_freq = args.end_freq
     ex.update_filter("deconvolution", force=True)
-    print(f"deconvolution: {ex.pipeline.timings['deconvolution'] * 1e3:.1f} ms")
+    t_dec = ex.pipeline.timings.get("deconvolution")
+    if t_dec is None:
+        # the stage guards return the input untouched (and log why) when
+        # preconditions fail — dx/dy metadata, loadable PSF, >=16x16 image
+        print("deconvolution did not run — check dx/dy metadata, the PSF "
+              "file and the image size (>=16x16); see the log above")
+        return 1
+    print(f"deconvolution: {t_dec * 1e3:.1f} ms")
     if args.save:
         out = ex.pipeline.output
         md = ex.metadata
@@ -130,23 +151,11 @@ def _cmd_deconvolve(args):
 
 
 def _export_vtu(ex, path):
-    from thz_image_explorer_tpu.io.vtk import export_to_vtk
-    from thz_image_explorer_tpu.ops.voxel import extract_instances
-
-    out = ex.pipeline.output
-    t = np.asarray(out.time)
-    v0 = ex.pipeline.valid_wh0 or (
-        ex.pipeline.input.width, ex.pipeline.input.height
-    )
-    positions, rgba, *_ = extract_instances(
-        out.data,
-        time_span=float(t[-1] - t[0]),
-        scaling=out.scaling,
-        original_dims=(v0[0], v0[1], ex.pipeline.input.n_time),
-        valid_grid=ex.pipeline.valid_for(out),
-    )
-    export_to_vtk(positions, rgba, path)
-    print(f"exported {len(positions)} voxels -> {path}")
+    # one export path: Explorer.save_vtu carries the single-sample
+    # time_span guard and the live 3-D view parameters — a CLI copy of
+    # the extraction silently drifted from it
+    ex.save_vtu(path)
+    print(f"exported voxels -> {path}")
 
 
 def _export_pngs(ex, directory):
@@ -198,6 +207,9 @@ def _cmd_psf_fit(args):
     )
     from thz_image_explorer_tpu.psf_tool.app import compute_psf
 
+    if not args.x and not args.y:
+        print("error: at least one of --x / --y is required", file=sys.stderr)
+        return 2
     x = KnifeEdgeMeasurement.from_thz_file(args.x) if args.x else None
     y = KnifeEdgeMeasurement.from_thz_file(args.y) if args.y else None
     params = FilterParams(
@@ -274,6 +286,12 @@ def _cmd_update(args):
     rel = fetch_release_tarball_url()
     if rel is None:
         print("could not fetch the release tarball URL")
+        return 1
+    if rel[0] != newer:
+        # the latest release changed between the check and the fetch
+        # (e.g. yanked): never install a version that was not compared
+        print(f"release changed on the server (expected {newer}, "
+              f"now {rel[0]}); re-run the update check")
         return 1
     path = install_update(rel[1])
     print(f"installed {rel[0]} into {path}; previous version kept as .bak")

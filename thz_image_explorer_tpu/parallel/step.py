@@ -100,22 +100,11 @@ class StepParams:
 
     @staticmethod
     def defaults() -> "StepParams":
-        # np scalars: converted at jit dispatch, no eager device ops
-        f = lambda v: np.float32(v)
-        return StepParams(
-            window_low=f(1.0),
-            window_high=f(7.0),
-            td_before_low=f(0.0),
-            td_before_high=f(1e9),
-            td_before_width=f(2.0),
-            fd_low=f(0.2),
-            fd_high=f(5.0),
-            fd_width=f(0.1),
-            notch_width=f(0.05),
-            notch_depth=f(1.0),
-            td_after_low=f(0.0),
-            td_after_high=f(1e9),
-            td_after_width=f(0.1),
+        # same values as defaults_np (ONE list of field defaults), with
+        # the water-lines table placed on device up front — the only
+        # eager transfer, paid once
+        return dataclasses.replace(
+            StepParams.defaults_np(),
             water_lines=jnp.asarray(np.asarray(WATER_LINES_THZ, np.float32)),
         )
 

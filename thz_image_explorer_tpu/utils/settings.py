@@ -114,7 +114,13 @@ class Settings:
     FILE = "settings.json"
 
     def save(self, directory: Optional[str] = None):
-        d = dataclasses.asdict(self)
+        # NOT dataclasses.asdict: that would deep-copy the whole PSF
+        # spline tree only to overwrite the entry one line later
+        d = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name != "psf"
+        }
         d["psf"] = psf_to_json(self.psf) if self.psf is not None else None
         path = os.path.join(directory or config_dir(), self.FILE)
         _atomic_json_dump(d, path)
