@@ -18,19 +18,25 @@ from thz_image_explorer_tpu.viz import jslogic as jl
 
 # ------------------------------------------------------------ mirrors
 def test_roi_close_rule_boundary():
-    """5% of the LARGER dimension, strict < (matrix_plot.rs:569-637)."""
-    shape = (100, 40)
+    """5% of the SMALLER dimension, strict <, and only with more than one
+    drafted vertex (matrix_plot.rs:594: dist < width.min(height)*0.05 &&
+    polygon.len() > 1)."""
+    shape = (100, 100)
     tol = 5.0  # 0.05 * 100
     assert jl.roi_click_closes((10, 10), (10 + tol - 0.01, 10), shape)
     assert not jl.roi_click_closes((10, 10), (10 + tol, 10), shape)  # strict
     # diagonal distance counts (hypot, not per-axis): (4,4) is 5.66 > 5
     assert not jl.roi_click_closes((0, 0), (4, 4), shape)
     assert jl.roi_click_closes((0, 0), (3, 3), shape)
+    # a single drafted vertex never closes (polygon.len() > 1)
+    assert not jl.roi_click_closes((10, 10), (10, 10), shape, n_vertices=1)
+    assert jl.roi_click_closes((10, 10), (10, 10), shape, n_vertices=2)
 
 
-def test_roi_close_uses_larger_dimension():
-    assert jl.roi_click_closes((0, 0), (4, 0), (100, 10))
-    assert not jl.roi_click_closes((0, 0), (4, 0), (10, 10))  # tol = 0.5
+def test_roi_close_uses_smaller_dimension():
+    # tol = 0.05*min(100, 10) = 0.5 -> a 4px click adds a vertex
+    assert not jl.roi_click_closes((0, 0), (4, 0), (100, 10))
+    assert jl.roi_click_closes((0, 0), (4, 0), (100, 100))  # tol = 5
 
 
 def test_display_to_plot_flip():
@@ -85,10 +91,11 @@ def test_gauge_angle_convention():
 def test_js_roi_close_rule_matches_mirror():
     frac = jl.ROI_CLOSE_FRACTION
     pat = (
-        rf"const tol = {frac}\*Math\.max\(S\.image_shape\[0\], "
+        rf"const tol = {frac}\*Math\.min\(S\.image_shape\[0\], "
         rf"S\.image_shape\[1\]\);\s*"
         r"if \(Math\.hypot\(fx-x, fy-y\) < tol\)"
     )
+    assert "roiDraft.length > 1" in web.PAGE  # polygon.len() > 1
     assert re.search(pat, web.PAGE), (
         "the page's ROI auto-close rule no longer matches "
         "viz.jslogic.ROI_CLOSE_FRACTION / the hypot-strict-< structure"

@@ -383,3 +383,39 @@ def test_extract_instances_scaling_folds_into_dims():
         jnp.asarray(data), time_span=10.0, scaling=2, original_dims=(8, 8, 32)
     )
     assert (cw2, ch2, cd2) == (2 * cw1, 2 * ch1, 2 * cd1)
+
+
+def test_intensity_image_gamma_encoded():
+    """egui's Hsva values are linear and its Color32 bytes sRGB: the
+    rendered bytes must be gamma-encoded (linear 0.5 -> ~188, not 127)
+    and rounded, or every midtone draws darker than the reference."""
+    from thz_image_explorer_tpu.viz.colormap import (
+        _linear_to_srgb,
+        intensity_image_rgba,
+    )
+
+    # grayscale midpoint: remapped 0.5 at midpoint 50 -> linear v = 0.5
+    img = np.array([[0.5, 1.0]])
+    rgba = intensity_image_rgba(img, bw=True)
+    assert abs(int(rgba[0, 0, 0]) - 188) <= 1, rgba[0, 0]
+    assert rgba[0, 1, 0] == 255
+    # rounding, not truncation
+    assert np.round(_linear_to_srgb(np.float64(0.999)) * 255) == 255
+
+
+def test_dynamic_range_follows_displayed_series():
+    """DR normalizes against the DISPLAYED plot's max: dB values when the
+    log plot is on, raw amplitudes otherwise (center_panel.rs:335-342);
+    and short spectra average what exists instead of dividing by 100."""
+    from thz_image_explorer_tpu.viz.plots import dynamic_range_db
+
+    rng = np.random.default_rng(0)
+    amp = np.abs(rng.normal(size=513)) * np.exp(-np.arange(513) / 80.0)
+    assert dynamic_range_db(amp, True) != dynamic_range_db(amp, False)
+    short = np.abs(rng.normal(size=33)) + 0.1
+    # mean over the 33 existing bins, not sum/100
+    noise = short.sum() / 33
+    expect = 20 * np.log10(noise + 1e-10) - max(
+        float((20 * np.log10(short)).max()), -200.0
+    )
+    assert abs(dynamic_range_db(short, True) - expect) < 1e-9

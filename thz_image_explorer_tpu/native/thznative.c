@@ -22,14 +22,27 @@
 #include <time.h>
 #include <pthread.h>
 
-/* Absolute CLOCK_REALTIME deadline, computed ONCE per wait (recomputing
+/* Absolute CLOCK_MONOTONIC deadline, computed ONCE per wait (recomputing
  * per loop iteration would restart the timeout on every spurious or
- * raced wakeup, letting a timed take block far past timeout_ms). */
+ * raced wakeup, letting a timed take block far past timeout_ms).
+ * MONOTONIC, not REALTIME: an NTP step / manual clock change must not
+ * stretch a 50 ms command-queue poll into an hour-long hang (the
+ * condvars are initialized with the matching clock below). */
 static void thz_deadline(struct timespec *ts, long timeout_ms) {
-    clock_gettime(CLOCK_REALTIME, ts);
+    clock_gettime(CLOCK_MONOTONIC, ts);
     ts->tv_sec += timeout_ms / 1000;
     ts->tv_nsec += (timeout_ms % 1000) * 1000000L;
     if (ts->tv_nsec >= 1000000000L) { ts->tv_sec++; ts->tv_nsec -= 1000000000L; }
+}
+
+/* Condvar bound to CLOCK_MONOTONIC so timedwait deadlines use the same
+ * clock thz_deadline stamps. */
+static void thz_cond_init_monotonic(pthread_cond_t *cv) {
+    pthread_condattr_t attr;
+    pthread_condattr_init(&attr);
+    pthread_condattr_setclock(&attr, CLOCK_MONOTONIC);
+    pthread_cond_init(cv, &attr);
+    pthread_condattr_destroy(&attr);
 }
 
 /* ------------------------------------------------------------------ */
@@ -131,7 +144,7 @@ void *thz_cmd_slot_new(void) {
     thz_cmd_slot *s = (thz_cmd_slot *)calloc(1, sizeof(thz_cmd_slot));
     if (!s) return NULL;
     pthread_mutex_init(&s->mu, NULL);
-    pthread_cond_init(&s->cv, NULL);
+    thz_cond_init_monotonic(&s->cv);
     return s;
 }
 
@@ -230,7 +243,7 @@ void *thz_cmd_queue_new(void) {
     thz_cmd_queue *q = (thz_cmd_queue *)calloc(1, sizeof(thz_cmd_queue));
     if (!q) return NULL;
     pthread_mutex_init(&q->mu, NULL);
-    pthread_cond_init(&q->cv, NULL);
+    thz_cond_init_monotonic(&q->cv);
     return q;
 }
 

@@ -25,6 +25,15 @@ def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def _linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    """egui's ``gamma_from_linear`` (ecolor): the Hsva values the
+    reference builds are linear and its ``Color32`` bytes are sRGB."""
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(
+        x <= 0.0031308, 12.92 * x, 1.055 * np.power(x, 1.0 / 2.4) - 0.055
+    )
+
+
 def color_from_intensity(
     intensity,
     max_intensity: float,
@@ -71,9 +80,16 @@ def intensity_image_rgba(
     cancel, so the net on-screen layout is ``screen[(r, c)] = data[(r, c)]``
     — the raw array, no transpose or flip. The click mapping confirms it:
     ``pixel_y = floor(val.x)`` (column) and ``pixel_x = (h-1)-floor(val.y)``
-    (row) at ``matrix_plot.rs:610-613``."""
+    (row) at ``matrix_plot.rs:610-613``.
+
+    The HSV values are LINEAR in egui (``ecolor::Hsva`` docs); the
+    reference's ``Hsva -> Color32`` conversion gamma-encodes to sRGB
+    bytes with rounding, so the same encode happens here — without it
+    every midtone renders visibly darker than the reference (linear 0.5
+    is sRGB ~188, not 127)."""
     rgb = color_from_intensity(img, float(img.max()) or 1.0, cut_off, midpoint, bw)
+    srgb = _linear_to_srgb(rgb)
     rgba = np.concatenate(
-        [rgb, np.ones(rgb.shape[:-1] + (1,), rgb.dtype)], axis=-1
+        [srgb, np.ones(srgb.shape[:-1] + (1,), srgb.dtype)], axis=-1
     )
-    return (rgba * 255).astype(np.uint8)
+    return np.round(rgba * 255).astype(np.uint8)

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import math
 
-#: auto-close tolerance as a fraction of the larger image dimension
+#: auto-close tolerance as a fraction of the SMALLER image dimension
+#: (matrix_plot.rs:594: ``width.min(height) * 0.05``)
 ROI_CLOSE_FRACTION = 0.05
 
 #: gauge arc span in degrees (gauge_widget.rs)
@@ -28,11 +29,16 @@ def roi_click_closes(
     first_vertex: tuple[float, float],
     click: tuple[float, float],
     image_shape: tuple[int, int],
+    n_vertices: int = 3,
 ) -> bool:
-    """True when a shift-click closes the polygon draft: within 5% of the
-    larger image dimension of the FIRST vertex (``matrix_plot.rs:569-637``;
-    JS: ``Math.hypot(fx-x, fy-y) < 0.05*Math.max(...)``)."""
-    tol = ROI_CLOSE_FRACTION * max(image_shape[0], image_shape[1])
+    """True when a shift-click closes the polygon draft: MORE THAN ONE
+    vertex drafted and the click within 5% of the SMALLER image dimension
+    of the FIRST vertex (``matrix_plot.rs:594``: ``dist <
+    width.min(height) * 0.05 && polygon.len() > 1``; JS:
+    ``Math.hypot(fx-x, fy-y) < 0.05*Math.min(...)``)."""
+    if n_vertices <= 1:
+        return False
+    tol = ROI_CLOSE_FRACTION * min(image_shape[0], image_shape[1])
     return math.hypot(first_vertex[0] - click[0], first_vertex[1] - click[1]) < tol
 
 
@@ -65,12 +71,18 @@ def display_to_pixel(
 
 def gauge_fraction(value: float, min_i: float, max_i: float, log: bool) -> float:
     """Value -> [0, 1] arc fraction; log10 mapping for the pressure gauge
-    (JS ``frac`` in ``drawGauge``). Unclamped, like the JS."""
-    if log:
-        return (math.log10(max(value, min_i)) - math.log10(min_i)) / (
-            math.log10(max_i) - math.log10(min_i)
-        )
-    return (value - min_i) / (max_i - min_i)
+    (JS ``frac`` in ``drawGauge``). Unclamped AND edge-degrading like
+    the JS: log10(0)/0-span divisions yield NaN (the browser's
+    -Infinity/NaN arithmetic), never an exception — the mirror must be
+    drivable on the same inputs the page survives."""
+    try:
+        if log:
+            return (math.log10(max(value, min_i)) - math.log10(min_i)) / (
+                math.log10(max_i) - math.log10(min_i)
+            )
+        return (value - min_i) / (max_i - min_i)
+    except (ValueError, ZeroDivisionError):
+        return float("nan")
 
 
 def gauge_value_deg(value: float, min_i: float, max_i: float, log: bool) -> float:

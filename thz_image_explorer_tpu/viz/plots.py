@@ -41,16 +41,23 @@ def fft_plot_series(
         )
 
 
-def dynamic_range_db(signal_fft: np.ndarray) -> float:
+def dynamic_range_db(signal_fft: np.ndarray, log_plot: bool = True) -> float:
     """DR readout (``center_panel.rs:565-578``): mean of the last 100
-    amplitude bins in dB, relative to the plot's maximum (clamped at
-    −200 dB)."""
+    amplitude bins in dB, relative to the DISPLAYED plot's maximum
+    (``center_panel.rs:335-342`` computes ``max_fft_signals`` from the
+    plotted series — dB values when the log plot is on, raw amplitudes
+    otherwise — clamped at −200).
+
+    Lenient extensions over the reference: spectra shorter than 100
+    bins average what exists (the reference's ``[len-100..len]`` slice
+    panics there), and an empty spectrum returns 0."""
     amp = np.asarray(signal_fft, np.float64)
     if len(amp) == 0:
         return 0.0
-    noise = float(amp[-100:].sum()) / 100.0
-    log_vals = fft_plot_series(amp, log_plot=True)
-    max_fft = max(float(log_vals.max()), -200.0)
+    tail = amp[-100:]
+    noise = float(tail.sum()) / min(len(amp), 100)
+    shown = fft_plot_series(amp, log_plot=log_plot)
+    max_fft = max(float(shown.max()), -200.0)
     return 20.0 * np.log10(abs(noise) + 1e-10) - max_fft
 
 

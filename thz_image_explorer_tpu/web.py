@@ -279,7 +279,11 @@ class WebApp:
                 for u, (n, p) in ex.rois.items()
             },
             "readouts": {
-                "dr_db": _finite(dynamic_range_db(plot.signal_fft), 1, 0.0),
+                # DR normalizes against the DISPLAYED series' maximum —
+                # raw amplitudes in linear-plot mode (center_panel.rs:335)
+                "dr_db": _finite(
+                    dynamic_range_db(plot.signal_fft, log_plot), 1, 0.0
+                ),
                 "ptp": _finite(peak_to_peak(plot.signal), 2, 0.0),
             },
             "selection": {
@@ -1397,10 +1401,12 @@ el('img').addEventListener('click', ev => {
   const x = Math.floor((ev.clientX-r.left)/imgScale);
   const y = H-1-Math.floor((ev.clientY-r.top)/imgScale);
   if (ev.shiftKey) {
-    // polygon ROI: auto-close within 5% of first vertex (matrix_plot.rs)
-    if (roiDraft.length > 2) {
+    // polygon ROI: auto-close within 5% of the SMALLER image dimension
+    // of the first vertex, once more than ONE vertex is drafted
+    // (matrix_plot.rs:594: width.min(height)*0.05 && polygon.len() > 1)
+    if (roiDraft.length > 1) {
       const [fx, fy] = roiDraft[0];
-      const tol = 0.05*Math.max(S.image_shape[0], S.image_shape[1]);
+      const tol = 0.05*Math.min(S.image_shape[0], S.image_shape[1]);
       if (Math.hypot(fx-x, fy-y) < tol) {
         const uuid = 'roi-' + Date.now();
         cmd('add_roi', [uuid, 'ROI ' + Object.keys(S.rois).length, roiDraft]);
