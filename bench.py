@@ -9,8 +9,9 @@ chain as the stand-in for the reference's rayon/all-cores Rust pipeline
 (the reference publishes no numbers of its own — BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Run with --deconv to additionally time the banked Richardson-Lucy
-deconvolution (reported in "extra").
+The banked Richardson-Lucy deconvolution is timed BY DEFAULT (reported
+in "extra"); ``--no-deconv`` skips only that. ``THZ_BENCH_FIRSTOPEN=0``
+skips the minutes-long cold-open measurement.
 """
 
 from __future__ import annotations
@@ -184,7 +185,11 @@ def bench_cpu_torch(t, data):
 
     from thz_image_explorer_tpu.assets.water_lines import WATER_LINES_THZ
 
-    torch.set_num_threads(torch.get_num_threads())
+    import os as _os
+
+    # all physical cores, explicitly — the rayon stand-in must never
+    # silently under-use the host and inflate vs_baseline
+    torch.set_num_threads(_os.cpu_count() or 1)
     data_t = torch.from_numpy(data.copy())
     t_t = torch.from_numpy(t)
 
@@ -406,13 +411,14 @@ def bench_hbm_limit():
     mk = jax.jit(lambda key: jax.random.normal(key, (W, H, T), jnp.float32))
     cube = make_cube(jnp.asarray(t), mk(jax.random.PRNGKey(0)), dx=0.5, dy=0.5)
     _sum = jax.jit(jnp.sum)
-    cube, img = stepd(cube, params)
+    # _step returns (cube, img, raw_fd) since the lean-publish rework
+    cube, img, _ = stepd(cube, params)
     float(_sum(img))
     t0 = time.perf_counter()
     n = 4
     for i in range(n):
         params = dataclasses.replace(params, fd_low=np.float32(0.2 + 0.001 * i))
-        cube, img = stepd(cube, params)
+        cube, img, _ = stepd(cube, params)
     float(_sum(img))
     per = (time.perf_counter() - t0) / n
     return {
@@ -429,21 +435,11 @@ def bench_hbm_limit():
     }
 
 
-def bench_explorer(t, data):
-    """The PRODUCT interactive path (VERDICT r2 #1): a real Explorer —
-    loader (bucket-padded grid), fused dirty-range executor, single-
-    dispatch publish — driven like a slider drag. Reports the fused chain
-    program's honest device ms (completion-probe) and the end-to-end wall
-    p50 including the publish transfer (1 tunnel round-trip here)."""
-    import os
-    import tempfile
-
+def _write_bench_scan(path, t, data):
+    """Minimal dotTHz writer for the bench cubes (ONE copy — the
+    explorer and voxel benches previously each inlined a drifting one)."""
     import h5py
 
-    from thz_image_explorer_tpu.pipeline import Explorer
-
-    d = tempfile.mkdtemp()
-    path = os.path.join(d, "bench.thzimg")
     with h5py.File(path, "w") as f:
         g = f.create_group("Image")
         md = {
@@ -459,9 +455,34 @@ def bench_explorer(t, data):
         g.create_dataset("ds1", data=t)
         g.create_dataset("ds2", data=data)
 
+
+def bench_explorer(t, data):
+    """The PRODUCT interactive path (VERDICT r2 #1): a real Explorer —
+    loader (bucket-padded grid), fused dirty-range executor, single-
+    dispatch publish — driven like a slider drag. Reports the fused chain
+    program's honest device ms (completion-probe) and the end-to-end wall
+    p50 including the publish transfer (1 tunnel round-trip here)."""
+    import os
+    import shutil
+    import tempfile
+
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "bench.thzimg")
+    _write_bench_scan(path, t, data)
+
     import jax
     import jax.numpy as jnp
 
+    try:
+        return _bench_explorer_body(path, Explorer, jax, jnp)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)  # the 164 MB cube must not
+        # accumulate in /tmp across bench runs
+
+
+def _bench_explorer_body(path, Explorer, jax, jnp):
     ex = Explorer()
     ex.open_file(path)
     for uuid in ("time_band_pass_before_fft", "frequency_band_pass",
@@ -520,30 +541,30 @@ def bench_voxel(t, data):
     (``WebApp.voxels`` -> device top-k compaction -> one transfer),
     at the bench cube size = 41M voxels (round-4 task 5)."""
     import os
+    import shutil
     import tempfile
-
-    import h5py
 
     from thz_image_explorer_tpu.web import WebApp
 
     d = tempfile.mkdtemp()
     path = os.path.join(d, "bench_vox.thzimg")
-    with h5py.File(path, "w") as f:
-        g = f.create_group("Image")
-        md = {"width": str(data.shape[0]), "height": str(data.shape[1]),
-              "dx [mm]": "0.5", "dy [mm]": "0.5"}
-        g.attrs["mdDescription"] = ",".join(md.keys())
-        for i, v in enumerate(md.values()):
-            g.attrs[f"md{i + 1}"] = v
-        g.attrs["dsDescription"] = "time,dataset"
-        g.create_dataset("ds1", data=t)
-        g.create_dataset("ds2", data=data)
+    _write_bench_scan(path, t, data)
 
     app = WebApp()
     try:
         app.worker.send("open_file", path)
         app.worker.join_idle(600)
-        v = app.voxels(threshold=0.001)  # compile + warm
+        # compile + warm; a cold remote compile can outlast the 30 s
+        # worker-call timeout, which returns {'busy': true} — retry until
+        # the program is genuinely built or give up loudly, so the timed
+        # medians never absorb compile time and n is never a bogus 0
+        for _ in range(20):
+            v = app.voxels(threshold=0.001)
+            if not v.get("busy"):
+                break
+            time.sleep(5.0)
+        if v.get("busy"):
+            raise TimeoutError("voxel program still compiling after 10 min")
         walls = []
         for i in range(5):
             t0 = time.perf_counter()
@@ -563,6 +584,7 @@ def bench_voxel(t, data):
         }
     finally:
         app.worker.close()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bench_psf():
@@ -667,9 +689,10 @@ def bench_firstopen():
     scan_dir = tempfile.mkdtemp(prefix="thz_cold_scan_")
     # a shape the persistent caches have never seen (odd bucket + T)
     w, h, nt = 150, 130, 768
+    here = os.path.dirname(os.path.abspath(__file__))
     script = f"""
 import sys, time, json
-sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, {here!r}); sys.path.insert(0, {os.path.join(here, "tests")!r})
 import numpy as np
 from make_sample import synthetic_scan, write_scan_thz
 t, cube = synthetic_scan(width={w}, height={h}, n_time={nt})
@@ -711,8 +734,14 @@ print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
         d["process_wall_s"] = round(wall, 1)
         return d
 
-    cold = run_once()
-    warm = run_once()
+    import shutil
+
+    try:
+        cold = run_once()
+        warm = run_once()
+    finally:
+        shutil.rmtree(scan_dir, ignore_errors=True)
+        shutil.rmtree(cache, ignore_errors=True)
     return {
         "first_open_cold_s": round(cold.get("open_s", -1)
                                    + cold.get("slider_s", 0), 1),
@@ -991,26 +1020,28 @@ def main():
                     / PEAK_BF16_FLOPS,
                     4,
                 )
-        try:
-            extra["large_cube"] = bench_large()
-        except Exception as e:
-            extra["large_cube_error"] = str(e)[:120]
-        try:
-            extra["hbm_limit"] = bench_hbm_limit()
-        except Exception as e:
-            extra["hbm_limit_error"] = str(e)[:160]
-        try:
-            extra["scale_ceiling"] = bench_ceiling()
-        except Exception as e:
-            extra["scale_ceiling_error"] = str(e)[:160]
-        try:
-            extra["mesh_exec"] = bench_mesh_exec()
-        except Exception as e:
-            extra["mesh_exec_error"] = str(e)[:160]
-        try:
-            extra["first_open"] = bench_firstopen()
-        except Exception as e:
-            extra["first_open_error"] = str(e)[:160]
+    # these benches are independent of the deconvolution flag: --no-deconv
+    # must skip ONLY the RL deconvolution timing
+    try:
+        extra["large_cube"] = bench_large()
+    except Exception as e:
+        extra["large_cube_error"] = str(e)[:120]
+    try:
+        extra["hbm_limit"] = bench_hbm_limit()
+    except Exception as e:
+        extra["hbm_limit_error"] = str(e)[:160]
+    try:
+        extra["scale_ceiling"] = bench_ceiling()
+    except Exception as e:
+        extra["scale_ceiling_error"] = str(e)[:160]
+    try:
+        extra["mesh_exec"] = bench_mesh_exec()
+    except Exception as e:
+        extra["mesh_exec_error"] = str(e)[:160]
+    try:
+        extra["first_open"] = bench_firstopen()
+    except Exception as e:
+        extra["first_open_error"] = str(e)[:160]
 
     result = {
         "metric": "full-image update latency p50 (window+FFT+FD filter+notch+iFFT+intensity, 200x200x1024)",
