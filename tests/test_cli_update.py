@@ -237,3 +237,23 @@ def test_cli_info_single_pulse_no_crash(tmp_path, capsys):
         g.create_dataset("ds1", data=np.stack([t, np.sin(t)], axis=1))
     assert main(["info", p]) == 0
     assert "1 x 1 pixels" in capsys.readouterr().out
+
+
+def test_cli_process_save_downscaled_geometry(scan_path, tmp_path):
+    """`process --downscale N --save` must declare the geometry of the
+    cube it WRITES: halved width/height, doubled dx/dy — not the original
+    scan's. Readers (io.rs:496-631 and this loader) index the dataset by
+    the metadata dims and trust the pitch for tilt/deconvolution."""
+    out_file = str(tmp_path / "down.thz")
+    assert main([
+        "process", scan_path, "--downscale", "2", "--save", out_file,
+    ]) == 0
+    from thz_image_explorer_tpu.io import load_metadata, open_scan
+
+    md = load_metadata(out_file)
+    assert md.md["width"] == "8" and md.md["height"] == "8"
+    assert float(md.md["dx [mm]"]) == 2.0
+    assert float(md.md["dy [mm]"]) == 2.0
+    cube, _, _ = open_scan(out_file)
+    assert tuple(np.asarray(cube.valid_wh)) == (8, 8)
+    assert cube.dx == 2.0 and cube.dy == 2.0

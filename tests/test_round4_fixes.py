@@ -783,3 +783,76 @@ def test_tilt_fused_static_rejects_traced_cube():
     tc.tilt_x = 5.0
     with pytest.raises(TypeError, match="valid_wh"):
         tc.fused_static(cube)
+
+
+def test_abort_cancels_command_that_escaped_the_drain():
+    """The take()->clear-check window: a command popped just BEFORE an
+    abort's drain escapes the drain, and the old timestamp scheme then
+    misread the abort as stale (abort_t < cmd stamp) and cleared it. The
+    epoch scheme keys staleness on the drain-vs-pop order recorded under
+    the queue lock, so the escapee stays cancelled."""
+    import threading
+
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    w = ExplorerWorker()
+    try:
+        real_take = w.queue.take
+        popped = threading.Event()
+        gate = threading.Event()  # holds the worker between pop and check
+
+        def slow_take(timeout=None):
+            cmd = real_take(timeout=timeout)
+            if cmd is not None:
+                popped.set()
+                gate.wait(5.0)
+            return cmd
+
+        w.queue.take = slow_take
+        # the worker may be blocked INSIDE a real take(timeout=0.1) call
+        # entered before the patch; let it time out so the next iteration
+        # goes through slow_take
+        import time
+
+        time.sleep(0.3)
+        outcome = {}
+        done = threading.Event()
+
+        def cmd(ex):
+            outcome["cancelled"] = ex.pipeline.cancelled()
+            done.set()
+
+        # raw queue.put (not send()): the worker's idle flag stays set, so
+        # completion is observed via `done`, not join_idle
+        w.queue.put((cmd, (), {}))
+        assert popped.wait(2.0)
+        w.abort()  # completes fully while the popped command is in limbo
+        gate.set()
+        assert done.wait(5.0)
+        assert outcome.get("cancelled") is True, (
+            "command that escaped the abort drain ran uncancelled"
+        )
+    finally:
+        w.queue.take = real_take
+        w.close()
+
+
+def test_command_queue_abort_epochs():
+    """pop_epoch tracks the abort_epoch at payload commit: equal means
+    enqueued after the last drain (stale flag clearable), lower means the
+    pop escaped a drain."""
+    from thz_image_explorer_tpu.pipeline import CommandQueue
+
+    q = CommandQueue()
+    try:
+        q.put(("a", (), {}))
+        assert q.take(timeout=1) is not None
+        assert q.pop_epoch == q.abort_epoch == 0
+        q.drain()
+        assert q.abort_epoch == 1
+        q.put(("b", (), {}))
+        assert q.take(timeout=1) is not None
+        assert q.pop_epoch == q.abort_epoch == 1
+    finally:
+        q.close()
+        q.release()

@@ -109,7 +109,24 @@ def _cmd_process(args):
         md.ds_description = ["time", "dataset"]
         from thz_image_explorer_tpu.io import save_scan
 
-        save_scan(args.save, ex.pipeline.output, md)
+        out = ex.pipeline.output
+        # a downscaled output has its own geometry: the file must declare
+        # the dims/pitch of the DATA WRITTEN, not the original scan —
+        # readers (io.rs:496-631 and this loader) index the dataset by the
+        # metadata width/height and trust dx/dy, so stale originals make
+        # the saved file self-inconsistent
+        vw, vh = (
+            (int(out.valid_wh[0]), int(out.valid_wh[1]))
+            if out.valid_wh is not None
+            else (out.width, out.height)
+        )
+        md.md["width"] = str(vw)
+        md.md["height"] = str(vh)
+        if out.dx is not None:
+            md.md["dx [mm]"] = str(out.dx)
+        if out.dy is not None:
+            md.md["dy [mm]"] = str(out.dy)
+        save_scan(args.save, out, md)
         print(f"saved processed scan -> {args.save}")
     if args.vtu:
         _export_vtu(ex, args.vtu)

@@ -107,6 +107,15 @@ class CommandQueue:
     def __init__(self):
         self._lib = native.load()
         self._py_lock = threading.Lock()
+        #: abort bookkeeping, both mutated ONLY under ``_py_lock``:
+        #: ``abort_epoch`` counts drains; ``pop_epoch`` records the epoch
+        #: at the instant take() committed its payload (the same critical
+        #: section a concurrent drain would have removed it in). A popped
+        #: command with ``pop_epoch == abort_epoch`` was provably enqueued
+        #: AFTER the last abort's drain; anything less escaped a drain
+        #: in flight and must still honor that abort (ExplorerWorker._run)
+        self.abort_epoch = 0
+        self.pop_epoch = 0
         self._seq = 0
         self._by_key: dict[Any, list] = {}  # key -> [seq, payload]
         self._seq2key: dict[int, Any] = {}
@@ -155,6 +164,7 @@ class CommandQueue:
                 key = self._seq2key.pop(seq.value, None)
                 if key is None:  # drained between pop and lookup
                     return None
+                self.pop_epoch = self.abort_epoch
                 return self._by_key.pop(key)[1]
         with self._cv:
             if not self._fifo and not self._closed:
@@ -165,6 +175,7 @@ class CommandQueue:
             key = self._seq2key.pop(seq, None)
             if key is None:
                 return None
+            self.pop_epoch = self.abort_epoch
             return self._by_key.pop(key)[1]
 
     def empty(self) -> bool:
@@ -184,6 +195,7 @@ class CommandQueue:
                 self._lib.thz_cmd_queue_drain(self._handle)
             else:
                 self._fifo.clear()
+            self.abort_epoch += 1
             return had
 
     def close(self):
@@ -216,12 +228,18 @@ class ExplorerWorker:
         self.explorer = explorer or Explorer()
         self.queue = CommandQueue()
         self.abort_flag = threading.Event()
-        # abort/start timestamps resolve the race between abort() and the
-        # per-command flag reset: an abort raised at-or-after the current
-        # command's start always cancels it, and only an abort that is
-        # provably stale (older than the command) is cleared (_run)
-        self._abort_t = float("-inf")
-        self._cmd_t = float("inf")
+        # Serializes abort() against _run's stale-flag clear. Correctness
+        # hinges on the drain-vs-pop order recorded by the queue's epoch
+        # counters: a command whose payload lookup committed BEFORE the
+        # drain (pop_epoch < abort_epoch) was in flight when the user hit
+        # abort and must stay cancelled; one that survived the drain was
+        # enqueued after it, so the flag it observes is stale. Holding
+        # this lock across both the (drain, flag.set) pair and the
+        # (epoch compare, flag.clear) pair makes the decision atomic —
+        # no interleaving can clear a fresh abort or cancel a post-abort
+        # command (data_thread.rs:163-172 gets this for free from its
+        # single-threaded recv loop).
+        self._abort_lock = threading.Lock()
         self.explorer.pipeline.cancelled = self._cancelled
         self._on_update: list[Callable[[Explorer], None]] = []
         self._stop = threading.Event()
@@ -286,16 +304,18 @@ class ExplorerWorker:
         return box["result"]
 
     def _cancelled(self) -> bool:
-        return self.abort_flag.is_set() and self._abort_t >= self._cmd_t
+        return self.abort_flag.is_set()
 
     def abort(self):
         """Abort in-flight work and drain pending commands
-        (``data_thread.rs:163-172``). The timestamp is recorded BEFORE
-        the flag so _run's stale-abort check can never clear a fresh
-        abort aimed at the command it just popped."""
-        self._abort_t = _time.monotonic()
-        self.abort_flag.set()
-        self.queue.drain()
+        (``data_thread.rs:163-172``). Drain first (bumping the queue's
+        abort epoch inside its lock), THEN raise the flag: a command that
+        escaped the drain by being popped concurrently carries a
+        pre-drain pop_epoch, so _run's stale check keeps the flag set and
+        the escapee is cancelled anyway."""
+        with self._abort_lock:
+            self.queue.drain()
+            self.abort_flag.set()
 
     def on_update(self, callback: Callable[[Explorer], None]):
         self._on_update.append(callback)
@@ -325,14 +345,15 @@ class ExplorerWorker:
             cmd = self.queue.take(timeout=0.1)
             if cmd is not None:
                 self._idle.clear()
-                # stamp the command start FIRST, then clear only a STALE
-                # abort (one raised before this command was popped); an
-                # abort landing between these two lines has
-                # _abort_t >= _cmd_t and survives the clear, so
-                # _cancelled() still cancels this command
-                self._cmd_t = _time.monotonic()
-                if self._abort_t < self._cmd_t:
-                    self.abort_flag.clear()
+                # Clear only a provably STALE abort: equal epochs mean no
+                # drain ran after this command's payload lookup, i.e. the
+                # command was enqueued after the last abort completed. An
+                # abort racing this check either already bumped the epoch
+                # (mismatch -> flag survives, command cancelled) or is
+                # blocked on _abort_lock until the clear decision is done.
+                with self._abort_lock:
+                    if self.queue.pop_epoch == self.queue.abort_epoch:
+                        self.abort_flag.clear()
                 method, args, kwargs = cmd
                 try:
                     if callable(method):  # closure from call()

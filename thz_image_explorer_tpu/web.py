@@ -165,6 +165,7 @@ class WebApp:
                         "filters": {}, "rois": {}, "plots": {}, "log": [],
                         "phase": None, "siblings": [], "sibling_paths": [],
                         "metadata": {"fields": {}, "md": {}},
+                        "view": dict(self.view),
                     }
                 )
             snap["busy"] = True
@@ -1182,21 +1183,30 @@ const escJ = s => JSON.stringify(String(s)).slice(1,-1).replace(/'/g,"\\'");
 // quote inside file-derived text breaks out of the attribute
 const escA = s => escH(escJ(s));
 // innerHTML rebuild guard: skip when content is unchanged (no relayout)
-// or when the user is mid-edit inside the container — the 1 Hz poll must
-// never destroy a focused input before its onchange fires (the metadata
-// editor's mdEdit guard, generalized)
+// or when the user is mid-edit of a TEXT field inside the container —
+// the 1 Hz poll must never destroy a focused input before its onchange
+// fires (the metadata editor's mdEdit guard, generalized). A focused
+// button/checkbox/select must NOT freeze its panel: buttons keep focus
+// after a click, so guarding on any focus would stall e.g. the filter
+// panel until the next outside click.
+const isTextEdit = n => !!n && (n.tagName === 'TEXTAREA' || n.isContentEditable
+  || (n.tagName === 'INPUT' &&
+      !['checkbox','radio','button','range','submit'].includes(n.type)));
 function setHTML(id, html) {
   const e = el(id);
   if (e.__html === html) return;
-  if (e.contains(document.activeElement)) return;
+  if (e.contains(document.activeElement) && isTextEdit(document.activeElement)) return;
   e.innerHTML = html; e.__html = html;
 }
 // write server state back into a control unless the user is on it —
 // after a reload the widgets must show the persisted/restored config,
-// not their HTML defaults
+// not their HTML defaults. A STALE busy snapshot predates whatever the
+// user just queued; writing it back would visibly revert their edit for
+// the whole busy period, so it never syncs controls.
 function syncInput(id, v) {
   const e = el(id);
   if (!e || v == null || document.activeElement === e) return;
+  if (S && S.stale) return;
   if (e.type === 'checkbox') e.checked = !!v;
   else if (String(e.value) !== String(v)) e.value = v;
 }
@@ -1241,6 +1251,7 @@ function render() {
   S.housekeeping = S.housekeeping || {measured:[]};
   S.readouts = S.readouts || {dr_db:0, ptp:0};
   S.selection = S.selection || {available_references:[], available_samples:[]};
+  S.view = S.view || {cut_low:0, cut_high:100, midpoint:50, bw:false};
   el('fileinfo').textContent = (S.file||'no scan loaded') +
     (S.busy ? (S.phase === 'compiling' ? '  ⏳ compiling (first run at this scan shape)' : '  ⏳') : '');
   // image
