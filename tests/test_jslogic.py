@@ -229,3 +229,109 @@ def test_browser_smoke_if_available(tmp_path):
     f.write_text(js)
     got = json.loads(subprocess.check_output([path, str(f)], text=True))
     assert got == pytest.approx(jl.project_voxel(1.0, 2.0, 3.0, -1.0, 0.6))
+
+
+# --------------------------------------------------- plot-canvas mirrors
+def test_point_in_poly_matches_compute_rasterizer():
+    """The hover test (JS pointInPoly, mirroring the reference's f64
+    ray cast ``matrix_plot.rs:316-335``) and the ROI averaging rasterizer
+    (the reference's SEPARATE u64 function ``math_tools.rs:574-591``,
+    replicated by ``native/thznative.c:28-49``) agree everywhere the u64
+    integer math is exact — rectilinear and concave polygons included."""
+    from thz_image_explorer_tpu.ops.roi import _point_in_polygon_py
+
+    concave = [(1, 1), (10, 1), (10, 10), (6, 10), (6, 4), (3, 4), (3, 10),
+               (1, 10)]
+    square = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    for poly in (concave, square):
+        for y in range(13):
+            for x in range(13):
+                assert jl.point_in_poly(x, y, poly) == bool(
+                    _point_in_polygon_py(x, y, poly)
+                ), (x, y, poly)
+
+
+def test_rasterizer_u64_wrap_quirk_is_replicated():
+    """Where the two DIVERGE in the reference, they must diverge here the
+    same way: ``math_tools.rs:583`` computes the crossing with unsigned
+    usize arithmetic, so an edge whose traversal spans go negative wraps
+    (release-mode Rust) and the integer divide skews the crossing x —
+    the reference's ROI average then includes pixels its own f64 hover
+    (``matrix_plot.rs:316-335``) says are outside. Pin one such row so a
+    'fix' of either side is a conscious parity decision."""
+    from thz_image_explorer_tpu.ops.roi import _point_in_polygon_py
+
+    tri = [(0, 0), (9, 2), (4, 11)]  # edge (9,2)->(0,0): negative spans
+    u64_row = [x for x in range(13) if _point_in_polygon_py(x, 1, tri)]
+    f64_row = [x for x in range(13) if jl.point_in_poly(x, 1, tri)]
+    assert u64_row == [0, 1, 2, 3, 4, 5, 6, 7, 8]  # wrap-skewed crossing
+    assert f64_row == [1, 2, 3, 4]  # the true interior at y=1
+
+
+def test_point_in_poly_edge_cases():
+    sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    assert jl.point_in_poly(2, 2, sq)
+    assert not jl.point_in_poly(5, 2, sq)
+    assert not jl.point_in_poly(2, -1, sq)
+    # degenerate polygons never match (the page guards length > 2 too)
+    assert not jl.point_in_poly(1, 1, [(0, 0), (2, 2)])
+
+
+def test_series_bounds_rules():
+    xs = [0.0, 1.0, 2.0, 3.0]
+    # null samples are skipped; bounds span all series
+    b = jl.series_bounds(
+        [{"y": [1.0, None, 3.0]}, {"y": [0.5, 2.0], "x": [10.0, 11.0]}], xs
+    )
+    assert b == (0.0, 11.0, 0.5, 3.0)
+    # SHORT x axis clamps to its last entry (sx[Math.min(i, len-1)])
+    b = jl.series_bounds([{"y": [1.0, 2.0, 5.0], "x": [0.0, 1.0]}], xs)
+    assert b[:2] == (0.0, 1.0)
+    # flat y bumps ymax by +1 so the divide stays finite
+    b = jl.series_bounds([{"y": [2.0, 2.0]}], xs)
+    assert b[2:] == (2.0, 3.0)
+    # nothing drawable -> None (JS early-returns on infinite bounds)
+    assert jl.series_bounds([{"y": [None, None]}, None, {}], xs) is None
+
+
+def test_series_pixel_mapping_endpoints():
+    # drawSeries margins: 10 px all around
+    assert jl.series_px(0.0, 0.0, 4.0, 300.0) == 10.0
+    assert jl.series_px(4.0, 0.0, 4.0, 300.0) == 290.0
+    assert jl.series_py(0.0, 0.0, 4.0, 200.0) == 190.0  # ymin at bottom
+    assert jl.series_py(4.0, 0.0, 4.0, 200.0) == 10.0  # ymax at top
+    # drawXY (PSF page) margins: 20/10 horizontal, 15/15 vertical
+    assert jl.series_px(0.0, 0.0, 4.0, 300.0, jl.XY_MARGINS) == 20.0
+    assert jl.series_px(4.0, 0.0, 4.0, 300.0, jl.XY_MARGINS) == 290.0
+    assert jl.series_py(0.0, 0.0, 4.0, 200.0, jl.XY_MARGINS) == 185.0
+    assert jl.series_py(4.0, 0.0, 4.0, 200.0, jl.XY_MARGINS) == 15.0
+
+
+def test_js_point_in_poly_matches_mirror():
+    assert re.search(
+        r"if \(\(yi>y\)!==\(yj>y\) && x < \(xj-xi\)\*\(y-yi\)/\(yj-yi\)\+xi\)"
+        r" inside = !inside;",
+        web.PAGE,
+    ), "the page's pointInPoly drifted from jslogic.point_in_poly"
+
+
+def test_js_series_mapping_matches_mirror():
+    ml, mr, mt, mb = (int(m) for m in jl.SERIES_MARGINS)
+    assert (
+        f"const px = x => (x-xmin)/(xmax-xmin)*(W-{ml + mr})+{ml};" in web.PAGE
+    ), "drawSeries px drifted from jslogic.series_px"
+    assert (
+        f"const py = y => H-{mb}-(y-ymin)/(ymax-ymin)*(H-{mt + mb});"
+        in web.PAGE
+    ), "drawSeries py drifted from jslogic.series_py"
+    assert "sx[Math.min(i,sx.length-1)]" in web.PAGE  # short-x clamp
+    assert "if (ymax===ymin) ymax=ymin+1;" in web.PAGE  # flat-y bump
+    xml, xmr, xmt, xmb = (int(m) for m in jl.XY_MARGINS)
+    assert (
+        f"const px = x => (x-xmin)/(xmax-xmin)*(W-{xml + xmr})+{xml};"
+        in web.PSF_PAGE
+    ), "drawXY px drifted from jslogic.series_px(XY_MARGINS)"
+    assert (
+        f"const py = y => H-{xmb}-(y-ymin)/(ymax-ymin)*(H-{xmt + xmb});"
+        in web.PSF_PAGE
+    ), "drawXY py drifted from jslogic.series_py(XY_MARGINS)"

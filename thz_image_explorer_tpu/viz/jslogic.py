@@ -144,3 +144,78 @@ def orbit_drag(
     vertical about x, 0.01 rad/px (JS mousemove handler; the reference's
     bevy pan-orbit camera, ``threed_plot.rs:281-388``)."""
     return rot_x + dy_px * ORBIT_RAD_PER_PX, rot_z + dx_px * ORBIT_RAD_PER_PX
+
+
+# -------------------------------------------------------- plot canvases
+#: drawSeries margins: 10 px on every side
+#: (JS: ``px = (x-xmin)/(xmax-xmin)*(W-20)+10``,
+#:      ``py = H-10-(y-ymin)/(ymax-ymin)*(H-20)``)
+SERIES_MARGINS = (10.0, 10.0, 10.0, 10.0)  # (left, right, top, bottom)
+#: drawXY (PSF page) margins: 20 left / 10 right / 15 top / 15 bottom
+#: (JS: ``px = (x-xmin)/(xmax-xmin)*(W-30)+20``,
+#:      ``py = H-15-(y-ymin)/(ymax-ymin)*(H-30)``)
+XY_MARGINS = (20.0, 10.0, 15.0, 15.0)
+
+
+def point_in_poly(x: float, y: float, poly: list) -> bool:
+    """Ray-casting hover test (JS ``pointInPoly``; the ROI hover highlight
+    + centroid tooltip, ``matrix_plot.rs:497-567``). Must agree with the
+    COMPUTE path's rasterizer (``native/thznative.c:28-49`` ↔
+    ``math_tools.rs:574-591``) on interior points, or the hover outline
+    would highlight pixels the ROI average never read —
+    ``tests/test_jslogic.py`` cross-checks the two on a pixel grid."""
+    inside = False
+    j = len(poly) - 1
+    for i in range(len(poly)):
+        xi, yi = poly[i][0], poly[i][1]
+        xj, yj = poly[j][0], poly[j][1]
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def series_bounds(
+    series: list, xs: list
+) -> tuple[float, float, float, float] | None:
+    """Axis bounds of the pulse/FFT plot (JS ``drawSeries`` scan):
+    null samples are skipped, a series' own ``x`` overrides the shared
+    axis, a SHORT x axis clamps to its last entry
+    (``sx[Math.min(i, sx.length-1)]``), and a flat y range is bumped by
+    +1 so the divide stays finite. Returns None when nothing is drawable
+    (the JS early-returns on non-finite bounds)."""
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    for s in series:
+        if not s or not s.get("y"):
+            continue
+        sx = s.get("x") or xs
+        for i, v in enumerate(s["y"]):
+            if v is None:
+                continue
+            x = sx[min(i, len(sx) - 1)]
+            xmin, xmax = min(xmin, x), max(xmax, x)
+            ymin, ymax = min(ymin, v), max(ymax, v)
+    if not (math.isfinite(xmin) and math.isfinite(ymin)):
+        return None
+    if ymax == ymin:
+        ymax = ymin + 1
+    return xmin, xmax, ymin, ymax
+
+
+def series_px(
+    x: float, xmin: float, xmax: float, canvas_w: float,
+    margins: tuple = SERIES_MARGINS,
+) -> float:
+    """Data x -> canvas px (JS ``px``): linear into the margin-inset span."""
+    ml, mr = margins[0], margins[1]
+    return (x - xmin) / (xmax - xmin) * (canvas_w - ml - mr) + ml
+
+
+def series_py(
+    y: float, ymin: float, ymax: float, canvas_h: float,
+    margins: tuple = SERIES_MARGINS,
+) -> float:
+    """Data y -> canvas px (JS ``py``): inverted (canvas y grows down)."""
+    mt, mb = margins[2], margins[3]
+    return canvas_h - mb - (y - ymin) / (ymax - ymin) * (canvas_h - mt - mb)
