@@ -67,6 +67,46 @@ def test_bessel_i0_matches_scipy():
     np.testing.assert_allclose(firdesign.bessel_i0(x), scipy_i0(x), rtol=1e-10)
 
 
+def test_energy_gram_factorization_is_exact():
+    """The truncated eigenfactors of _energy_matrices reproduce the exact
+    f64 head/tail Gram quadratic forms at the REFERENCE bank geometry
+    (25 log-spaced bands, 499 taps): the rank cut must stay below f32
+    noise of the energies it feeds (ops/deconvolution._factor_gram)."""
+    from thz_image_explorer_tpu.ops.deconvolution import _energy_matrices
+
+    n_time = 1024
+    t = np.arange(n_time) * 0.05
+    taps, _ = firdesign.create_filter_bank(25, 0.1, 10.0, 4.0, t)
+    shift = (taps.shape[1] - 1) // 2
+
+    _, lh, lt = _energy_matrices(np.asarray(taps), 1536, n_time)
+    assert lh.shape[0] == 25 and lh.shape[1] == shift
+    # the whole point: the factor rank is a small fraction of the segment
+    assert lh.shape[2] <= shift // 4
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(32, shift))
+
+    # exact f64 Grams of the head/tail segment matrices
+    idx = np.arange(shift)[:, None] - np.arange(shift)[None, :]
+    mh = np.where((idx >= 0) & (idx < taps.shape[1]),
+                  taps[:, np.clip(idx, 0, taps.shape[1] - 1)], 0.0)
+    gh = np.einsum("bkt,bks->bts", mh, mh)
+    ltail = taps.shape[1] - 1 - shift
+    idx_t = (shift + shift + np.arange(ltail)[:, None]
+             - np.arange(shift)[None, :])
+    mt = np.where((idx_t >= 0) & (idx_t < taps.shape[1]),
+                  taps[:, np.clip(idx_t, 0, taps.shape[1] - 1)], 0.0)
+    gt = np.einsum("bkt,bks->bts", mt, mt)
+
+    for L, G in ((lh, gh), (lt, gt)):
+        exact = np.einsum("nt,bts,ns->nb", x, G, x)  # (32, 25)
+        y = np.einsum("nt,btr->nbr", x, L.astype(np.float64))
+        got = (y * y).sum(-1)
+        scale = exact.max()
+        np.testing.assert_allclose(got / scale, exact / scale, atol=1e-6)
+
+
 # ---------------------------------------------------------------- planning
 def _small_cube(n=64, w=20, h=18, seed=3):
     rng = np.random.default_rng(seed)

@@ -28,8 +28,11 @@ Mapping to TPU:
   ``E_full = sum_f w_f |X_f|^2 |T_f|^2`` (one small matmul against a
   host-precomputed weighted tap-power matrix) and the head/tail terms are
   energies of the ``(ntaps-1)/2`` convolution samples outside the centre
-  window, each a small triangular banded matmul over only the first/last
-  ``(ntaps-1)/2`` samples of the trace. Round 1 computed the energy by
+  window, each ``||L_b^T x_seg||^2`` against a truncated eigenfactor of
+  the segment's Gram matrix — narrow-band FIR segments are numerically
+  low-rank (rank <=36 of 249 at the reference bank, see
+  :func:`_factor_gram`), so the factor contracts the 249-sample segment
+  axis straight down to ~40. Round 1 computed the energy by
   materialising the FIR outputs as block-banded matmuls (~1.5 TFLOP and
   ~12 GB of window re-reads for 25 bands over a 200x200x1024 cube,
   measured ~55 ms device); the energy identity needs ~0.6 TFLOP total and
@@ -312,6 +315,39 @@ def _banded_matrix(vec: np.ndarray, size: int) -> np.ndarray:
 _PREC = jax.lax.Precision.HIGH
 
 
+#: relative eigenvalue cutoff of the energy Gram factorization: dropped
+#: mass is <= seg * 1e-10 * lambda_max ~ 2.5e-8 * lambda_max at the
+#: 249-sample reference segments — an order below the f32 rounding of the
+#: quadratic form it replaces
+_GRAM_EIG_RTOL = 1e-10
+
+
+def _factor_gram(g: np.ndarray) -> np.ndarray:
+    """(B, s, s) PSD Gram matrices -> truncated eigenfactors (B, s, r)
+    with ``L_b @ L_b.T ~= G_b`` so the per-trace quadratic form becomes a
+    sum of squares: ``x^T G_b x = ||L_b^T x||^2``.
+
+    The Grams of a *narrow-band* FIR's head/tail segments are numerically
+    low-rank (the segment matrix is windowed shifts of a band-limited
+    tap vector, so its spectrum decays at the time-bandwidth product):
+    measured at the reference bank (25 log-spaced Kaiser bands, 499 taps,
+    249-sample segments) the rank at ``_GRAM_EIG_RTOL`` is 27 mean / 36
+    max of 249 — factoring cuts the energy einsum FLOPs ~6x (the r axis
+    replaces the second 249-long segment axis). ``r`` is the max rank
+    over bands, rounded up to a multiple of 8; bands with lower rank just
+    carry extra (exact, tiny-eigenvalue) columns.
+    """
+    b, s = g.shape[0], g.shape[-1]
+    if s == 0:
+        return np.zeros((b, 0, 1), np.float32)
+    evals, evecs = np.linalg.eigh(g)  # ascending, f64
+    lam = np.maximum(evals, 0.0)
+    lmax = lam[:, -1:]
+    rank = int((lam > _GRAM_EIG_RTOL * np.maximum(lmax, 1e-300)).sum(1).max())
+    r = min(max(-(-max(rank, 1) // 8) * 8, 8), s)
+    return (evecs[:, :, -r:] * np.sqrt(lam[:, None, -r:])).astype(np.float32)
+
+
 def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
     """Host-precomputed (f64) matrices for the exact windowed-convolution
     energy identity ``E_window = E_full - E_head - E_tail``.
@@ -320,18 +356,16 @@ def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
     with ``shift = (L-1)//2`` (``deconvolution.rs:266-317``'s extraction).
 
     Returns
-      w2   (m, B)           Parseval-weighted tap power: ``E_full(n, b) =
-                            sum_f w2[f, b] * |X_nf|^2`` with the r2c
-                            hermitian weights (1, 2, ..., 2[, 1]) / fft_len;
-      gh   (B, hseg, hseg)  Gram matrix of the head tap matrix ``mh``
-                            (``full[k] = sum_t mh[b, k, t] x[t]`` for the
-                            k < shift head samples): ``E_head(n, b) =
-                            x_n^T gh_b x_n`` — the quadratic form costs
-                            half the FLOPs of materialising ``mh @ x``
-                            and squaring (the k axis is contracted on the
-                            host, in f64);
-      gt   (B, tseg, tseg)  same for the tail samples k >= shift + T over
-                            the last ``tseg`` input samples.
+      w2   (m, B)         Parseval-weighted tap power: ``E_full(n, b) =
+                          sum_f w2[f, b] * |X_nf|^2`` with the r2c
+                          hermitian weights (1, 2, ..., 2[, 1]) / fft_len;
+      lh   (B, hseg, r)   truncated eigenfactor of the head Gram matrix
+                          ``gh_b = mh_b^T mh_b`` (``full[k] = sum_t
+                          mh[b, k, t] x[t]`` for the k < shift head
+                          samples): ``E_head(n, b) = ||lh_b^T x_n||^2``
+                          — see :func:`_factor_gram` for why r << hseg;
+      lt   (B, tseg, r')  same for the tail samples k >= shift + T over
+                          the last ``tseg`` input samples.
     """
     b, l = taps.shape
     shift = (l - 1) // 2
@@ -359,7 +393,7 @@ def _energy_matrices(taps: np.ndarray, fft_len: int, n_time: int):
     )
     gt = np.einsum("bkt,bks->bts", mt, mt)
 
-    return w2, gh.astype(np.float32), gt.astype(np.float32)
+    return w2, _factor_gram(gh), _factor_gram(gt)
 
 
 @partial(jax.jit, static_argnames=("fft_len", "hseg", "tseg"))
@@ -378,7 +412,7 @@ def _prepare_spectra(data, *, fft_len, hseg, tseg):
 
 @partial(jax.jit,
          static_argnames=("shape", "pad_r_max", "pad_c_max", "use_pallas"))
-def _gains_chunk(power, xh, xt, w2, gh, gt, prs, pcs, rs, cs, n_iter,
+def _gains_chunk(power, xh, xt, w2, lh, lt, prs, pcs, rs, cs, n_iter,
                  *, shape, pad_r_max, pad_c_max, use_pallas=False):
     """One dispatch covering a chunk of bands: exact per-band energy
     images via the Parseval-minus-tails identity, then a ``lax.scan`` of
@@ -397,18 +431,14 @@ def _gains_chunk(power, xh, xt, w2, gh, gt, prs, pcs, rs, cs, n_iter,
     intermediates, keeping device memory bounded."""
     x, y = shape[0], shape[1]
     e_full = jnp.dot(power, w2, precision=_PREC)  # (N, c)
-    # tail-correction energies as quadratic forms against host-built Gram
-    # matrices: E = x^T G x (see _energy_matrices)
-    e_head = jnp.einsum(
-        "nbs,ns->nb",
-        jnp.einsum("nt,bts->nbs", xh, gh, precision=_PREC),
-        xh, precision=_PREC,
-    )
-    e_tail = jnp.einsum(
-        "nbs,ns->nb",
-        jnp.einsum("nt,bts->nbs", xt, gt, precision=_PREC),
-        xt, precision=_PREC,
-    )
+    # tail-correction energies as sums of squares against the truncated
+    # eigenfactors of the host-built Gram matrices: E = x^T G x =
+    # ||L^T x||^2 (see _factor_gram — r << seg cuts the einsum ~6x, and
+    # a sum of squares cannot go negative the way a rounded x^T G x can)
+    yh = jnp.einsum("nt,btr->nbr", xh, lh, precision=_PREC)
+    e_head = jnp.sum(yh * yh, axis=-1)
+    yt = jnp.einsum("nt,btr->nbr", xt, lt, precision=_PREC)
+    e_tail = jnp.sum(yt * yt, axis=-1)
     # clamp at 0: the direct sum of squares this identity replaces is
     # exactly >= 0, but f32 cancellation can round the difference
     # negative when nearly all of a trace's band energy sits in the
@@ -609,7 +639,7 @@ def _plan_dispatch(data, geometry, chunk_size: int, rl_impl: str | None):
         flip = geometry.use_fft_conv[:, None]
         pxs = np.where(flip, geometry.px[:, ::-1], geometry.px).astype(np.float32)
         pys = np.where(flip, geometry.py[:, ::-1], geometry.py).astype(np.float32)
-        w2, gh, gt = _energy_matrices(geometry.taps, fft_len, n_time)
+        w2, lh, lt = _energy_matrices(geometry.taps, fft_len, n_time)
         x_dim, y_dim = data.shape[0], data.shape[1]
         prs = np.stack(
             [_reflect_pad_matrix(x_dim, int(p), pad_r_max) for p in geometry.pad_r]
@@ -635,7 +665,7 @@ def _plan_dispatch(data, geometry, chunk_size: int, rl_impl: str | None):
                 [a, np.zeros((n_padded - a.shape[0],) + a.shape[1:], a.dtype)]
             )
 
-        stacks = [pad(a) for a in (w2.T, gh, gt, prs, pcs, rs, cs,
+        stacks = [pad(a) for a in (w2.T, lh, lt, prs, pcs, rs, cs,
                                    geometry.n_iter)]
         # the bands' tap spectra for the final spectral sum, as f32 pairs
         taps_spec = np.fft.rfft(geometry.taps, n=fft_len, axis=-1)
