@@ -104,20 +104,32 @@ def test_two_process_multihost_load_and_step(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
+    # worker output goes to files, not pipes: a full 64 KB pipe would
+    # block a worker mid-collective and deadlock its peer
+    logs = [open(os.path.join(outdir, f"worker{pid}.log"), "wb")
+            for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "mh_worker.py"),
              str(pid), "2", str(port), p, outdir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=logs[pid], stderr=subprocess.STDOUT,
         )
         for pid in range(2)
     ]
-    outs = []
-    for pr in procs:
-        out, _ = pr.communicate(timeout=360)
-        outs.append(out.decode(errors="replace"))
-    for pr, out in zip(procs, outs):
-        assert pr.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    try:
+        for pr in procs:
+            pr.wait(timeout=360)
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+                pr.wait()
+        for lg in logs:
+            lg.close()
+    for pid, pr in enumerate(procs):
+        with open(os.path.join(outdir, f"worker{pid}.log"), "rb") as f:
+            out = f.read().decode(errors="replace")
+        assert pr.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
 
     # single-process oracle through the ordinary loader
     from thz_image_explorer_tpu.io.dotthz import open_scan

@@ -330,10 +330,14 @@ def _factor_gram(g: np.ndarray) -> np.ndarray:
     The Grams of a *narrow-band* FIR's head/tail segments are numerically
     low-rank (the segment matrix is windowed shifts of a band-limited
     tap vector, so its spectrum decays at the time-bandwidth product):
-    measured at the reference bank (25 log-spaced Kaiser bands, 499 taps,
+    at the reference bank (25 log-spaced Kaiser bands, 499 taps,
     249-sample segments) the rank at ``_GRAM_EIG_RTOL`` is 27 mean / 36
-    max of 249 — factoring cuts the energy einsum FLOPs ~6x (the r axis
-    replaces the second 249-long segment axis). ``r`` is the max rank
+    max of 249 (rank bound + exactness asserted by
+    ``tests/test_deconvolution.py::
+    test_energy_gram_factorization_is_exact``), cutting the whole
+    deconvolution's XLA-counted FLOPs 0.507 -> 0.282 TFLOP per run at
+    the 200x200x1024 bench geometry (``deconv_cost_analysis``, recorded
+    as ``deconv_tflops_per_run`` in bench extras). ``r`` is the max rank
     over bands, rounded up to a multiple of 8; bands with lower rank just
     carry extra (exact, tiny-eigenvalue) columns.
     """

@@ -28,15 +28,16 @@ a local mesh (then it is simply a sharded-read ``open_scan``).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import h5py
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from thz_image_explorer_tpu.data import ScanCube, _load_kernel
+from thz_image_explorer_tpu.data import ScanCube, _load_kernel, frequency_axis
 from thz_image_explorer_tpu.io.dotthz import (
     DotthzMetadata,
     _first_group,
@@ -44,6 +45,15 @@ from thz_image_explorer_tpu.io.dotthz import (
     read_group_metadata,
 )
 from thz_image_explorer_tpu.parallel.mesh import cube_sharding
+
+
+@functools.lru_cache(maxsize=64)
+def _zeros_program(shape, dtype, sharding):
+    """One compiled allocation program per (shape, dtype, sharding) —
+    a fresh ``jit(lambda ...)`` per call would recompile on every scan
+    open (jit caches on the function object; cf. data.device_zeros)."""
+    return jax.jit(functools.partial(jnp.zeros, shape, dtype),
+                   out_shardings=sharding)
 
 
 def _locate_datasets(group: h5py.Group) -> tuple[Optional[str], Optional[str]]:
@@ -92,6 +102,13 @@ def open_scan_sharded(
         time = np.asarray(group[time_name][()], np.float32)
         dset = group[data_name]
         vw, vh, n_time = dset.shape
+        if vw * vh == 1:
+            # a 1x1 "cube" has no pixel grid to distribute (open_scan pins
+            # it to bucket 1); a size-1 axis cannot shard over the mesh
+            raise ValueError(
+                "multi-host loader needs a real pixel grid "
+                f"(got a 1x1 cube — use open_scan): {path}"
+            )
 
         def _meta_int(key):
             try:
@@ -155,24 +172,23 @@ def open_scan_sharded(
             return None
 
     nf = n_time // 2 + 1
-    freq = (np.arange(nf, dtype=np.float32) / np.float32(time[-1] - time[0]))
+    # the canonical parity-sensitive formula (io.rs:614-621) — evaluated
+    # locally, then replicated below
+    freq = np.asarray(frequency_axis(time))
 
-    def _zeros(shape, dtype, sharding):
-        return jax.jit(
-            lambda: jnp.zeros(shape, dtype), out_shardings=sharding
-        )()
-
-    grid_f = NamedSharding(mesh, P("x", "y", None))
-    rep = NamedSharding(mesh, P())
+    _zeros = lambda shape, dtype, sharding: _zeros_program(
+        shape, dtype, sharding
+    )()
+    rep = sh["time"]
     # replicated host leaves: device_put with a process-spanning sharding
     # (every process passes the identical host value)
     cube = ScanCube(
         time=jax.device_put(time, rep),
         data=data_g,
         freq=jax.device_put(freq, rep),
-        fft=_zeros((pw, ph, nf), np.complex64, grid_f),
-        amplitudes=_zeros((pw, ph, nf), np.float32, grid_f),
-        phases=_zeros((pw, ph, nf), np.float32, grid_f),
+        fft=_zeros((pw, ph, nf), np.complex64, sh["fft"]),
+        amplitudes=_zeros((pw, ph, nf), np.float32, sh["amplitudes"]),
+        phases=_zeros((pw, ph, nf), np.float32, sh["phases"]),
         avg_data=_zeros((n_time,), np.float32, rep),
         avg_fft=_zeros((nf,), np.complex64, rep),
         avg_signal_fft=_zeros((nf,), np.float32, rep),
