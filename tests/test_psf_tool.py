@@ -482,3 +482,56 @@ def test_psf_state_poll_auto_recomputes():
         app_mod.KnifeEdgeMeasurement.from_thz_file = orig_loader
         app.psf_tool._shutdown()
         app.worker.close()
+
+
+def test_filter_param_clamps_to_cuts():
+    """v1.3.0: start/end freq constrained by low/high cut
+    (app.rs:1201-1226) — enforced at the command seam, not just the UI."""
+    from thz_image_explorer_tpu.web import WebApp
+
+    app = WebApp()
+    try:
+        tool = app.psf_tool
+        # raising low_cut above start_freq pushes start_freq to cut+0.01
+        app.psf_command("set_filter_param", ["low_cut", 1.0])
+        assert tool.filter_params.start_freq == pytest.approx(1.01)
+        assert tool.filter_params.end_freq >= 1.01
+        # lowering high_cut below end_freq pulls end_freq to cut-0.01
+        app.psf_command("set_filter_param", ["high_cut", 3.0])
+        assert tool.filter_params.end_freq == pytest.approx(2.99)
+        # start_freq itself clamps on direct entry too
+        app.psf_command("set_filter_param", ["start_freq", 99.0])
+        assert tool.filter_params.start_freq == pytest.approx(3.0)
+    finally:
+        app.psf_tool._shutdown()
+        app.worker.close()
+
+
+def test_reset_parameters_restores_defaults_keeps_paths():
+    """v1.3.0 Reset Parameters (app.rs:316-340): params + results reset,
+    measurement paths kept, auto-recompute re-armed, state persisted."""
+    from thz_image_explorer_tpu.psf_tool.app import FilterParams, PsfToolApp
+    from thz_image_explorer_tpu.web import WebApp
+
+    app = WebApp()
+    try:
+        tool = app.psf_tool
+        app.psf_command("set_path", ["x", "/tmp/somewhere.thz"])
+        app.psf_command("set_filter_param", ["n_filters", 7])
+        app.psf_command("set_fit_param", ["w_max", 55.0])
+        tool.error = "stale error"
+        tool._last_params_hash = tool._params_hash()
+        app.psf_command("reset_params", [])
+        assert tool.filter_params == FilterParams()
+        assert tool.fit_params.w_max == PsfToolApp().fit_params.w_max
+        assert tool.x_path == "/tmp/somewhere.thz"  # paths survive
+        assert tool.error is None and tool.result is None
+        assert tool._last_params_hash is None  # trigger re-armed
+        # the reset state was persisted (the tool persists by default
+        # under the isolated XDG dir the test fixture provides)
+        tool2 = PsfToolApp(persist=True)
+        assert tool2.filter_params.n_filters == FilterParams().n_filters
+        assert tool2.x_path == "/tmp/somewhere.thz"
+    finally:
+        app.psf_tool._shutdown()
+        app.worker.close()

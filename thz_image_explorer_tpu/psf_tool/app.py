@@ -410,6 +410,37 @@ class PsfToolApp:
     def cancel(self):
         self._cancel.set()
 
+    def clamp_filter_params(self):
+        """Constrain the band start/end frequencies by the filter cuts —
+        the v1.3.0 fix (``app.rs:1201-1226``): ``start_freq`` must sit in
+        ``[max(low_cut + 0.01, 0.01), high_cut]`` and ``end_freq`` in
+        ``[max(low_cut + 0.01, 0.01), min(high_cut - 0.01, 20)]``."""
+        f = self.filter_params
+        min_f = max(f.low_cut + 0.01, 0.01)
+        f.start_freq = float(min(max(f.start_freq, min_f), f.high_cut))
+        f.end_freq = float(
+            min(max(f.end_freq, min_f), min(f.high_cut - 0.01, 20.0))
+        )
+
+    def reset_parameters(self):
+        """Reset every parameter and cached result to defaults, keeping
+        the measurement paths — the v1.3.0 Reset Parameters button
+        (``app.rs:316-340``). An in-flight run is cancelled and its
+        Complete dropped by the stale-result guard; clearing the params
+        hash re-arms the auto-recompute trigger exactly like the
+        reference's ``last_params_hash = 0``."""
+        with self._start_lock:
+            self.cancel()
+            self.filter_params = FilterParams()
+            self.fit_params = BeamFitParams()
+            with self._lock:
+                self.result = None
+                self.diagnostics = None
+                self.error = None
+            self.progress = {}
+            self._last_params_hash = None
+            self.save_state()
+
     def wait(self, timeout: Optional[float] = None):
         t = self._thread
         if t is not None:

@@ -618,6 +618,8 @@ class WebApp:
                 key,
                 type(cur)(value) if not isinstance(cur, str) else str(value),
             )
+            # band start/end constrained by the cuts (app.rs:1217-1226)
+            tool.clamp_filter_params()
             tool.save_state()
         elif method == "set_fit_param":
             key, value = args
@@ -628,6 +630,8 @@ class WebApp:
             tool.start_computation()
         elif method == "cancel":
             tool.cancel()
+        elif method == "reset_params":
+            tool.reset_parameters()
         elif method == "export":
             ok = tool.export_npz(args[0])
             if not ok:
@@ -1742,6 +1746,8 @@ PSF_PAGE = r"""<!DOCTYPE html>
  <div class="panel">
   <button onclick="pcmd('run',[])">Compute</button>
   <button class="off" onclick="pcmd('cancel',[])">Cancel</button>
+  <button class="off" title="Reset all filter and fitting parameters to default"
+    onclick="pcmd('reset_params',[])">&#x1F504; Reset Parameters</button>
   <div id="progress" style="font-size:12px;color:#8f8"></div>
   <div id="warnings" class="warn"></div>
   <div id="error" class="warn"></div>
@@ -1826,8 +1832,27 @@ function drawXY(ctx, seriesList, colors) {
         if(!st){ctx.moveTo(px(s.x[i]),py(v));st=true;} else ctx.lineTo(px(s.x[i]),py(v)); }
       ctx.stroke(); } });
 }
+// inputs mirror the tool's state (persisted params, server-side clamps,
+// Reset Parameters) — but never while the user is typing in that field
+const PARAM_IDS = {nf:['filter_params','n_filters'], sf:['filter_params','start_freq'],
+  ef:['filter_params','end_freq'], lc:['filter_params','low_cut'],
+  hc:['filter_params','high_cut'], ww:['filter_params','win_width'],
+  sp:['filter_params','frequency_spacing'], wm:['fit_params','w_max'],
+  xpath:[null,'x_path'], ypath:[null,'y_path']};
+function syncParams() {
+  for (const [id, [grp, key]] of Object.entries(PARAM_IDS)) {
+    const e = el(id);
+    if (!e || document.activeElement === e) continue;
+    const v = grp ? (P[grp]||{})[key] : P[key];
+    if (v !== undefined && v !== null && String(e.value) !== String(v)) e.value = v;
+  }
+  const m = el('mono');
+  if (m && document.activeElement !== m && P.fit_params)
+    m.checked = !!P.fit_params.use_monotonicity_constraint;
+}
 function render() {
   if (!P) return;
+  syncParams();
   el('progress').textContent = P.running
     ? 'computing… ' + Object.entries(P.progress).map(([a,[c,t]])=>`${a}: ${c}/${t}`).join('  ')
     : (P.result ? 'done' : '');
