@@ -262,3 +262,68 @@ def test_lean_phases_toggle_equivalent(monkeypatch):
             np.asarray(enc[k]), np.asarray(raw[k]), rtol=1e-5, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_fold_fd_toggle_equivalent(monkeypatch):
+    """THZ_FOLD_FD=1 (FD weights folded into the irfft matrix + weighted
+    means, masked spectrum never materialized) and =0 (cube-sized mask
+    passes) must publish identical values for EVERY lean output — the
+    fold is a traffic optimization, never a semantics change."""
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig, StepParams, lean_update,
+    )
+
+    t, cube_np = synthetic_scan(width=10, height=8, n_time=64)
+    cube = make_cube(t, cube_np, dx=0.5, dy=0.5)
+    params = StepParams.defaults()
+    masks = np.zeros((4, 10, 8), np.float32)
+    masks[0, 2:6, 2:6] = 1.0
+    pix = jnp.asarray([3, 4], jnp.int32)
+
+    # notch depth < 1 + avg-in-fourier exercise the weighted polar
+    # reconstruction and a non-binary weight vector
+    for cfg in (
+        StepConfig(fd_active=True, notch_active=True),
+        StepConfig(fd_active=True, avg_in_fourier_space=True),
+        StepConfig(notch_active=True),
+    ):
+        monkeypatch.setenv("THZ_FOLD_FD", "1")
+        fold = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+        monkeypatch.setenv("THZ_FOLD_FD", "0")
+        mask = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+        assert set(fold) == set(mask)
+        for k in fold:
+            np.testing.assert_allclose(
+                np.asarray(fold[k]), np.asarray(mask[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{cfg} {k}",
+            )
+
+
+def test_fold_fd_executor_matches_exact(tmp_path, monkeypatch):
+    """The PRODUCT lean program with the FD fold on equals the exact
+    per-stage chain — including the raw-spectrum display slot
+    (fft_index+1), whose first FD stage's mask pass is folded away and
+    must be reconstructed lazily."""
+    path = _scan(tmp_path)
+    monkeypatch.setenv("THZ_FOLD_FD", "1")
+    lean = Explorer()
+    lean.open_file(path)
+    exact = Explorer()
+    exact.pipeline.fused_mode = False
+    exact.open_file(path)
+    for ex in (lean, exact):
+        f = ex.pipeline.filters["frequency_band_pass"]
+        f.active = True
+        f.low, f.high = 0.3, 2.5
+        ex.pipeline.filters["water_vapor_notch"].active = True
+        ex.update_filter("frequency_band_pass", force=True)
+    _close(lean, exact)
+    # the raw-spectrum display (slot fft_index+1 = the FD stage's output)
+    np.testing.assert_allclose(
+        lean.plot.signal_fft, exact.plot.signal_fft, atol=2e-4, rtol=1e-4
+    )
+    # and the fold really was active (an FD stage is on, lean mode)
+    assert any(k[-2] for k in lean.pipeline._fused_cache)  # fold_ok in key

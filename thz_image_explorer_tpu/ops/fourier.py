@@ -28,18 +28,30 @@ from thz_image_explorer_tpu.ops import mxufft
 from thz_image_explorer_tpu.ops.windows import WindowType, window_array
 
 
-def _rfft(x: jnp.ndarray) -> jnp.ndarray:
+def _rfft(x: jnp.ndarray, time_weight=None) -> jnp.ndarray:
     """Batched r2c along the last axis: MXU DFT matmuls on TPU (~10x the
     native FFT's throughput at these batch shapes — see ops/mxufft),
-    XLA's FFT elsewhere."""
+    XLA's FFT elsewhere. ``time_weight``: compute ``rfft(w * x)`` with
+    the window folded into the DFT matrix (``mxufft.rfft_ri``)."""
     if mxufft.use_matmul_fft():
-        return mxufft.rfft_c64(x)
+        ri = mxufft.rfft_ri(x, time_weight=time_weight)
+        return jax.lax.complex(ri[0], ri[1])
+    if time_weight is not None:
+        x = x * time_weight.astype(x.dtype)
     return jnp.fft.rfft(x, axis=-1)
 
 
-def _irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+def _irfft(spec: jnp.ndarray, n: int, freq_weight=None) -> jnp.ndarray:
+    """``freq_weight``: compute ``irfft(w * spec)`` with the weight folded
+    into the inverse DFT matrix (``mxufft.irfft_ri``) — no cube-sized
+    masked-spectrum materialization."""
     if mxufft.use_matmul_fft():
-        return mxufft.irfft_c64(spec, n)
+        return mxufft.irfft_ri(
+            jnp.stack([jnp.real(spec), jnp.imag(spec)]), n,
+            freq_weight=freq_weight,
+        )
+    if freq_weight is not None:
+        spec = spec * freq_weight
     return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
 
 
@@ -169,8 +181,12 @@ def forward_fft(
     contract of the lean program.
     """
     w = window_array(cube.time, window_type, window_low, window_high)
+    # window folded into the DFT matrix: the matmul reads the RAW cube
+    # and the windowed `data` leaf below is lazy — materialized only for
+    # consumers (exact-mode slots; lean programs replace it at the ifft
+    # and XLA drops it entirely)
+    spec = _rfft(cube.data, time_weight=w).astype(jnp.complex64)
     data = cube.data * w.astype(cube.data.dtype)
-    spec = _rfft(data).astype(jnp.complex64)
     amplitudes = jnp.abs(spec)
     ang = jnp.angle(spec)
     phases = phase_increments(ang) if lean_phases else unwrap(ang)
@@ -184,7 +200,8 @@ def forward_fft(
 
 @partial(jax.jit, static_argnames=("avg_in_fourier_space", "phases_encoded"))
 def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
-                phases_encoded: bool = False) -> ScanCube:
+                phases_encoded: bool = False,
+                fd_weights=None) -> ScanCube:
     """Batched inverse FFT plus pixel-mean spectra.
 
     Equivalent of ``ifft()`` (``math_tools.rs:418-571``) minus the ROI
@@ -198,7 +215,17 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
     * optionally reconstruct the average trace from polar means
       (``math_tools.rs:442-470``);
     * per-pixel c2r with 1/N normalization (``math_tools.rs:545-569``).
-    """
+
+    ``fd_weights`` (traced (F,) f32 in [0, 1], lean programs only): the
+    factored per-frequency product of the active FD stages, applied HERE
+    instead of as cube-sized mask passes between fft and ifft. The masked
+    spectrum is never materialized: the irfft folds the weight into its
+    inverse DFT matrix, every pixel-mean commutes with a per-frequency
+    weight (``mean(w * x) == w * mean(x)``), amplitudes scale as
+    ``|w * s| == w * |s|`` (weights are nonnegative by construction,
+    ``ops/bandpass.py``), and FD stages never touch phases
+    (``band_pass_fd.rs`` — fusion contract pinned by
+    ``tests/test_lean_publish.py``)."""
     from thz_image_explorer_tpu.data import masked_pixel_mean
 
     n_time = cube.time.shape[0]
@@ -207,6 +234,17 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
     avg_fft = masked_pixel_mean(cube.fft, cube.valid_wh)
     avg_signal_fft = masked_pixel_mean(cube.amplitudes, cube.valid_wh)
     avg_phase_fft = masked_pixel_mean(cube.phases, cube.valid_wh)
+    fft_out, amps_out = cube.fft, cube.amplitudes
+    if fd_weights is not None:
+        w = fd_weights.astype(jnp.float32)
+        avg_fft = avg_fft * w
+        avg_signal_fft = avg_signal_fft * w
+        # lazy weighted leaves: publish consumes only pixel slices of
+        # these (XLA narrows elementwise-into-slice), and the lean final
+        # slot drops them entirely — no full-cube pass unless a consumer
+        # genuinely reads one
+        fft_out = cube.fft * w
+        amps_out = cube.amplitudes * w
 
     avg_data = cube.avg_data
     if avg_in_fourier_space:
@@ -217,10 +255,12 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
         spectrum = avg_signal_fft * jnp.exp(1j * ph)
         avg_data = _irfft(spectrum, n_time)
 
-    data = _irfft(cube.fft, n_time)
+    data = _irfft(cube.fft, n_time, freq_weight=fd_weights)
 
     return cube.replace(
         data=data,
+        fft=fft_out,
+        amplitudes=amps_out,
         avg_data=avg_data,
         avg_fft=avg_fft.astype(jnp.complex64),
         avg_signal_fft=avg_signal_fft.astype(jnp.float32),

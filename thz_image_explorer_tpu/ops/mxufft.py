@@ -110,13 +110,23 @@ def use_matmul_fft() -> bool:
         return False
 
 
-def rfft_ri(x: jnp.ndarray, n: int | None = None):
+def rfft_ri(x: jnp.ndarray, n: int | None = None,
+            time_weight: jnp.ndarray | None = None):
     """Real-to-complex FFT along the last axis; returns a stacked
-    ``(2, ..., n//2+1)`` f32 real/imag pair. Matches ``jnp.fft.rfft``."""
+    ``(2, ..., n//2+1)`` f32 real/imag pair. Matches ``jnp.fft.rfft``.
+
+    ``time_weight`` (traced, length = the transformed sample count)
+    computes ``rfft(w * x)`` by scaling the DFT matrix ROWS — the window
+    is diagonal in exactly the contracted axis, so folding it into the
+    (t, 2m) matrix (a ~4 MB temporary) lets the matmul read the RAW cube
+    instead of materializing a windowed copy in HBM (the round-4
+    lean-chain fold, mirror of ``irfft_ri``'s ``freq_weight``)."""
     t = x.shape[-1]
     if n is None:
         n = t
     if n > MAX_MATMUL_N:
+        if time_weight is not None:
+            x = x * time_weight.astype(x.dtype)
         s = jnp.fft.rfft(x, n=n, axis=-1)
         return jnp.stack([jnp.real(s), jnp.imag(s)]).astype(jnp.float32)
     if n < t:
@@ -128,6 +138,8 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None):
         # instead of materialising a padded input (exact, and halves the
         # matmul FLOPs for the typical conv padding n ~ 2t)
         cs = cs[:t]
+    if time_weight is not None:
+        cs = cs * time_weight.astype(jnp.float32)[:, None]
     x = x.astype(jnp.float32)
     y = jnp.dot(x, cs, precision=_PREC)  # ONE fused [C|S] matmul
     return jnp.stack([y[..., :m], y[..., m:]])
@@ -138,6 +150,7 @@ def irfft_ri(
     n: int,
     out_start: int = 0,
     out_len: int | None = None,
+    freq_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Complex-to-real inverse FFT of a stacked ``(2, ..., m)`` pair along
     the last axis. Matches ``jnp.fft.irfft`` (normalized by 1/n) — i.e.
@@ -147,15 +160,28 @@ def irfft_ri(
     ``out_start``/``out_len`` select a window of the length-``n`` output
     (equivalent to ``[..., out_start : out_start + out_len]`` afterwards)
     by slicing the inverse DFT matrix columns — exact, and proportionally
-    cheaper when the caller only keeps the centre of a padded transform."""
+    cheaper when the caller only keeps the centre of a padded transform.
+
+    ``freq_weight`` (traced (m,) f32) computes ``irfft(w * spec)`` by
+    scaling the inverse DFT matrix ROWS instead of the spectrum: the
+    weight is diagonal in exactly the contracted axis, so folding it into
+    the (2m, out) matrix (a ~4 MB temporary) deletes the cube-sized
+    elementwise pass that a ``w * spec`` operand would materialize in HBM
+    before the matmul (the round-4 lean-chain fold; measured numbers in
+    bench extras / README)."""
     if out_len is None:
         out_len = n - out_start
+    m = n // 2 + 1
     if n > MAX_MATMUL_N:
         spec = jax.lax.complex(spec_ri[0], spec_ri[1])
+        if freq_weight is not None:
+            spec = spec * freq_weight.astype(spec_ri.dtype)
         out = jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
         return out[..., out_start : out_start + out_len]
     ab = _inv_matrix_fused(n, out_start, out_len)
-    m = n // 2 + 1
+    if freq_weight is not None:
+        w = freq_weight.astype(jnp.float32)
+        ab = ab * jnp.concatenate([w, w])[:, None]
     xr = spec_ri[0][..., :m].astype(jnp.float32)
     xi = spec_ri[1][..., :m].astype(jnp.float32)
     x = jnp.concatenate([xr, xi], axis=-1)

@@ -55,6 +55,11 @@ class StepConfig(NamedTuple):
     #: instead of materializing amp / increment cubes as mask-matmul
     #: operands (lean_update sets this when supported)
     specred: bool = False
+    #: lean programs only: never materialize the masked spectrum — fold
+    #: the factored FD weight product into the irfft's inverse DFT matrix
+    #: and weight the pixel-mean spectra after reduction
+    #: (ops/fourier.inverse_fft fd_weights; THZ_FOLD_FD=0 disables)
+    fold_fd: bool = False
 
 
 @_pytree_dataclass
@@ -124,20 +129,37 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
     cube = forward_fft(cube, cfg.window_type, params.window_low,
                        params.window_high, lean_phases=cfg.lean_phases)
     raw_fd = cube  # post-window spectrum, before the FD filters
-    if cfg.fd_active:
-        fft, amps = bp.fd_bandpass(
-            cube.fft, cube.amplitudes, cube.freq,
-            params.fd_low, params.fd_high, params.fd_width,
-        )
-        cube = cube.replace(fft=fft, amplitudes=amps)
-    if cfg.notch_active:
-        fft, amps = bp.water_notch(
-            cube.fft, cube.amplitudes, cube.freq,
-            params.water_lines, params.notch_width, params.notch_depth,
-        )
-        cube = cube.replace(fft=fft, amplitudes=amps)
+    wvec = None
+    if cfg.fold_fd and (cfg.fd_active or cfg.notch_active):
+        # lean fold: accumulate the FD stages' per-frequency weight
+        # product instead of applying cube-sized mask passes; the masked
+        # spectrum never materializes (inverse_fft folds the weight into
+        # the irfft matrix and weights the reduced means)
+        wvec = jnp.ones((cube.fft.shape[-1],), jnp.float32)
+        if cfg.fd_active:
+            wvec = wvec * bp.fd_bandpass_weights(
+                cube.freq, params.fd_low, params.fd_high, params.fd_width
+            )
+        if cfg.notch_active:
+            wvec = wvec * bp.water_notch_weights(
+                cube.freq, params.water_lines,
+                params.notch_width, params.notch_depth,
+            )
+    else:
+        if cfg.fd_active:
+            fft, amps = bp.fd_bandpass(
+                cube.fft, cube.amplitudes, cube.freq,
+                params.fd_low, params.fd_high, params.fd_width,
+            )
+            cube = cube.replace(fft=fft, amplitudes=amps)
+        if cfg.notch_active:
+            fft, amps = bp.water_notch(
+                cube.fft, cube.amplitudes, cube.freq,
+                params.water_lines, params.notch_width, params.notch_depth,
+            )
+            cube = cube.replace(fft=fft, amplitudes=amps)
     cube = inverse_fft(cube, cfg.avg_in_fourier_space,
-                       phases_encoded=cfg.lean_phases)
+                       phases_encoded=cfg.lean_phases, fd_weights=wvec)
     if cfg.td_after_active:
         cube = cube.replace(
             data=bp.td_bandpass(
@@ -211,12 +233,16 @@ def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
     sharded = (
         getattr(getattr(cube.data, "sharding", None), "num_devices", 1) > 1
     )
+    import os
+
     use_specred = (
         not cfg.avg_in_fourier_space
         and specred_supported(x * y, nf, masks.shape[0] + 1, sharded)
     )
     return cfg._replace(
-        lean_phases=_lean_phases_env(), specred=use_specred
+        lean_phases=_lean_phases_env(),
+        specred=use_specred,
+        fold_fd=os.environ.get("THZ_FOLD_FD", "1") != "0",
     )
 
 

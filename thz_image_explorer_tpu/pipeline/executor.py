@@ -700,12 +700,20 @@ class Pipeline:
             is_runtime_broken as _specred_broken,
         )
 
+        weightable = self._fd_stages_weightable(names, actives)
         specred_ok = (
             enc
             and not cfg.avg_in_fourier_space
             and os.environ.get("THZ_SPECRED", "1") != "0"
             and not _specred_broken()
-            and self._fd_stages_weightable(names, actives)
+            and weightable
+        )
+        # FD-mask fold (see _build_fused): lean + weightable only; pure
+        # XLA (no pallas dependency), so it survives a specred latch-off
+        fold_ok = (
+            lean
+            and weightable
+            and os.environ.get("THZ_FOLD_FD", "1") != "0"
         )
         key = (
             names,
@@ -716,6 +724,7 @@ class Pipeline:
             bool(cfg.avg_in_fourier_space),
             lean,
             enc,
+            fold_ok,
             specred_ok,
         )
         fn = self._fused_cache.get(key)
@@ -731,6 +740,7 @@ class Pipeline:
                 rawfd_idx,
                 lean,
                 enc,
+                fold_ok,
                 specred_ok,
             )
             self._fused_cache[key] = fn
@@ -766,7 +776,7 @@ class Pipeline:
                     names, tuple(actives), tuple(statics),
                     cfg.fft_window_type, int(s_eff),
                     bool(cfg.avg_in_fourier_space), start, rawfd_idx,
-                    lean, enc,
+                    lean, enc, fold_ok,
                 ),
                 "key": key,
             }
@@ -911,7 +921,7 @@ class Pipeline:
 
     def _build_fused(self, names, actives, statics, window_type, scale,
                      avg_flag, start, rawfd_idx, lean=False, enc=False,
-                     specred_ok=False):
+                     fold_ok=False, specred_ok=False):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
         from the traced ``stage_params`` dict (stage.py protocol).
@@ -927,12 +937,28 @@ class Pipeline:
         (None) — they become XLA temporaries feeding the reductions, not
         ~330 MB of HBM outputs. The raw-spectrum display values are the
         sliced/reduced publish outputs, so the full rawfd cubes are not
-        materialized either."""
+        materialized either.
+
+        ``fold_ok`` (lean ranges whose active FD stages are all
+        per-frequency multiplies, ``_fd_stages_weightable``): skip the FD
+        stages' cube-sized ``fused_apply`` mask passes entirely —
+        accumulate their factored weight product and hand it to
+        ``inverse_fft(fd_weights=...)``, which folds it into the irfft's
+        inverse DFT matrix and weights the pixel-means after reduction.
+        The masked complex spectrum (~164 MB at the bench shape) is never
+        written to or re-read from HBM. ``THZ_FOLD_FD=0`` disables."""
         filters = self.filters
         # ``enc``: lean programs carry the phase-increments encoding
         # (cumsum moved past the publish reductions —
         # ops/fourier.phase_increments); resolved by the CALLER from
         # THZ_LEAN_PHASES and part of the fused-cache key
+
+        # static: does any ACTIVE FD stage sit between fft and ifft?
+        fd_any = False
+        if "fft" in names and "ifft" in names:
+            i0, i1 = names.index("fft"), names.index("ifft")
+            fd_any = any(actives[k] for k in range(i0 + 1, i1))
+        fold = fold_ok and fd_any
 
         def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
@@ -948,7 +974,7 @@ class Pipeline:
                 elif name == "fft":
                     cube = forward_fft(cube, window_type, window_low,
                                        window_high, lean_phases=enc)
-                    if specred_ok:
+                    if specred_ok or fold:
                         raw_spec = cube.fft  # post-window, pre-FD masks
                         import jax.numpy as jnp
 
@@ -957,23 +983,33 @@ class Pipeline:
                         )
                     in_fd = True
                 elif name == "ifft":
-                    cube = inverse_fft(cube, avg_flag, phases_encoded=enc)
+                    cube = inverse_fft(cube, avg_flag, phases_encoded=enc,
+                                       fd_weights=wvec if fold else None)
                     in_fd = False
                 elif active:
-                    if specred_ok and in_fd:
+                    if (specred_ok or fold) and in_fd:
                         # FD stages are per-frequency multiplies here
                         # (_fd_stages_weightable gated the build):
                         # accumulate the factorized weight vector
                         wvec = wvec * filters[name].fd_weight_vector(
                             cube.freq, stage_params[name]
                         )
-                    cube = filters[name].fused_apply(
-                        cube, stage_params[name], static
-                    )
+                    if not (fold and in_fd):
+                        cube = filters[name].fused_apply(
+                            cube, stage_params[name], static
+                        )
                 if cube is not prev and cube.n_time != prev.n_time:
                     cube = self._replan(cube)
                 if start + k == rawfd_idx:
-                    rawfd = (cube.amplitudes, cube.phases, cube.freq)
+                    if fold and in_fd and wvec is not None:
+                        # the raw-spectrum display slot is the output of
+                        # the stage at fft_index+1; with its mask pass
+                        # folded away, reconstruct that slot's amplitudes
+                        # lazily (phases are untouched by FD stages)
+                        rawfd = (wvec * cube.amplitudes, cube.phases,
+                                 cube.freq)
+                    else:
+                        rawfd = (cube.amplitudes, cube.phases, cube.freq)
             return cube, rawfd, raw_spec, wvec
 
         if not lean:
