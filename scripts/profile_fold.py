@@ -25,6 +25,11 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     import jax
+
+    if "--small" in sys.argv:
+        # genuine offline smoke: the JAX_PLATFORMS env var is overridden
+        # by the axon sitecustomize (CLAUDE.md) — pin before first use
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from thz_image_explorer_tpu.data import make_cube
@@ -62,6 +67,8 @@ def main():
         os.environ["THZ_FOLD_FD"] = flag
         lowered = lean_update_lowered(cube, params, cfg, masks_d, pix)
         ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # per-device list on some jax
+            ca = ca[0]
         out[f"{label}_bytes_gb"] = round(
             float(ca.get("bytes accessed", 0.0)) / 1e9, 3
         )

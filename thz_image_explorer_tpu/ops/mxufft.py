@@ -115,12 +115,14 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None,
     """Real-to-complex FFT along the last axis; returns a stacked
     ``(2, ..., n//2+1)`` f32 real/imag pair. Matches ``jnp.fft.rfft``.
 
-    ``time_weight`` (traced, length = the transformed sample count)
-    computes ``rfft(w * x)`` by scaling the DFT matrix ROWS — the window
-    is diagonal in exactly the contracted axis, so folding it into the
+    ``time_weight`` (traced, length = ``x.shape[-1]`` — it weights the
+    INPUT samples, truncated with ``x`` when ``n < t``) computes
+    ``rfft(w * x)`` by scaling the DFT matrix ROWS — the window is
+    diagonal in exactly the contracted axis, so folding it into the
     (t, 2m) matrix (a ~4 MB temporary) lets the matmul read the RAW cube
     instead of materializing a windowed copy in HBM (the round-4
-    lean-chain fold, mirror of ``irfft_ri``'s ``freq_weight``)."""
+    lean-chain fold, mirror of ``irfft_ri``'s ``freq_weight``; A/B
+    measurement: ``scripts/profile_fold.py``)."""
     t = x.shape[-1]
     if n is None:
         n = t
@@ -139,7 +141,8 @@ def rfft_ri(x: jnp.ndarray, n: int | None = None,
         # matmul FLOPs for the typical conv padding n ~ 2t)
         cs = cs[:t]
     if time_weight is not None:
-        cs = cs * time_weight.astype(jnp.float32)[:, None]
+        # cs now has min(n, t) rows; the weight tracks x's truncation
+        cs = cs * time_weight.astype(jnp.float32)[: cs.shape[0], None]
     x = x.astype(jnp.float32)
     y = jnp.dot(x, cs, precision=_PREC)  # ONE fused [C|S] matmul
     return jnp.stack([y[..., :m], y[..., m:]])
@@ -167,8 +170,8 @@ def irfft_ri(
     weight is diagonal in exactly the contracted axis, so folding it into
     the (2m, out) matrix (a ~4 MB temporary) deletes the cube-sized
     elementwise pass that a ``w * spec`` operand would materialize in HBM
-    before the matmul (the round-4 lean-chain fold; measured numbers in
-    bench extras / README)."""
+    before the matmul (the round-4 lean-chain fold; A/B measurement:
+    ``scripts/profile_fold.py``)."""
     if out_len is None:
         out_len = n - out_start
     m = n // 2 + 1

@@ -135,16 +135,9 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
         # product instead of applying cube-sized mask passes; the masked
         # spectrum never materializes (inverse_fft folds the weight into
         # the irfft matrix and weights the reduced means)
-        wvec = jnp.ones((cube.fft.shape[-1],), jnp.float32)
-        if cfg.fd_active:
-            wvec = wvec * bp.fd_bandpass_weights(
-                cube.freq, params.fd_low, params.fd_high, params.fd_width
-            )
-        if cfg.notch_active:
-            wvec = wvec * bp.water_notch_weights(
-                cube.freq, params.water_lines,
-                params.notch_width, params.notch_depth,
-            )
+        wvec = _fd_weight_product(
+            cube.freq, cube.fft.shape[-1], params, cfg
+        )
     else:
         if cfg.fd_active:
             fft, amps = bp.fd_bandpass(
@@ -294,23 +287,30 @@ def _specred_reductions(c, raw_fd, params: StepParams, cfg: StepConfig,
     chain's builtin stages."""
     import jax.numpy as jnp
 
-    from thz_image_explorer_tpu.ops.bandpass import (
-        fd_bandpass_weights,
-        water_notch_weights,
-    )
     from thz_image_explorer_tpu.ops.pallas_specred import (
         lean_spectral_outputs,
     )
 
-    nf = raw_fd.fft.shape[-1]
+    wvec = _fd_weight_product(
+        raw_fd.freq, raw_fd.fft.shape[-1], params, cfg
+    )
+    return lean_spectral_outputs(raw_fd.fft, wvec, masks, c.valid_wh)
+
+
+def _fd_weight_product(freq, nf: int, params: StepParams,
+                       cfg: StepConfig) -> "jnp.ndarray":
+    """The bench chain's factored per-frequency FD weight product — ONE
+    assembly shared by the irfft fold (``_step``) and the one-pass
+    spectral reductions (``_specred_reductions``): the two must never
+    desynchronize or the published spectra would disagree with the
+    time-domain data the folded irfft produces."""
     wvec = jnp.ones((nf,), jnp.float32)
     if cfg.fd_active:
-        wvec = wvec * fd_bandpass_weights(
-            raw_fd.freq, params.fd_low, params.fd_high, params.fd_width
+        wvec = wvec * bp.fd_bandpass_weights(
+            freq, params.fd_low, params.fd_high, params.fd_width
         )
     if cfg.notch_active:
-        wvec = wvec * water_notch_weights(
-            raw_fd.freq, params.water_lines,
-            params.notch_width, params.notch_depth,
+        wvec = wvec * bp.water_notch_weights(
+            freq, params.water_lines, params.notch_width, params.notch_depth
         )
-    return lean_spectral_outputs(raw_fd.fft, wvec, masks, c.valid_wh)
+    return wvec
