@@ -276,19 +276,33 @@ def test_fold_fd_toggle_equivalent(monkeypatch):
         StepConfig, StepParams, lean_update,
     )
 
+    import dataclasses
+
     t, cube_np = synthetic_scan(width=10, height=8, n_time=64)
     cube = make_cube(t, cube_np, dx=0.5, dy=0.5)
-    params = StepParams.defaults()
+    # non-trivial TD bounds so the TD-fold configs mask real samples
+    params = dataclasses.replace(
+        StepParams.defaults(),
+        td_before_low=np.float32(float(t[5])),
+        td_before_high=np.float32(float(t[-8])),
+        td_after_low=np.float32(float(t[3])),
+        td_after_high=np.float32(float(t[-12])),
+    )
     masks = np.zeros((4, 10, 8), np.float32)
     masks[0, 2:6, 2:6] = 1.0
     pix = jnp.asarray([3, 4], jnp.int32)
 
     # notch depth < 1 + avg-in-fourier exercise the weighted polar
-    # reconstruction and a non-binary weight vector
+    # reconstruction and a non-binary weight vector; the TD-active
+    # configs exercise the forward-matrix (before) and inverse-matrix
+    # column (after) folds
     for cfg in (
         StepConfig(fd_active=True, notch_active=True),
         StepConfig(fd_active=True, avg_in_fourier_space=True),
         StepConfig(notch_active=True),
+        StepConfig(fd_active=True, notch_active=True,
+                   td_before_active=True, td_after_active=True),
+        StepConfig(td_before_active=True, td_after_active=True),
     ):
         monkeypatch.setenv("THZ_FOLD_FD", "1")
         fold = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
@@ -319,7 +333,17 @@ def test_fold_fd_executor_matches_exact(tmp_path, monkeypatch):
         f.active = True
         f.low, f.high = 0.3, 2.5
         ex.pipeline.filters["water_vapor_notch"].active = True
-        ex.update_filter("frequency_band_pass", force=True)
+        # TD stages too: the forward-matrix and inverse-column folds
+        tb = ex.pipeline.filters["time_band_pass_before_fft"]
+        tb.active = True
+        tb.low, tb.high = 0.3, 4.0
+        ta = ex.pipeline.filters["time_band_pass_after_fft"]
+        ta.active = True
+        ta.low, ta.high = 0.2, 4.2
+        # trigger from the EARLIEST activated stage: exact mode
+        # recomputes incrementally from the trigger index, so updating a
+        # later stage would legitimately leave td-before's slot stale
+        ex.update_filter("time_band_pass_before_fft", force=True)
     _close(lean, exact)
     # the raw-spectrum display (slot fft_index+1 = the FD stage's output)
     np.testing.assert_allclose(

@@ -118,3 +118,33 @@ def test_irfft_freq_weight_fold_matches_explicit_multiply():
     np.testing.assert_allclose(
         got_win / scale, exp_full[:, 10:50] / scale, atol=ATOL
     )
+
+
+def test_irfft_out_weight_fold_matches_explicit_multiply():
+    """irfft_ri(out_weight=w) == w * irfft(spec) on the MATMUL path
+    (column scaling — the folded TD-after mask), composed with a
+    freq_weight and an output window."""
+    rng = np.random.default_rng(9)
+    n = 128
+    m = n // 2 + 1
+    spec = (rng.normal(size=(3, m)) + 1j * rng.normal(size=(3, m)))
+    spec[:, 0] = spec[:, 0].real
+    spec[:, -1] = spec[:, -1].real
+    wf = rng.uniform(0.0, 1.0, m).astype(np.float32)
+    wo = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    ri = jnp.asarray(np.stack([spec.real, spec.imag]).astype(np.float32))
+    exp = np.fft.irfft(spec * wf, n=n, axis=-1) * wo
+    got = np.asarray(
+        mxufft.irfft_ri(ri, n, freq_weight=jnp.asarray(wf),
+                        out_weight=jnp.asarray(wo))
+    )
+    scale = max(np.abs(exp).max(), 1e-30)
+    np.testing.assert_allclose(got / scale, exp / scale, atol=ATOL)
+    got_win = np.asarray(
+        mxufft.irfft_ri(ri, n, out_start=16, out_len=32,
+                        freq_weight=jnp.asarray(wf),
+                        out_weight=jnp.asarray(wo[16:48]))
+    )
+    np.testing.assert_allclose(
+        got_win / scale, exp[:, 16:48] / scale, atol=ATOL
+    )

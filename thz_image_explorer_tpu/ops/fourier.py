@@ -41,18 +41,23 @@ def _rfft(x: jnp.ndarray, time_weight=None) -> jnp.ndarray:
     return jnp.fft.rfft(x, axis=-1)
 
 
-def _irfft(spec: jnp.ndarray, n: int, freq_weight=None) -> jnp.ndarray:
+def _irfft(spec: jnp.ndarray, n: int, freq_weight=None,
+           out_weight=None) -> jnp.ndarray:
     """``freq_weight``: compute ``irfft(w * spec)`` with the weight folded
     into the inverse DFT matrix (``mxufft.irfft_ri``) — no cube-sized
-    masked-spectrum materialization."""
+    masked-spectrum materialization. ``out_weight``: scale the OUTPUT
+    samples the same way (folded TD-after masks)."""
     if mxufft.use_matmul_fft():
         return mxufft.irfft_ri(
             jnp.stack([jnp.real(spec), jnp.imag(spec)]), n,
-            freq_weight=freq_weight,
+            freq_weight=freq_weight, out_weight=out_weight,
         )
     if freq_weight is not None:
         spec = spec * freq_weight
-    return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+    out = jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+    if out_weight is not None:
+        out = out * out_weight.astype(out.dtype)
+    return out
 
 
 @lru_cache(maxsize=None)
@@ -163,6 +168,7 @@ def forward_fft(
     window_high,
     *,
     lean_phases: bool = False,
+    pre_weight=None,
 ) -> ScanCube:
     """Window + batched real FFT + amplitude / unwrapped phase.
 
@@ -179,8 +185,17 @@ def forward_fft(
     the FFT and the publisher reads phases (FD filters leave them
     untouched, ``band_pass_fd.rs``), so the encoding is an internal
     contract of the lean program.
+
+    ``pre_weight`` (traced (T,), lean programs only): the factored
+    product of folded TD-before masks — multiplied into the window so
+    the whole pre-FFT time weighting folds into ONE DFT matrix
+    (``mxufft.rfft_ri`` ``time_weight``); the returned ``data`` leaf
+    then carries the full weighting (window AND folded masks — the
+    reference's mutate-before-FFT semantics, ``math_tools.rs:349-371``).
     """
     w = window_array(cube.time, window_type, window_low, window_high)
+    if pre_weight is not None:
+        w = w * pre_weight.astype(w.dtype)
     # window folded into the DFT matrix: the matmul reads the RAW cube
     # and the windowed `data` leaf below is lazy — materialized only for
     # consumers (exact-mode slots; lean programs replace it at the ifft
@@ -201,7 +216,7 @@ def forward_fft(
 @partial(jax.jit, static_argnames=("avg_in_fourier_space", "phases_encoded"))
 def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
                 phases_encoded: bool = False,
-                fd_weights=None) -> ScanCube:
+                fd_weights=None, td_weights=None) -> ScanCube:
     """Batched inverse FFT plus pixel-mean spectra.
 
     Equivalent of ``ifft()`` (``math_tools.rs:418-571``) minus the ROI
@@ -225,7 +240,13 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
     ``|w * s| == w * |s|`` (weights are nonnegative by construction,
     ``ops/bandpass.py``), and FD stages never touch phases
     (``band_pass_fd.rs`` — fusion contract pinned by
-    ``tests/test_lean_publish.py``)."""
+    ``tests/test_lean_publish.py``).
+
+    ``td_weights`` (traced (T,), lean programs only): the factored
+    product of folded TD-AFTER masks, applied by scaling the inverse DFT
+    matrix columns — ``data`` comes out post-TD-band-pass without a
+    cube-sized mask pass. Per-pixel transform only (the exact chain's
+    TD-after stages touch ``data``, never ``avg_data``)."""
     from thz_image_explorer_tpu.data import masked_pixel_mean
 
     n_time = cube.time.shape[0]
@@ -255,7 +276,8 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
         spectrum = avg_signal_fft * jnp.exp(1j * ph)
         avg_data = _irfft(spectrum, n_time)
 
-    data = _irfft(cube.fft, n_time, freq_weight=fd_weights)
+    data = _irfft(cube.fft, n_time, freq_weight=fd_weights,
+                  out_weight=td_weights)
 
     return cube.replace(
         data=data,

@@ -154,6 +154,7 @@ def irfft_ri(
     out_start: int = 0,
     out_len: int | None = None,
     freq_weight: jnp.ndarray | None = None,
+    out_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Complex-to-real inverse FFT of a stacked ``(2, ..., m)`` pair along
     the last axis. Matches ``jnp.fft.irfft`` (normalized by 1/n) — i.e.
@@ -171,7 +172,12 @@ def irfft_ri(
     the (2m, out) matrix (a ~4 MB temporary) deletes the cube-sized
     elementwise pass that a ``w * spec`` operand would materialize in HBM
     before the matmul (the round-4 lean-chain fold; A/B measurement:
-    ``scripts/profile_fold.py``)."""
+    ``scripts/profile_fold.py``).
+
+    ``out_weight`` (traced, length ``out_len``) additionally scales the
+    OUTPUT samples — ``w_out * irfft(w_f * spec)[out_start:...]`` — by
+    scaling the matrix COLUMNS: the same fold for time-domain masks
+    applied after the inverse transform (TD band-pass after iFFT)."""
     if out_len is None:
         out_len = n - out_start
     m = n // 2 + 1
@@ -180,11 +186,16 @@ def irfft_ri(
         if freq_weight is not None:
             spec = spec * freq_weight.astype(spec_ri.dtype)
         out = jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
-        return out[..., out_start : out_start + out_len]
+        out = out[..., out_start : out_start + out_len]
+        if out_weight is not None:
+            out = out * out_weight.astype(jnp.float32)
+        return out
     ab = _inv_matrix_fused(n, out_start, out_len)
     if freq_weight is not None:
         w = freq_weight.astype(jnp.float32)
         ab = ab * jnp.concatenate([w, w])[:, None]
+    if out_weight is not None:
+        ab = ab * out_weight.astype(jnp.float32)[None, :]
     xr = spec_ri[0][..., :m].astype(jnp.float32)
     xi = spec_ri[1][..., :m].astype(jnp.float32)
     x = jnp.concatenate([xr, xi], axis=-1)

@@ -116,18 +116,28 @@ class StepParams:
 
 def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
     cube = scale_cube(cube, cfg.scale)
+    pre_w = None
     if cfg.td_before_active:
-        cube = cube.replace(
-            data=bp.td_bandpass(
-                cube.data,
-                cube.time,
-                params.td_before_low,
-                params.td_before_high,
+        if cfg.fold_fd:
+            # fold the TD-before mask into the forward DFT matrix (it is
+            # diagonal in exactly the contracted time axis)
+            pre_w = bp.td_bandpass_weights(
+                cube.time, params.td_before_low, params.td_before_high,
                 params.td_before_width,
             )
-        )
+        else:
+            cube = cube.replace(
+                data=bp.td_bandpass(
+                    cube.data,
+                    cube.time,
+                    params.td_before_low,
+                    params.td_before_high,
+                    params.td_before_width,
+                )
+            )
     cube = forward_fft(cube, cfg.window_type, params.window_low,
-                       params.window_high, lean_phases=cfg.lean_phases)
+                       params.window_high, lean_phases=cfg.lean_phases,
+                       pre_weight=pre_w)
     raw_fd = cube  # post-window spectrum, before the FD filters
     wvec = None
     if cfg.fold_fd and (cfg.fd_active or cfg.notch_active):
@@ -151,9 +161,17 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
                 params.water_lines, params.notch_width, params.notch_depth,
             )
             cube = cube.replace(fft=fft, amplitudes=amps)
+    post_w = None
+    if cfg.td_after_active and cfg.fold_fd:
+        # fold the TD-after mask into the inverse DFT matrix columns
+        post_w = bp.td_bandpass_weights(
+            cube.time, params.td_after_low, params.td_after_high,
+            params.td_after_width,
+        )
     cube = inverse_fft(cube, cfg.avg_in_fourier_space,
-                       phases_encoded=cfg.lean_phases, fd_weights=wvec)
-    if cfg.td_after_active:
+                       phases_encoded=cfg.lean_phases, fd_weights=wvec,
+                       td_weights=post_w)
+    if cfg.td_after_active and not cfg.fold_fd:
         cube = cube.replace(
             data=bp.td_bandpass(
                 cube.data,

@@ -953,17 +953,44 @@ class Pipeline:
         # ops/fourier.phase_increments); resolved by the CALLER from
         # THZ_LEAN_PHASES and part of the fused-cache key
 
-        # static: does any ACTIVE FD stage sit between fft and ifft?
+        # static fold analysis: active FD stages between fft and ifft,
+        # plus the contiguous runs of per-time-multiply TD stages
+        # (td_weight_vector) directly before the fft / after the ifft —
+        # an active NON-weightable stage in between blocks folding past
+        # it (multiplies commute with each other, not with arbitrary
+        # stages); inactive stages are identity and never block
         fd_any = False
+        fold_td = frozenset()
         if "fft" in names and "ifft" in names:
             i0, i1 = names.index("fft"), names.index("ifft")
             fd_any = any(actives[k] for k in range(i0 + 1, i1))
+            if fold_ok:
+                td = set()
+                for k in range(i0 - 1, -1, -1):  # suffix before fft
+                    if names[k] in ("scaling", "fft", "ifft"):
+                        break
+                    if not actives[k]:
+                        continue
+                    if hasattr(filters.get(names[k]), "td_weight_vector"):
+                        td.add(k)
+                    else:
+                        break
+                for k in range(i1 + 1, len(names)):  # prefix after ifft
+                    if not actives[k]:
+                        continue
+                    if hasattr(filters.get(names[k]), "td_weight_vector"):
+                        td.add(k)
+                    else:
+                        break
+                fold_td = frozenset(td)
         fold = fold_ok and fd_any
+        ifft_idx = names.index("ifft") if "ifft" in names else -1
 
         def chain(cube: ScanCube, window_low, window_high, stage_params):
             rawfd = None
             raw_spec = None
             wvec = None
+            pre_w = None
             in_fd = False
             for k, (name, active, static) in enumerate(
                 zip(names, actives, statics)
@@ -973,7 +1000,8 @@ class Pipeline:
                     cube = scale_cube(cube, scale)
                 elif name == "fft":
                     cube = forward_fft(cube, window_type, window_low,
-                                       window_high, lean_phases=enc)
+                                       window_high, lean_phases=enc,
+                                       pre_weight=pre_w)
                     if specred_ok or fold:
                         raw_spec = cube.fft  # post-window, pre-FD masks
                         import jax.numpy as jnp
@@ -983,21 +1011,42 @@ class Pipeline:
                         )
                     in_fd = True
                 elif name == "ifft":
+                    # folded TD-after weights: computed here (their input
+                    # time axis equals the ifft output's) and scaled into
+                    # the inverse DFT matrix columns
+                    post_w = None
+                    for j in sorted(fold_td):
+                        if j <= k:
+                            continue
+                        wj = filters[names[j]].td_weight_vector(
+                            cube.time, stage_params[names[j]]
+                        )
+                        post_w = wj if post_w is None else post_w * wj
                     cube = inverse_fft(cube, avg_flag, phases_encoded=enc,
-                                       fd_weights=wvec if fold else None)
+                                       fd_weights=wvec if fold else None,
+                                       td_weights=post_w)
                     in_fd = False
                 elif active:
-                    if (specred_ok or fold) and in_fd:
-                        # FD stages are per-frequency multiplies here
-                        # (_fd_stages_weightable gated the build):
-                        # accumulate the factorized weight vector
-                        wvec = wvec * filters[name].fd_weight_vector(
-                            cube.freq, stage_params[name]
-                        )
-                    if not (fold and in_fd):
-                        cube = filters[name].fused_apply(
-                            cube, stage_params[name], static
-                        )
+                    if k in fold_td:
+                        if k < ifft_idx:
+                            # TD-before mask -> forward DFT matrix rows
+                            wk = filters[name].td_weight_vector(
+                                cube.time, stage_params[name]
+                            )
+                            pre_w = wk if pre_w is None else pre_w * wk
+                        # TD-after stages were folded at the ifft above
+                    else:
+                        if (specred_ok or fold) and in_fd:
+                            # FD stages are per-frequency multiplies here
+                            # (_fd_stages_weightable gated the build):
+                            # accumulate the factorized weight vector
+                            wvec = wvec * filters[name].fd_weight_vector(
+                                cube.freq, stage_params[name]
+                            )
+                        if not (fold and in_fd):
+                            cube = filters[name].fused_apply(
+                                cube, stage_params[name], static
+                            )
                 if cube is not prev and cube.n_time != prev.n_time:
                     cube = self._replan(cube)
                 if start + k == rawfd_idx:

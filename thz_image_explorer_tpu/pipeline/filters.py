@@ -171,6 +171,14 @@ class _TimeBandPass(FilterStage):
             data=bp.td_bandpass(cube.data, cube.time, low, high, width)
         )
 
+    def td_weight_vector(self, time, params):
+        """The stage's whole effect as a per-time-sample weight — the
+        TD analog of ``fd_weight_vector``: lean programs fold it into the
+        adjacent DFT matrix (forward for before-FFT stages, inverse
+        columns for after-iFFT) instead of a cube-sized mask pass."""
+        low, high, width = params
+        return bp.td_bandpass_weights(time, low, high, width)
+
 
 @register_filter
 class TimeBandPassBeforeFFT(_TimeBandPass):
