@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from thz_image_explorer_tpu.ops.pallas_specred import (
-    _pick_block,
+    _plan_blocks,
     specred_supported,
     spectral_reduction_sums,
 )
@@ -21,7 +21,18 @@ def _oracle(c, s, masks):
     return (masks @ amp, masks @ inc, masks @ c, masks @ s)
 
 
-@pytest.mark.parametrize("n,f,m", [(64, 33, 1), (256, 513, 5), (80, 129, 3)])
+@pytest.mark.parametrize(
+    "n,f,m",
+    [
+        (64, 33, 1),
+        (256, 513, 5),
+        (80, 129, 3),
+        # n > the single-block VMEM cap with no dividing 128-multiple:
+        # exercises the lane-aligned zero-padding path (block 640,
+        # padded to 1280 at f=513 — the real-TPU Mosaic constraint)
+        (1000, 513, 3),
+    ],
+)
 def test_specred_matches_oracle(n, f, m):
     rng = np.random.default_rng(n + f)
     c = np.float32(rng.standard_normal((n, f)))
@@ -58,12 +69,21 @@ def test_specred_inc_means_finish_to_unwrap_means():
     np.testing.assert_allclose(got, mean_unwrap, atol=1e-4)
 
 
-def test_pick_block_and_support():
-    assert _pick_block(40000, 513) is not None  # bench grid 200x200
-    assert _pick_block(43264, 513) is not None  # bucketed 208x208
-    b = _pick_block(43264, 513)
-    assert b % 8 == 0 and 43264 % b == 0
-    assert _pick_block(7, 513) is None  # no multiple-of-8 divisor
+def test_plan_blocks_and_support():
+    # bench grid 200x200: no 128-multiple divides 40000, so the plan
+    # pads to a block multiple (the Mosaic lane rule for the masks tile)
+    b, n_pad = _plan_blocks(40000, 513)
+    assert b % 128 == 0 and n_pad % b == 0 and n_pad >= 40000
+    b, n_pad = _plan_blocks(43264, 513)  # bucketed 208x208: 256 divides
+    assert b % 128 == 0 and 43264 % b == 0 and n_pad == 43264
+    # tiny grids take the single-block path (block == array dim is
+    # exempt from the 128-lane rule)
+    assert _plan_blocks(24, 513) == (24, 24)
+    # %8-misaligned row counts below the cap pad up to a 128 block
+    b, n_pad = _plan_blocks(7, 513)
+    assert b == 128 and n_pad == 128
+    # an F too large for even one 128-row block refuses
+    assert _plan_blocks(40000, 8193) is None
     assert not specred_supported(40000, 513, 17, sharded=False)  # mask cap
     assert not specred_supported(40000, 513, 5, sharded=True)
 
@@ -280,17 +300,16 @@ def test_fd_weight_vector_contract():
         )
 
 
-def test_pick_block_prefers_lane_aligned():
-    """The row block is also the masks operand's LANE tile: multiples of
-    128 are preferred (Mosaic handles interior lane splits only at the
-    128 lane width); %8 remains the fallback."""
-    from thz_image_explorer_tpu.ops.pallas_specred import _pick_block
-
-    b = _pick_block(208 * 208, 513)  # the bench shape
-    assert b is not None and b % 128 == 0
-    # a row count with no 128-multiple divisor still gets a %8 block
-    b2 = _pick_block(24, 513)
-    assert b2 == 24 or (b2 is not None and b2 % 8 == 0)
+def test_plan_blocks_lane_alignment_is_mandatory():
+    """The row block is also the masks operand's LANE tile: the real
+    Mosaic toolchain REQUIRES a 128-multiple (or block == array dim) —
+    a %8-only block was rejected at lowering on the real TPU
+    (2026-08-18), so every multi-block plan must be 128-aligned."""
+    b, n_pad = _plan_blocks(208 * 208, 513)  # the bucketed bench shape
+    assert b % 128 == 0 and n_pad % b == 0
+    # a row count with no 128-multiple divisor is padded, never %8-tiled
+    b2, n_pad2 = _plan_blocks(200 * 200, 513)
+    assert b2 % 128 == 0 and n_pad2 % b2 == 0 and n_pad2 >= 200 * 200
 
 
 def test_spectral_reduction_sums_enforces_contract():

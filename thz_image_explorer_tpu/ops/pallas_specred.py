@@ -45,25 +45,63 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 _TWO_PI = float(2.0 * np.pi)
 
 
-def _pick_block(n: int, f: int) -> int | None:
-    """Largest row-block B <= 1024 with B | n whose ~6 f32 (B, F)
-    working arrays fit the VMEM budget.
+def _plan_blocks(n: int, f: int) -> tuple[int, int] | None:
+    """Row-block plan ``(block, n_pad)`` for ``n`` pixel rows.
 
     The block is ALSO the lane-axis tile of the (M, N) masks operand
-    (``_specred_call``'s third BlockSpec), so multiples of 128 are
-    preferred — Mosaic handles interior lane splits only at the 128
-    lane width, and a %8-only block risks an opaque remote-compile
-    reject that would latch the kernel off for the process. %8 blocks
-    remain as the fallback for row counts with no 128-multiple divisor
-    (then the compile either works or the latch degrades to XLA)."""
-    cap = max(8, min(1024, _VMEM_BUDGET // max(1, 6 * f * 4)))
-    for quantum in (128, 8):
-        b = (cap // quantum) * quantum
-        while b >= quantum:
-            if n % b == 0:
-                return b
-            b -= quantum
-    return None
+    (``_specred_call``'s third BlockSpec), and the Mosaic lowering
+    REQUIRES a block's lane dim to be a multiple of 128 or equal to the
+    whole array dim (measured on the real toolchain 2026-08-18: a
+    %8-only 400-row block was rejected at lowering; interpret mode had
+    accepted it). So: a single block when the whole grid fits VMEM,
+    else the largest 128-multiple block that fits and ``n`` zero-padded
+    up to a block multiple (``spectral_reduction_sums`` pads; padded
+    rows have zero mask weight, so every sum is unchanged — at most
+    127 x F x 3 f32 of extra traffic, ~0.3 MB at the bench shape)."""
+    cap = _VMEM_BUDGET // max(1, 6 * f * 4)
+    if n % 8 == 0 and n <= max(8, cap):
+        return n, n  # one block == the array dim: no alignment rule
+    b = (min(1024, cap) // 128) * 128
+    if b == 0:
+        return None
+    # never a block larger than the padded row count itself
+    b = min(b, -(-n // 128) * 128)
+    # the largest dividing block wins (zero pad, fewest steps); else the
+    # largest block outright — padding costs at most ~(b-1) x F x 12
+    # bytes of extra traffic (~2 MB at the bench shape), cheaper than
+    # the extra grid steps a pad-minimizing small block would add
+    for blk in range(b, 0, -128):
+        if n % blk == 0:
+            return blk, n
+    return b, n + ((-n) % b)
+
+
+_HALF_PI = float(np.pi / 2.0)
+_PI = float(np.pi)
+
+
+def _atan2(s, c):
+    """f32 atan2 from Mosaic-supported primitives (the TPU lowering has
+    no atan2/atan, measured 2026-08-18): octant reduction to a ratio in
+    [0, 1], two atan double-angle reductions (z -> z/(1+sqrt(1+z^2))
+    maps [0,1] -> [0,0.199]), then the odd Taylor series through z^9 —
+    truncation < 1e-8, below f32 rounding. Matches ``jnp.arctan2`` on
+    every octant incl. the axes (atan2(0, c<0) = pi, atan2(0, 0) = 0);
+    the sign of a negative-zero ``s`` is not preserved (published phases
+    never difference against +-0)."""
+    ax, ay = jnp.abs(s), jnp.abs(c)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.where(hi > 0.0, hi, 1.0)
+    z1 = z / (1.0 + jnp.sqrt(1.0 + z * z))
+    z2 = z1 / (1.0 + jnp.sqrt(1.0 + z1 * z1))
+    t = z2 * z2
+    r = 4.0 * z2 * (
+        1.0 + t * (-1.0 / 3.0 + t * (0.2 + t * (-1.0 / 7.0 + t / 9.0)))
+    )
+    r = jnp.where(ax > ay, _HALF_PI - r, r)
+    r = jnp.where(c < 0.0, _PI - r, r)
+    return jnp.where(s < 0.0, -r, r)
 
 
 def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
@@ -73,7 +111,7 @@ def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
     c = c_ref[...]
     s = s_ref[...]
     amp = jnp.sqrt(c * c + s * s)
-    ang = jnp.arctan2(s, c)
+    ang = _atan2(s, c)
     # wrapped diffs along F: roll-by-one then fix lane 0 to ang itself
     # (phase_increments: inc[0] = phi0, inc[k] = wrap(phi_k - phi_{k-1}));
     # the wrap rule itself is SHARED with ops/fourier (one source of
@@ -170,7 +208,7 @@ def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
         os.environ.get("THZ_PALLAS_INTERPRET", "0") != "1"
     ):
         return False
-    return _pick_block(n, f) is not None
+    return _plan_blocks(n, f) is not None
 
 
 def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh,
@@ -248,9 +286,17 @@ def spectral_reduction_sums(spec_c, spec_s, masks, with_complex=True):
     if masks.shape[0] > 16:
         raise ValueError(f"mask stack too deep ({masks.shape[0]} > 16): "
                          "the per-mask sums are unrolled in the kernel")
-    block = _pick_block(n, f)
-    if block is None:
-        raise ValueError(f"no row-block divides N={n}")
+    plan = _plan_blocks(n, f)
+    if plan is None:
+        raise ValueError(f"no lane-aligned row-block fits VMEM for F={f}")
+    block, n_pad = plan
+    if n_pad != n:
+        # zero rows + zero mask weights contribute exactly 0 to every
+        # accumulator (amp/inc of a zero row are finite, weight is 0)
+        pad = ((0, n_pad - n), (0, 0))
+        spec_c = jnp.pad(spec_c, pad)
+        spec_s = jnp.pad(spec_s, pad)
+        masks = jnp.pad(masks, ((0, 0), (0, n_pad - n)))
     interpret = (
         jax.default_backend() != "tpu"
         or os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"

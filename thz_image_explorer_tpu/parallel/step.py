@@ -260,9 +260,23 @@ def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
 def lean_update_lowered(cube, params: StepParams, cfg: StepConfig,
                         masks, pix):
     """AOT ``.lower()`` of the exact program :func:`lean_update`
-    dispatches (same env-resolved cfg) — the bench cost-analysis seam."""
-    cfg = _resolve_cfg(cube, cfg, masks)
-    return _lean_update_jit.lower(cube, params, cfg, masks, pix)
+    dispatches (same env-resolved cfg) — the bench cost-analysis seam.
+    A specred kernel rejected at LOWERING (Mosaic block checks run
+    here, before any dispatch) trips the same process-wide latch as a
+    dispatch failure, so the seam keeps describing the program the
+    product would actually run."""
+    rcfg = _resolve_cfg(cube, cfg, masks)
+    try:
+        return _lean_update_jit.lower(cube, params, rcfg, masks, pix)
+    except Exception as err:  # noqa: BLE001 — latch-and-retry or reraise
+        from thz_image_explorer_tpu.ops import pallas_specred as _psr
+
+        if not rcfg.specred or _psr.is_runtime_broken():
+            raise
+        _psr.mark_runtime_broken(err)
+        return _lean_update_jit.lower(
+            cube, params, _resolve_cfg(cube, cfg, masks), masks, pix
+        )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
