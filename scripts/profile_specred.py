@@ -91,8 +91,11 @@ def main():
     a = run("1", "specred")
     b = run("0", "xla_reductions")
     errs = {}
+    # complex64 d2h fails on this runtime (CLAUDE.md) — diff on device,
+    # transfer one f32 scalar per key
+    _maxdiff = jax.jit(lambda u, v: jnp.max(jnp.abs(u - v)))
     for k in ("avg_fft", "avg_amp", "avg_ph", "roi_amp", "roi_ph"):
-        errs[k] = float(np.max(np.abs(np.asarray(a[k]) - np.asarray(b[k]))))
+        errs[k] = float(_maxdiff(a[k], b[k]))
     out["max_abs_diff"] = errs
     out["speedup"] = round(out["xla_reductions_ms"] / out["specred_ms"], 3)
     print(json.dumps(out))

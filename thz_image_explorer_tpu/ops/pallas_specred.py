@@ -1,5 +1,14 @@
 """Pallas TPU kernel: every spectral publish reduction in ONE pass.
 
+STATUS (2026-08-18): a recorded dead end for the DEFAULT path, kept as
+a tested env-gated alternative (``THZ_SPECRED=1`` forces it on). The
+kernel itself is fast (1.32 ms at the bench shape after lane padding +
+MXU masked sums), but the round-4 phase-increments and DFT-fold reworks
+made the surrounding lean XLA program cheaper than the kernel-bearing
+program in both fold regimes (5.31/5.49 vs 6.45/6.65 ms —
+``scripts/profile_specred.py``): the kernel needs raw real/imag planes
+and lane pads materialized that the lean program never writes.
+
 The lean interactive program consumes the filtered spectrum in four
 reduced forms (``math_tools.rs:421-440`` — mean complex spectrum, mean
 amplitude, mean unwrapped phase — plus the ROI masked means of
@@ -20,9 +29,17 @@ bucket-padding mask behind ``data.masked_pixel_mean``); rows 1.. are the
 ROI stack (``ops/roi.masked_mean_stack``). The caller divides by the
 mask counts (sums here, means outside).
 
-Numerics: all accumulation is f32 adds on the VPU (no bf16 matmul
-rounding — the masked sums feed optical-property phase differences);
-verified against the XLA path at <=1e-5 by ``tests/test_specred.py``.
+Numerics: the masked row-sums run on the MXU as split-bf16 dots (the
+0/1 masks are exact in bf16; each payload is split hi + lo so the pair
+of f32-accumulated dots carries ~2^-18 relative error). Measured
+2026-08-18 (/tmp/specred_isolate.py): MXU sums differ from the exact
+f32 VPU adds by 2.5e-6 relative at the bench shape while cutting the
+kernel 2.09 -> 1.32 ms; both paths sit 5.8e-3 from a float64 oracle on
+RANDOM data — a shared +-pi wrap-flip artifact of adversarial inputs
+(15 diffs within 2e-6 of pi), not a summation error. The optical
+formulas consume phase MEANS, so the split error lands far below
+measurement noise; ``THZ_SPECRED_MXU=0`` restores the VPU adds.
+Verified against the XLA path by ``tests/test_specred.py``.
 
 Dispatch rules (``spectral_reduction_sums`` refuses otherwise):
 unsharded arrays, a row-block that divides N (rows are multiples of 8 on
@@ -105,7 +122,7 @@ def _atan2(s, c):
 
 
 def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
-            with_complex: bool):
+            with_complex: bool, mxu: bool):
     amp_ref, inc_ref = out_refs[0], out_refs[1]
     i = pl.program_id(0)
     c = c_ref[...]
@@ -129,29 +146,48 @@ def _kernel(c_ref, s_ref, m_ref, *out_refs, n_masks: int,
             ref[...] = jnp.zeros_like(ref)
 
     m = m_ref[...]  # (M, B) 0/1 f32
-    # unrolled VPU masked sums: exact f32 adds (a bf16 MXU dot here would
-    # round the very values the optical formulas difference). The cos/sin
-    # (complex-mean) sums only exist when the caller consumes them — the
-    # product publish path never reads avg_fft (specred is gated off when
-    # avg_in_fourier_space would need it), and XLA cannot DCE inside a
-    # pallas_call, so they are compiled out here instead.
-    for r in range(n_masks):
-        wr = m[r][:, None]
-        amp_ref[r, :] += jnp.sum(amp * wr, axis=0)
-        inc_ref[r, :] += jnp.sum(inc * wr, axis=0)
+    # The cos/sin (complex-mean) sums only exist when the caller consumes
+    # them — the product publish path never reads avg_fft (specred is
+    # gated off when avg_in_fourier_space would need it), and XLA cannot
+    # DCE inside a pallas_call, so they are compiled out here instead.
+    if mxu:
+        # MXU masked sums: the 0/1 mask is exact in bf16; each payload
+        # splits hi + lo so the pair of f32-accumulated dots carries
+        # ~2^-18 relative error (module docstring: 2.5e-6 measured vs
+        # the VPU adds, 2.09 -> 1.32 ms at the bench shape)
+        mm = m.astype(jnp.bfloat16)
+
+        def msum(x):
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = lambda u: jnp.dot(mm, u, preferred_element_type=jnp.float32)
+            return d(xh) + d(xl)
+
+        amp_ref[...] += msum(amp)
+        inc_ref[...] += msum(inc)
         if with_complex:
-            out_refs[2][r, :] += jnp.sum(c * wr, axis=0)
-            out_refs[3][r, :] += jnp.sum(s * wr, axis=0)
+            out_refs[2][...] += msum(c)
+            out_refs[3][...] += msum(s)
+    else:
+        # unrolled VPU masked sums: exact f32 adds
+        for r in range(n_masks):
+            wr = m[r][:, None]
+            amp_ref[r, :] += jnp.sum(amp * wr, axis=0)
+            inc_ref[r, :] += jnp.sum(inc * wr, axis=0)
+            if with_complex:
+                out_refs[2][r, :] += jnp.sum(c * wr, axis=0)
+                out_refs[3][r, :] += jnp.sum(s * wr, axis=0)
 
 
-@partial(jax.jit, static_argnames=("block", "interpret", "with_complex"))
+@partial(jax.jit,
+         static_argnames=("block", "interpret", "with_complex", "mxu"))
 def _specred_call(spec_c, spec_s, masks, *, block: int, interpret: bool,
-                  with_complex: bool):
+                  with_complex: bool, mxu: bool):
     n, f = spec_c.shape
     m = masks.shape[0]
     grid = (n // block,)
     n_out = 4 if with_complex else 2
-    kern = partial(_kernel, n_masks=m, with_complex=with_complex)
+    kern = partial(_kernel, n_masks=m, with_complex=with_complex, mxu=mxu)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -192,6 +228,22 @@ def mark_runtime_broken(err: BaseException) -> None:
 
 def is_runtime_broken() -> bool:
     return _RUNTIME_BROKEN[0]
+
+
+def specred_env() -> bool | None:
+    """Tri-state ``THZ_SPECRED``: unset -> None (auto — which the
+    callers resolve to OFF: after the round-4 lean-phases and FD/TD
+    fold reworks the XLA-reductions program beats the kernel program at
+    the bench shape in BOTH regimes, 5.31 vs 6.45 ms folded and 5.49 vs
+    6.65 ms unfolded (scripts/profile_specred.py, 2026-08-18) — the
+    kernel must materialize raw real/imag planes + lane pads that the
+    lean XLA program never writes, outweighing the amp/increment
+    operand materialization it saves), ``"0"`` -> False (never),
+    ``"1"`` -> True (force: the A/B and parity-test hook)."""
+    import os
+
+    v = os.environ.get("THZ_SPECRED")
+    return None if v is None else v != "0"
 
 
 def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
@@ -286,10 +338,20 @@ def spectral_reduction_sums(spec_c, spec_s, masks, with_complex=True):
     if masks.shape[0] > 16:
         raise ValueError(f"mask stack too deep ({masks.shape[0]} > 16): "
                          "the per-mask sums are unrolled in the kernel")
-    plan = _plan_blocks(n, f)
+    # lane-align the frequency axis too: F = T/2+1 is always odd, and a
+    # 513-lane tile costs Mosaic edge handling on EVERY elementwise op —
+    # padding to the 128 lane width measured 3.03 -> 2.09 ms at the
+    # bench shape (2026-08-18 variant sweep). Padded lanes live at
+    # k >= F, so the roll-by-one increments of real lanes are untouched;
+    # outputs are sliced back before returning.
+    f_pad = -(-f // 128) * 128
+    plan = _plan_blocks(n, f_pad)
     if plan is None:
         raise ValueError(f"no lane-aligned row-block fits VMEM for F={f}")
     block, n_pad = plan
+    if f_pad != f:
+        spec_c = jnp.pad(spec_c, ((0, 0), (0, f_pad - f)))
+        spec_s = jnp.pad(spec_s, ((0, 0), (0, f_pad - f)))
     if n_pad != n:
         # zero rows + zero mask weights contribute exactly 0 to every
         # accumulator (amp/inc of a zero row are finite, weight is 0)
@@ -301,7 +363,17 @@ def spectral_reduction_sums(spec_c, spec_s, masks, with_complex=True):
         jax.default_backend() != "tpu"
         or os.environ.get("THZ_PALLAS_INTERPRET", "0") == "1"
     )
-    return _specred_call(
+    mxu = os.environ.get("THZ_SPECRED_MXU", "1") != "0"
+    m = masks.shape[0]
+    m_pad = -(-m // 8) * 8 if mxu else m
+    if m_pad != m:
+        # the MXU dot's LHS wants a sublane-aligned row count; zero mask
+        # rows produce all-zero sum rows, sliced off below
+        masks = jnp.pad(masks, ((0, m_pad - m), (0, 0)))
+    out = _specred_call(
         spec_c, spec_s, masks, block=block, interpret=interpret,
-        with_complex=bool(with_complex),
+        with_complex=bool(with_complex), mxu=mxu,
     )
+    if f_pad != f or m_pad != m:
+        out = tuple(o if o is None else o[:m, :f] for o in out)
+    return out

@@ -237,7 +237,10 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
 
 def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
     """Apply the host-side env/dispatch decisions to the static cfg."""
-    from thz_image_explorer_tpu.ops.pallas_specred import specred_supported
+    from thz_image_explorer_tpu.ops.pallas_specred import (
+        specred_env,
+        specred_supported,
+    )
 
     x, y, t = cube.data.shape
     nf = t // 2 + 1
@@ -246,14 +249,20 @@ def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
     )
     import os
 
+    fold = os.environ.get("THZ_FOLD_FD", "1") != "0"
+    # tri-state kernel dispatch (ops/pallas_specred.specred_env): auto
+    # resolves to OFF — the lean XLA program beats the kernel program in
+    # both fold regimes at the bench shape (5.31/5.49 vs 6.45/6.65 ms,
+    # scripts/profile_specred.py 2026-08-18); THZ_SPECRED=1 forces
     use_specred = (
         not cfg.avg_in_fourier_space
+        and specred_env() is True
         and specred_supported(x * y, nf, masks.shape[0] + 1, sharded)
     )
     return cfg._replace(
         lean_phases=_lean_phases_env(),
         specred=use_specred,
-        fold_fd=os.environ.get("THZ_FOLD_FD", "1") != "0",
+        fold_fd=fold,
     )
 
 

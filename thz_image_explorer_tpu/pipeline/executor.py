@@ -698,22 +698,27 @@ class Pipeline:
         # re-checked at trace time
         from thz_image_explorer_tpu.ops.pallas_specred import (
             is_runtime_broken as _specred_broken,
+            specred_env as _specred_env,
         )
 
         weightable = self._fd_stages_weightable(names, actives)
-        specred_ok = (
-            enc
-            and not cfg.avg_in_fourier_space
-            and os.environ.get("THZ_SPECRED", "1") != "0"
-            and not _specred_broken()
-            and weightable
-        )
         # FD-mask fold (see _build_fused): lean + weightable only; pure
         # XLA (no pallas dependency), so it survives a specred latch-off
         fold_ok = (
             lean
             and weightable
             and os.environ.get("THZ_FOLD_FD", "1") != "0"
+        )
+        # one-pass kernel dispatch is tri-state (specred_env docstring):
+        # auto = OFF — the lean XLA program beats the kernel program in
+        # both fold regimes (5.31/5.49 vs 6.45/6.65 ms at the bench
+        # shape); THZ_SPECRED=1 forces it on for A/B and parity runs
+        specred_ok = (
+            enc
+            and not cfg.avg_in_fourier_space
+            and _specred_env() is True
+            and not _specred_broken()
+            and weightable
         )
         key = (
             names,
