@@ -350,4 +350,86 @@ def test_fold_fd_executor_matches_exact(tmp_path, monkeypatch):
         lean.plot.signal_fft, exact.plot.signal_fft, atol=2e-4, rtol=1e-4
     )
     # and the fold really was active (an FD stage is on, lean mode)
-    assert any(k[-2] for k in lean.pipeline._fused_cache)  # fold_ok in key
+    assert any(k[-3] for k in lean.pipeline._fused_cache)  # fold_ok in key
+
+
+def test_wide_spec_toggle_equivalent(monkeypatch):
+    """THZ_WIDE_SPEC=1 (spectrum carried in the WIDE (X, Y, 2m)
+    [real | imag] matmul layout, complex cube never assembled) and =0
+    (complex64 spectrum) must publish identical values for EVERY lean
+    output — the layout is a traffic optimization, never a semantics
+    change. Forced onto the matmul-DFT path so CPU tests exercise the
+    TPU default."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig, StepParams, lean_update, _resolve_cfg,
+    )
+
+    monkeypatch.setenv("THZ_FFT_IMPL", "matmul")
+    t, cube_np = synthetic_scan(width=10, height=8, n_time=64)
+    cube = make_cube(t, cube_np, dx=0.5, dy=0.5)
+    params = dataclasses.replace(
+        StepParams.defaults(),
+        td_before_low=np.float32(float(t[5])),
+        td_after_high=np.float32(float(t[-12])),
+    )
+    masks = np.zeros((4, 10, 8), np.float32)
+    masks[0, 2:6, 2:6] = 1.0
+    pix = jnp.asarray([3, 4], jnp.int32)
+
+    for cfg in (
+        StepConfig(fd_active=True, notch_active=True),
+        StepConfig(fd_active=True, avg_in_fourier_space=True),
+        StepConfig(td_before_active=True, td_after_active=True),
+        StepConfig(),  # no active FD stage: wide still valid under fold
+    ):
+        monkeypatch.setenv("THZ_WIDE_SPEC", "1")
+        # the dispatch really selects the wide layout for this config
+        assert _resolve_cfg(cube, cfg, jnp.asarray(masks)).wide_spec
+        wide = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+        monkeypatch.setenv("THZ_WIDE_SPEC", "0")
+        assert not _resolve_cfg(cube, cfg, jnp.asarray(masks)).wide_spec
+        cplx = lean_update(cube, params, cfg, jnp.asarray(masks), pix)
+        assert set(wide) == set(cplx)
+        for k in wide:
+            np.testing.assert_allclose(
+                np.asarray(wide[k]), np.asarray(cplx[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{cfg} {k}",
+            )
+
+
+def test_wide_spec_executor_matches_exact(tmp_path, monkeypatch):
+    """The PRODUCT lean program with the wide spectrum layout equals the
+    exact per-stage chain (complex spectra, per-stage materialization) —
+    the executor-side twin of test_wide_spec_toggle_equivalent."""
+    path = _scan(tmp_path)
+    monkeypatch.setenv("THZ_FFT_IMPL", "matmul")
+    monkeypatch.setenv("THZ_WIDE_SPEC", "1")
+    lean = Explorer()
+    lean.open_file(path)
+    exact = Explorer()
+    exact.pipeline.fused_mode = False
+    exact.open_file(path)
+    for ex in (lean, exact):
+        f = ex.pipeline.filters["frequency_band_pass"]
+        f.active = True
+        f.low, f.high = 0.3, 2.5
+        ex.pipeline.filters["water_vapor_notch"].active = True
+        ex.add_roi("u1", "r1", [(1, 1), (7, 1), (7, 6)])
+        ex.update_filter("frequency_band_pass", force=True)
+    _close(lean, exact)
+    np.testing.assert_allclose(
+        lean.plot.signal_fft, exact.plot.signal_fft, atol=2e-4, rtol=1e-4
+    )
+    # the wide layout really engaged (wide_ok is key[-2])
+    assert any(k[-2] for k in lean.pipeline._fused_cache)
+    # ROI spectra (reduced from the wide layout) match too
+    (la,) = [v for _, v in lean.plot.roi_signal_fft.items()]
+    (ea,) = [v for _, v in exact.plot.roi_signal_fft.items()]
+    np.testing.assert_allclose(
+        np.asarray(la[1]), np.asarray(ea[1]), atol=2e-4, rtol=1e-4
+    )

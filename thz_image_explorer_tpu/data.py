@@ -116,11 +116,11 @@ class ScanCube:
 
     @property
     def n_freq(self) -> int:
-        # the lean executor's final slot nulls the spectral cubes
-        # (executor._build_fused materializes only published leaves); the
-        # freq axis is always present and has exactly the fft's bin count
-        if self.fft is not None:
-            return self.fft.shape[2]
+        # the freq axis is always present and has exactly the spectral
+        # bin count — the fft leaf may be None (the lean executor's final
+        # slot nulls the spectral cubes) or carry the WIDE (X, Y, 2m)
+        # [real | imag] layout (fold-path lean programs,
+        # ops/fourier.forward_fft wide_spec), so never measure it
         return self.freq.shape[0]
 
     def replace(self, **kwargs) -> "ScanCube":

@@ -160,7 +160,8 @@ def unwrap(phase: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.moveaxis(_cumsum_last(inc), -1, axis)
 
 
-@partial(jax.jit, static_argnames=("window_type", "lean_phases"))
+@partial(jax.jit,
+         static_argnames=("window_type", "lean_phases", "wide_spec"))
 def forward_fft(
     cube: ScanCube,
     window_type: WindowType,
@@ -169,6 +170,7 @@ def forward_fft(
     *,
     lean_phases: bool = False,
     pre_weight=None,
+    wide_spec: bool = False,
 ) -> ScanCube:
     """Window + batched real FFT + amplitude / unwrapped phase.
 
@@ -192,6 +194,16 @@ def forward_fft(
     (``mxufft.rfft_ri`` ``time_weight``); the returned ``data`` leaf
     then carries the full weighting (window AND folded masks — the
     reference's mutate-before-FFT semantics, ``math_tools.rs:349-371``).
+
+    ``wide_spec=True`` (fold-path lean programs on the matmul-DFT path
+    only): the ``fft`` leaf carries the WIDE ``(X, Y, 2m)`` f32
+    ``[real | imag]`` layout of ``mxufft.rfft_wide`` instead of a
+    complex64 cube — the exact operand layout the inverse DFT matmul
+    contracts, so the forward -> inverse round trip moves zero relayout
+    bytes (~0.27 GB / ~0.4 ms at the bench shape, /tmp/probe_wide.py
+    2026-08-18). Only valid when no stage between fft and ifft reads
+    ``cube.fft`` (the FD-fold contract); :func:`inverse_fft` must be
+    called with the same flag.
     """
     w = window_array(cube.time, window_type, window_low, window_high)
     if pre_weight is not None:
@@ -200,10 +212,17 @@ def forward_fft(
     # and the windowed `data` leaf below is lazy — materialized only for
     # consumers (exact-mode slots; lean programs replace it at the ifft
     # and XLA drops it entirely)
-    spec = _rfft(cube.data, time_weight=w).astype(jnp.complex64)
+    if wide_spec:
+        spec = mxufft.rfft_wide(cube.data, time_weight=w)
+        m = spec.shape[-1] // 2
+        yr, yi = spec[..., :m], spec[..., m:]
+        amplitudes = jnp.sqrt(yr * yr + yi * yi)
+        ang = jnp.arctan2(yi, yr)
+    else:
+        spec = _rfft(cube.data, time_weight=w).astype(jnp.complex64)
+        amplitudes = jnp.abs(spec)
+        ang = jnp.angle(spec)
     data = cube.data * w.astype(cube.data.dtype)
-    amplitudes = jnp.abs(spec)
-    ang = jnp.angle(spec)
     phases = phase_increments(ang) if lean_phases else unwrap(ang)
     return cube.replace(
         data=data,
@@ -213,10 +232,12 @@ def forward_fft(
     )
 
 
-@partial(jax.jit, static_argnames=("avg_in_fourier_space", "phases_encoded"))
+@partial(jax.jit, static_argnames=("avg_in_fourier_space",
+                                   "phases_encoded", "wide_spec"))
 def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
                 phases_encoded: bool = False,
-                fd_weights=None, td_weights=None) -> ScanCube:
+                fd_weights=None, td_weights=None,
+                wide_spec: bool = False) -> ScanCube:
     """Batched inverse FFT plus pixel-mean spectra.
 
     Equivalent of ``ifft()`` (``math_tools.rs:418-571``) minus the ROI
@@ -246,13 +267,24 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
     product of folded TD-AFTER masks, applied by scaling the inverse DFT
     matrix columns — ``data`` comes out post-TD-band-pass without a
     cube-sized mask pass. Per-pixel transform only (the exact chain's
-    TD-after stages touch ``data``, never ``avg_data``)."""
+    TD-after stages touch ``data``, never ``avg_data``).
+
+    ``wide_spec``: ``cube.fft`` carries the WIDE ``(X, Y, 2m)`` layout
+    of ``forward_fft(wide_spec=True)`` — the irfft contracts it
+    directly (``mxufft.irfft_wide``, zero relayout) and the published
+    ``avg_fft`` is assembled complex AFTER the pixel-mean reduction
+    (an (F,)-sized join instead of a cube-sized one). The returned
+    ``fft`` leaf stays wide (lean finals drop it; nothing else may
+    read it — the fold contract)."""
     from thz_image_explorer_tpu.data import masked_pixel_mean
 
     n_time = cube.time.shape[0]
     # means restricted to the valid region of a bucket-padded grid
     # (padded pixels are zero; they must not dilute the denominator)
-    avg_fft = masked_pixel_mean(cube.fft, cube.valid_wh)
+    avg_fft_red = masked_pixel_mean(cube.fft, cube.valid_wh)
+    avg_fft = (
+        mxufft.wide_to_complex(avg_fft_red) if wide_spec else avg_fft_red
+    )
     avg_signal_fft = masked_pixel_mean(cube.amplitudes, cube.valid_wh)
     avg_phase_fft = masked_pixel_mean(cube.phases, cube.valid_wh)
     fft_out, amps_out = cube.fft, cube.amplitudes
@@ -264,7 +296,7 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
         # these (XLA narrows elementwise-into-slice), and the lean final
         # slot drops them entirely — no full-cube pass unless a consumer
         # genuinely reads one
-        fft_out = cube.fft * w
+        fft_out = cube.fft * (jnp.concatenate([w, w]) if wide_spec else w)
         amps_out = cube.amplitudes * w
 
     avg_data = cube.avg_data
@@ -276,8 +308,12 @@ def inverse_fft(cube: ScanCube, avg_in_fourier_space: bool = False,
         spectrum = avg_signal_fft * jnp.exp(1j * ph)
         avg_data = _irfft(spectrum, n_time)
 
-    data = _irfft(cube.fft, n_time, freq_weight=fd_weights,
-                  out_weight=td_weights)
+    if wide_spec:
+        data = mxufft.irfft_wide(cube.fft, n_time, freq_weight=fd_weights,
+                                 out_weight=td_weights)
+    else:
+        data = _irfft(cube.fft, n_time, freq_weight=fd_weights,
+                      out_weight=td_weights)
 
     return cube.replace(
         data=data,

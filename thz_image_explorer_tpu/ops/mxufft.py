@@ -202,6 +202,54 @@ def irfft_ri(
     return jnp.dot(x, ab, precision=_PREC)
 
 
+def rfft_wide(x: jnp.ndarray,
+              time_weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """r2c FFT in the WIDE layout: returns the raw ``(..., 2m)``
+    ``[real | imag]`` output of the fused ``x @ [C | S]`` matmul with NO
+    relayout — exactly the operand layout :func:`irfft_wide` contracts,
+    so a forward -> inverse round trip moves zero extra HBM bytes. The
+    round-4 lean chain carries this layout end-to-end (the complex
+    spectrum is never assembled): the stack/complex/stack/concat chain
+    between the two DFT matmuls survived XLA's fusion as ~0.27 GB of
+    relayout traffic at the bench shape (measured 2026-08-18,
+    /tmp/probe_wide.py: 5.51 -> 5.13 ms, 2.20 -> 1.93 GB). Same
+    ``time_weight`` fold as :func:`rfft_ri`. Matmul lengths only."""
+    t = x.shape[-1]
+    if t > MAX_MATMUL_N:
+        raise ValueError("rfft_wide is matmul-path only")
+    cs = _fwd_matrix_fused(t)
+    if time_weight is not None:
+        cs = cs * time_weight.astype(jnp.float32)[:, None]
+    return jnp.dot(x.astype(jnp.float32), cs, precision=_PREC)
+
+
+def irfft_wide(
+    y: jnp.ndarray,
+    n: int,
+    freq_weight: jnp.ndarray | None = None,
+    out_weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """c2r inverse FFT of a WIDE ``(..., 2m)`` ``[real | imag]`` spectrum
+    (:func:`rfft_wide`'s layout): ONE ``y @ [A; B]`` matmul, no concat.
+    Same ``freq_weight``/``out_weight`` folds as :func:`irfft_ri`."""
+    if n > MAX_MATMUL_N:
+        raise ValueError("irfft_wide is matmul-path only")
+    ab = _inv_matrix_fused(n, 0, n)
+    if freq_weight is not None:
+        w = freq_weight.astype(jnp.float32)
+        ab = ab * jnp.concatenate([w, w])[:, None]
+    if out_weight is not None:
+        ab = ab * out_weight.astype(jnp.float32)[None, :]
+    return jnp.dot(y.astype(jnp.float32), ab, precision=_PREC)
+
+
+def wide_to_complex(y: jnp.ndarray) -> jnp.ndarray:
+    """Assemble a complex64 spectrum from the WIDE layout (for tiny
+    post-reduction vectors — never call this on a cube-sized array)."""
+    m = y.shape[-1] // 2
+    return jax.lax.complex(y[..., :m], y[..., m:]).astype(jnp.complex64)
+
+
 def rfft_c64(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Convenience complex64 wrapper (for in-program use only — keep
     complex off program boundaries)."""

@@ -119,8 +119,17 @@ def masked_mean_trace(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def masked_mean_stack(arr: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     """Batched ROI means: ``(R, X, Y)`` masks x ``(X, Y, T)`` array ->
     ``(R, T)``; empty masks yield zeros. The canonical masked-mean used by
-    the publish program and tests."""
+    the publish program and tests.
+
+    HIGHEST precision: at the default the TPU MXU rounds the OPERANDS to
+    bf16, costing ~3e-3 rad on ROI mean phases (measured against a
+    HIGH-precision dot at the bench shape, 2026-08-18 /tmp/probe_wide.py
+    run) — these means feed the optical-property phase differences. The
+    einsum is ~0.2 GFLOP at the bench shape, so exactness here is free
+    next to the chain's DFT matmuls."""
     m = masks.astype(arr.dtype)
     counts = jnp.sum(masks.astype(jnp.float32), axis=(1, 2))
-    totals = jnp.einsum("rxy,xyt->rt", m, arr)
+    totals = jnp.einsum(
+        "rxy,xyt->rt", m, arr, precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.where(counts[:, None] > 0, totals / counts[:, None], 0.0)

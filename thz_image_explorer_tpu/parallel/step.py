@@ -60,6 +60,14 @@ class StepConfig(NamedTuple):
     #: and weight the pixel-mean spectra after reduction
     #: (ops/fourier.inverse_fft fd_weights; THZ_FOLD_FD=0 disables)
     fold_fd: bool = False
+    #: lean fold-path programs on the matmul-DFT path only: carry the
+    #: spectrum in the WIDE (X, Y, 2m) [real | imag] matmul layout end to
+    #: end — the complex cube is never assembled and the forward ->
+    #: inverse DFT round trip moves zero relayout bytes (~0.27 GB / 0.4
+    #: ms at the bench shape; THZ_WIDE_SPEC=0 disables). Requires that no
+    #: stage between fft and ifft reads cube.fft (the fold contract) and
+    #: is mutually exclusive with specred (the kernel wants raw planes).
+    wide_spec: bool = False
 
 
 @_pytree_dataclass
@@ -137,16 +145,17 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
             )
     cube = forward_fft(cube, cfg.window_type, params.window_low,
                        params.window_high, lean_phases=cfg.lean_phases,
-                       pre_weight=pre_w)
+                       pre_weight=pre_w, wide_spec=cfg.wide_spec)
     raw_fd = cube  # post-window spectrum, before the FD filters
     wvec = None
     if cfg.fold_fd and (cfg.fd_active or cfg.notch_active):
         # lean fold: accumulate the FD stages' per-frequency weight
         # product instead of applying cube-sized mask passes; the masked
         # spectrum never materializes (inverse_fft folds the weight into
-        # the irfft matrix and weights the reduced means)
+        # the irfft matrix and weights the reduced means). n_freq from
+        # the freq axis — under wide_spec the fft leaf's last dim is 2m.
         wvec = _fd_weight_product(
-            cube.freq, cube.fft.shape[-1], params, cfg
+            cube.freq, cube.freq.shape[0], params, cfg
         )
     else:
         if cfg.fd_active:
@@ -170,7 +179,7 @@ def _step(cube: ScanCube, params: StepParams, cfg: StepConfig):
         )
     cube = inverse_fft(cube, cfg.avg_in_fourier_space,
                        phases_encoded=cfg.lean_phases, fd_weights=wvec,
-                       td_weights=post_w)
+                       td_weights=post_w, wide_spec=cfg.wide_spec)
     if cfg.td_after_active and not cfg.fold_fd:
         cube = cube.replace(
             data=bp.td_bandpass(
@@ -259,10 +268,24 @@ def _resolve_cfg(cube, cfg: StepConfig, masks) -> StepConfig:
         and specred_env() is True
         and specred_supported(x * y, nf, masks.shape[0] + 1, sharded)
     )
+    # WIDE spectrum layout (StepConfig.wide_spec): fold-path + matmul-DFT
+    # only, never with the specred kernel (it reads raw planes); env read
+    # HERE so a mid-process THZ_WIDE_SPEC toggle selects the other
+    # compiled variant (cfg is the jit cache key) instead of being frozen
+    from thz_image_explorer_tpu.ops import mxufft as _mx
+
+    wide = (
+        fold
+        and not use_specred
+        and _mx.use_matmul_fft()
+        and t <= _mx.MAX_MATMUL_N
+        and os.environ.get("THZ_WIDE_SPEC", "1") != "0"
+    )
     return cfg._replace(
         lean_phases=_lean_phases_env(),
         specred=use_specred,
         fold_fd=fold,
+        wide_spec=wide,
     )
 
 
@@ -333,7 +356,7 @@ def _specred_reductions(c, raw_fd, params: StepParams, cfg: StepConfig,
     )
 
     wvec = _fd_weight_product(
-        raw_fd.freq, raw_fd.fft.shape[-1], params, cfg
+        raw_fd.freq, raw_fd.freq.shape[0], params, cfg
     )
     return lean_spectral_outputs(raw_fd.fft, wvec, masks, c.valid_wh)
 

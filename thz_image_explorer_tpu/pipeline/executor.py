@@ -720,6 +720,22 @@ class Pipeline:
             and not _specred_broken()
             and weightable
         )
+        # WIDE spectrum layout (ops/fourier wide_spec): valid whenever no
+        # stage between fft and ifft touches cube.fft — exactly the
+        # fold_ok condition (active FD stages are factored out; inactive
+        # ones are identity) — on the matmul-DFT path, never with the
+        # specred kernel (it reads raw planes). Env read HERE and part of
+        # the cache key (the THZ_LEAN_PHASES precedent).
+        from thz_image_explorer_tpu.ops import mxufft as _mx
+
+        wide_ok = (
+            lean
+            and fold_ok
+            and not specred_ok
+            and _mx.use_matmul_fft()
+            and len(host_times[-1]) <= _mx.MAX_MATMUL_N
+            and os.environ.get("THZ_WIDE_SPEC", "1") != "0"
+        )
         key = (
             names,
             tuple(actives),
@@ -730,6 +746,7 @@ class Pipeline:
             lean,
             enc,
             fold_ok,
+            wide_ok,
             specred_ok,
         )
         fn = self._fused_cache.get(key)
@@ -746,6 +763,7 @@ class Pipeline:
                 lean,
                 enc,
                 fold_ok,
+                wide_ok,
                 specred_ok,
             )
             self._fused_cache[key] = fn
@@ -781,7 +799,7 @@ class Pipeline:
                     names, tuple(actives), tuple(statics),
                     cfg.fft_window_type, int(s_eff),
                     bool(cfg.avg_in_fourier_space), start, rawfd_idx,
-                    lean, enc, fold_ok,
+                    lean, enc, fold_ok, wide_ok,
                 ),
                 "key": key,
             }
@@ -926,7 +944,7 @@ class Pipeline:
 
     def _build_fused(self, names, actives, statics, window_type, scale,
                      avg_flag, start, rawfd_idx, lean=False, enc=False,
-                     fold_ok=False, specred_ok=False):
+                     fold_ok=False, wide_ok=False, specred_ok=False):
         """Build + jit the fused chain program for one static
         configuration. ``fused_apply`` bodies must read parameters only
         from the traced ``stage_params`` dict (stage.py protocol).
@@ -951,7 +969,16 @@ class Pipeline:
         ``inverse_fft(fd_weights=...)``, which folds it into the irfft's
         inverse DFT matrix and weights the pixel-means after reduction.
         The masked complex spectrum (~164 MB at the bench shape) is never
-        written to or re-read from HBM. ``THZ_FOLD_FD=0`` disables."""
+        written to or re-read from HBM. ``THZ_FOLD_FD=0`` disables.
+
+        ``wide_ok`` (lean + fold_ok + matmul-DFT, never with specred):
+        the spectrum travels in the WIDE ``(X, Y, 2m)`` ``[real | imag]``
+        matmul layout from the forward DFT to the inverse DFT — valid
+        because fold_ok guarantees no stage in between reads ``cube.fft``
+        (active FD stages are factored into ``wvec``, inactive ones are
+        identity). The complex cube is never assembled; measured
+        ~0.27 GB / ~0.4 ms saved at the bench shape (``THZ_WIDE_SPEC=0``
+        disables)."""
         filters = self.filters
         # ``enc``: lean programs carry the phase-increments encoding
         # (cumsum moved past the publish reductions —
@@ -1006,13 +1033,16 @@ class Pipeline:
                 elif name == "fft":
                     cube = forward_fft(cube, window_type, window_low,
                                        window_high, lean_phases=enc,
-                                       pre_weight=pre_w)
+                                       pre_weight=pre_w,
+                                       wide_spec=wide_ok)
                     if specred_ok or fold:
                         raw_spec = cube.fft  # post-window, pre-FD masks
                         import jax.numpy as jnp
 
+                        # n_freq from the freq axis: under wide_ok the
+                        # fft leaf's last dim is 2m, not m
                         wvec = jnp.ones(
-                            (cube.fft.shape[-1],), jnp.float32
+                            (cube.freq.shape[0],), jnp.float32
                         )
                     in_fd = True
                 elif name == "ifft":
@@ -1029,7 +1059,8 @@ class Pipeline:
                         post_w = wj if post_w is None else post_w * wj
                     cube = inverse_fft(cube, avg_flag, phases_encoded=enc,
                                        fd_weights=wvec if fold else None,
-                                       td_weights=post_w)
+                                       td_weights=post_w,
+                                       wide_spec=wide_ok)
                     in_fd = False
                 elif active:
                     if k in fold_td:
