@@ -1059,7 +1059,68 @@ def main():
         "vs_baseline": None if cpu_s is None else round(cpu_s / tpu_s, 1),
         "extra": extra,
     }
-    print(json.dumps(result))
+    # The driver's artifact keeps only a ~2000-char tail of this line:
+    # BENCH_r03/r04 both recorded `parsed: null` because the full extras
+    # blew that budget (VERDICT r4 #1b). Print a COMPACT headline-only
+    # line and write the complete record to BENCH_FULL.json next to it.
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception as e:  # noqa: BLE001 — the headline must still print
+        print(f"bench: BENCH_FULL.json write failed: {e}", file=sys.stderr)
+    print(headline_line(result))
+
+
+#: extras promoted into the one-line driver headline (everything else
+#: lives in BENCH_FULL.json)
+HEADLINE_KEYS = (
+    "pipelined_update_ms",
+    "explorer_update_ms",
+    "chain_bytes_accessed_gb",
+    "mfu_bf16x3",
+    "hbm_roofline_frac_measured",
+    "deconv_device_ms",
+    "combined_chain_plus_deconv_ms",
+    "voxel_ms",
+    "psf_fit_ms",
+    "drag_p50_ms",
+    "drag_p99_ms",
+    "drag_updates_per_s",
+    "cpu_pinned_ms",
+    "vs_baseline_pinned",
+    "vs_baseline_pinned_incl_rtt",
+)
+
+HEADLINE_FIRSTOPEN_KEYS = (
+    "first_open_cold_s",
+    "first_open_warm_s",
+    "first_open_warm_runs_s",
+    "first_open_preview_s",
+)
+
+
+def headline_line(result: dict) -> str:
+    """Compact single-line JSON the driver can always parse (<1900 chars;
+    the r03/r04 artifacts kept only a 2000-char tail, VERDICT r4 #1b)."""
+    extra = result.get("extra", {})
+    headline = {k: result[k] for k in ("metric", "value", "unit",
+                                       "vs_baseline")}
+    for k in HEADLINE_KEYS:
+        if k in extra:
+            headline[k] = extra[k]
+    fo = extra.get("first_open") or {}
+    for k in HEADLINE_FIRSTOPEN_KEYS:
+        if k in fo:
+            headline[k] = fo[k]
+    headline["full_record"] = "BENCH_FULL.json"
+    line = json.dumps(headline)
+    if len(line) > 1900:  # hard guard: never outgrow the driver's parser
+        headline["metric"] = headline["metric"][:40]
+        line = json.dumps(headline)
+    return line
 
 
 if __name__ == "__main__":

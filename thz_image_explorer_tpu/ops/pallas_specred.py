@@ -230,6 +230,39 @@ def is_runtime_broken() -> bool:
     return _RUNTIME_BROKEN[0]
 
 
+def latchable_specred_error(err: BaseException) -> bool:
+    """True when *err* plausibly originated in lowering/compiling/running
+    THIS kernel (Mosaic/pallas custom-call machinery or this module's own
+    dispatch checks) — only then may the callers latch the kernel off and
+    retry with the XLA reductions. Anything else (a shape/param bug, an
+    OOM in an unrelated op) must SURFACE instead of being silently
+    absorbed into a misleading 'kernel failed' degradation (advisor r4).
+    Matching is by marker substrings over the exception chain: the remote
+    Mosaic toolchain raises several concrete types (XlaRuntimeError,
+    INTERNAL RET_CHECKs, LoweringException) that share no useful base
+    class, so type-narrowing alone cannot express this predicate."""
+    parts = []
+    e: BaseException | None = err
+    for _ in range(8):  # bound: __context__ chains can be long/cyclic
+        if e is None:
+            break
+        parts.append(f"{type(e).__module__}.{type(e).__name__}: {e}")
+        e = e.__cause__ or e.__context__
+    text = " | ".join(parts).lower()
+    markers = (
+        "mosaic",
+        "pallas",
+        "tpu_custom_call",
+        "custom_call",
+        "vmem",
+        "specred",
+        "spectral_reduction",
+        "lane-aligned row-block",  # _plan_blocks refusal (this module)
+        "mask stack too deep",  # dispatch-contract check (this module)
+    )
+    return any(m in text for m in markers)
+
+
 def specred_env() -> bool | None:
     """Tri-state ``THZ_SPECRED``: unset -> None (auto — which the
     callers resolve to OFF: after the round-4 lean-phases and FD/TD
@@ -247,12 +280,16 @@ def specred_env() -> bool | None:
 
 
 def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
-    """Host-side dispatch predicate (the kernel is single-device)."""
+    """Host-side dispatch predicate (the kernel is single-device).
+
+    Consults ``specred_env()`` so the tri-state default lives in exactly
+    one place: unset/auto resolves to OFF here too — this predicate
+    alone never enables the recorded-dead-end kernel (advisor r4)."""
     import os
 
     if _RUNTIME_BROKEN[0]:
         return False
-    if os.environ.get("THZ_SPECRED", "1") == "0":
+    if specred_env() is not True:
         return False
     if sharded or n_masks > 16:
         return False
@@ -260,7 +297,10 @@ def specred_supported(n: int, f: int, n_masks: int, sharded: bool) -> bool:
         os.environ.get("THZ_PALLAS_INTERPRET", "0") != "1"
     ):
         return False
-    return _plan_blocks(n, f) is not None
+    # plan with the SAME 128-lane-padded F the kernel call uses
+    # (spectral_reduction_sums pads f before _plan_blocks) so predicate
+    # and call agree near the VMEM cap (advisor r4)
+    return _plan_blocks(n, -(-f // 128) * 128) is not None
 
 
 def lean_spectral_outputs(raw_fft, wvec, masks, valid_wh,

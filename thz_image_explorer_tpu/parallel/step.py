@@ -233,10 +233,16 @@ def lean_update(cube: ScanCube, params: StepParams, cfg: StepConfig,
         from thz_image_explorer_tpu.ops import pallas_specred as _psr
 
         # same fallback as pipeline/executor._dispatch_lean: a
-        # specred-bearing program failing its first real (non-interpret)
-        # compile latches the kernel off and the XLA-reductions variant
-        # is dispatched instead; non-specred failures re-raise
-        if not rcfg.specred or _psr.is_runtime_broken():
+        # specred-bearing program whose failure is attributable to the
+        # kernel (latchable_specred_error — Mosaic/pallas markers only,
+        # advisor r4) latches the kernel off and the XLA-reductions
+        # variant is dispatched instead; anything else re-raises so real
+        # defects are never masked by a silent degradation
+        if (
+            not rcfg.specred
+            or _psr.is_runtime_broken()
+            or not _psr.latchable_specred_error(err)
+        ):
             raise
         _psr.mark_runtime_broken(err)
         return _lean_update_jit(
@@ -303,7 +309,11 @@ def lean_update_lowered(cube, params: StepParams, cfg: StepConfig,
     except Exception as err:  # noqa: BLE001 — latch-and-retry or reraise
         from thz_image_explorer_tpu.ops import pallas_specred as _psr
 
-        if not rcfg.specred or _psr.is_runtime_broken():
+        if (
+            not rcfg.specred
+            or _psr.is_runtime_broken()
+            or not _psr.latchable_specred_error(err)
+        ):
             raise
         _psr.mark_runtime_broken(err)
         return _lean_update_jit.lower(

@@ -892,12 +892,18 @@ class Pipeline:
         except Exception as err:  # noqa: BLE001 — rebuild-or-reraise
             from thz_image_explorer_tpu.ops import pallas_specred as _psr
 
-            # a specred-bearing program that fails here is most likely a
-            # remote Mosaic compile rejection (the kernel is validated in
+            # a specred-bearing program whose failure carries Mosaic/
+            # pallas markers (latchable_specred_error, advisor r4) is a
+            # remote toolchain rejection (the kernel is validated in
             # interpret mode only until it meets the real toolchain):
             # latch the kernel off, rebuild the same range with the XLA
-            # reductions and retry ONCE; anything else re-raises
-            if not plan.get("specred") or _psr.is_runtime_broken():
+            # reductions and retry ONCE; anything else re-raises so real
+            # defects surface instead of silently degrading
+            if (
+                not plan.get("specred")
+                or _psr.is_runtime_broken()
+                or not _psr.latchable_specred_error(err)
+            ):
                 raise
             _psr.mark_runtime_broken(err)
             fn = self._build_fused(*plan["build_args"], False)
