@@ -673,11 +673,15 @@ def bench_psf():
 
 
 def bench_firstopen():
-    """Cold/warm first-open regression numbers (round-4 task 2): wall
-    time of Explorer() + open_file + one slider update in a FRESH process
-    against (a) an empty XLA cache at a novel bucket shape, (b) the same
-    cache, second process. Gate: THZ_BENCH_FIRSTOPEN=0 skips (the cold
-    compile costs minutes of bench budget)."""
+    """Cold/warm first-open regression numbers (round-4 task 2, reworked
+    round 5 per VERDICT r4 tasks 2+4): wall time of Explorer() +
+    open_file (preview point AND full device results) + one slider
+    update in a FRESH process against (a) an empty XLA cache at a novel
+    bucket shape, (b..d) the same cache, three more processes. Warm is
+    reported as the MEDIAN of the three runs with every run recorded —
+    no best-of-N — plus a per-program persistent-cache hit/miss table
+    (jax's own compiler logs). Gate: THZ_BENCH_FIRSTOPEN=0 skips (the
+    cold compile costs minutes of bench budget)."""
     import os
     import subprocess
     import tempfile
@@ -691,22 +695,52 @@ def bench_firstopen():
     w, h, nt = 150, 130, 768
     here = os.path.dirname(os.path.abspath(__file__))
     script = f"""
-import sys, time, json
+import sys, time, json, logging, re
 sys.path.insert(0, {here!r}); sys.path.insert(0, {os.path.join(here, "tests")!r})
 import numpy as np
 from make_sample import synthetic_scan, write_scan_thz
 t, cube = synthetic_scan(width={w}, height={h}, n_time={nt})
 path = "{scan_dir}/cold.thzimg"
 write_scan_thz(path, t, cube, dx=0.5, dy=0.5)
+
+events = []
+class _H(logging.Handler):
+    def emit(self, r):
+        events.append(r.getMessage())
 t0 = time.perf_counter()
+import jax
+jax.config.update("jax_log_compiles", True)
+for name in ("jax._src.compiler", "jax._src.dispatch"):
+    lg = logging.getLogger(name); lg.setLevel(logging.DEBUG); lg.addHandler(_H())
+
 from thz_image_explorer_tpu.pipeline import Explorer
 ex = Explorer()
+# defer the device phase exactly as the worker would, so the PREVIEW
+# point (host image + trace published) is separately timestamped
+fin = []
+ex.defer = lambda m, e: fin.append(e)
 ex.open_file(path)
+assert ex.image is not None and ex.plot.signal.size
+preview_s = time.perf_counter() - t0
+ex._finalize_open(fin[0])
+assert not ex.preview_pending and ex.plot.signal_fft.size
 open_s = time.perf_counter() - t0
-t0 = time.perf_counter()
+t1 = time.perf_counter()
 ex.set_fft_window_low(1.1)
-slider_s = time.perf_counter() - t0
-print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
+slider_s = time.perf_counter() - t1
+
+hits, misses, compiles = [], [], []
+for msg in events:
+    m = re.search(r"cache hit for '([^']+)'", msg, re.I)
+    if m: hits.append(m.group(1)[:48]); continue
+    m = re.search(r"cache miss for '([^']+)'", msg, re.I)
+    if m: misses.append(m.group(1)[:48]); continue
+    m = re.search(r"Finished XLA compilation of (\\S+) in ([0-9.]+) sec", msg)
+    if m: compiles.append([m.group(1)[:48], round(float(m.group(2)), 2)])
+print(json.dumps({{"preview_s": preview_s, "open_s": open_s,
+                   "slider_s": slider_s, "n_hits": len(hits),
+                   "n_misses": len(misses), "misses": misses[:20],
+                   "compiles": compiles[:20]}}))
 """
     env = dict(os.environ, THZ_XLA_CACHE=cache)
     env.pop("JAX_PLATFORMS", None)
@@ -721,8 +755,8 @@ print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
         except subprocess.TimeoutExpired:
             # A degraded remote compile service can push a cold open past
             # the budget (observed: a trivial matmul compile at 102 s).
-            # Report the timeout and let the warm run proceed against the
-            # partially-populated cache instead of aborting both.
+            # Report the timeout and let the warm runs proceed against the
+            # partially-populated cache instead of aborting everything.
             return {"error": "timeout (>1200 s)",
                     "process_wall_s": round(time.perf_counter() - t0, 1)}
         wall = time.perf_counter() - t0
@@ -738,30 +772,34 @@ print(json.dumps({{"open_s": open_s, "slider_s": slider_s}}))
 
     try:
         cold = run_once()
-        # warm = cache effectiveness, not service luck: the remote
-        # compile service shows heavy same-day variance (observed a
-        # warm open at 87 s minutes before one at 7 s, 2026-08-18), so
-        # take the best of two warm runs (each costs seconds when the
-        # cache works; a genuine cache miss stays visibly slow twice)
-        warm = run_once()
-        if warm.get("open_s", 1e9) > 0.5 * cold.get("open_s", 1e9):
-            w2 = run_once()
-            if w2.get("open_s", 1e9) < warm.get("open_s", 1e9):
-                warm = w2
+        warm_runs = [run_once() for _ in range(3)]
     finally:
         shutil.rmtree(scan_dir, ignore_errors=True)
         shutil.rmtree(cache, ignore_errors=True)
+    warm_opens = sorted(
+        r.get("open_s", float("inf")) for r in warm_runs
+    )
+    warm_median = warm_opens[len(warm_opens) // 2]
     return {
-        "first_open_cold_s": round(cold.get("open_s", -1)
-                                   + cold.get("slider_s", 0), 1),
+        "first_open_cold_s": round(cold.get("open_s", -1), 1),
+        "first_open_preview_s": round(cold.get("preview_s", -1), 2),
         "first_open_cold_detail": cold,
-        "first_open_warm_s": round(warm.get("open_s", -1)
-                                   + warm.get("slider_s", 0), 1),
-        "first_open_warm_detail": warm,
+        # median of 3 independent fresh-process warm opens; every run is
+        # recorded so spread (tunnel/data-plane variance, see README) is
+        # in the artifact, not hidden by best-of-N (VERDICT r4 task 4)
+        "first_open_warm_s": round(warm_median, 1),
+        "first_open_warm_runs_s": [
+            round(r.get("open_s", -1), 1) for r in warm_runs
+        ],
+        "first_open_warm_preview_runs_s": [
+            round(r.get("preview_s", -1), 2) for r in warm_runs
+        ],
+        "first_open_warm_detail": warm_runs,
         "shape": f"{w}x{h}x{nt} (novel bucket, fresh cache dir)",
-        "note": "cold = empty XLA cache (remote compiles); warm = second "
-                "process, same persistent cache (serve precompiles the "
-                "bucket in the background by default)",
+        "note": "cold = empty XLA cache (remote compiles); warm = fresh "
+                "process, same persistent cache. preview_s = host image+"
+                "trace published (progressive open); open_s = full device "
+                "results. hit/miss per program in the details.",
     }
 
 

@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Keep test (CPU) compile artifacts OUT of the user's warm-open cache
+# (~/.cache/thz_image_explorer_tpu/xla holds the TPU programs the product
+# reloads on warm opens; mixing in per-test CPU AOT results pollutes it
+# and triggers machine-feature-mismatch warnings on reload). A stable tmp
+# path still makes test reruns fast.
+os.environ.setdefault("THZ_XLA_CACHE", "/tmp/thz-test-xla-cache")
+
 import pytest  # noqa: E402
 
 

@@ -177,6 +177,140 @@ def test_specred_supported_plans_with_padded_f(monkeypatch):
     assert not psr.specred_supported(1024, f, 4, sharded=False)
 
 
+# ------------------------------------------------- progressive open
+def _write_scan(tmp_path, w=20, h=18, nt=64):
+    import os
+
+    from make_sample import synthetic_scan, write_scan_thz
+
+    p = os.path.join(str(tmp_path), "scan.thzimg")
+    t, cube = synthetic_scan(width=w, height=h, n_time=nt)
+    write_scan_thz(p, t, cube, dx=0.5, dy=0.5)
+    return p
+
+
+def test_open_file_direct_call_stays_synchronous(tmp_path):
+    """Library callers without a worker keep the single-phase contract:
+    open_file returns with the device results published."""
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p = _write_scan(tmp_path)
+    ex = Explorer()
+    ex.open_file(p)
+    assert not ex.preview_pending
+    assert ex.pipeline.input is not None
+    assert ex.plot.signal_fft.size  # full publish ran
+    assert ex.image is not None and ex.image.shape == (20, 18)
+
+
+def test_preview_served_while_device_phase_blocked(tmp_path, monkeypatch):
+    """VERDICT r4 task 3: a usable image + trace must be served while the
+    device phase (compile) is still pending, marked preview."""
+    import threading
+    import time
+
+    from thz_image_explorer_tpu.io import dotthz as dotthz_mod
+    from thz_image_explorer_tpu.web import WebApp
+
+    p = _write_scan(tmp_path)
+    gate = threading.Event()
+    entered = threading.Event()
+    real = dotthz_mod.finalize_scan
+
+    def slow_finalize(host):
+        entered.set()
+        assert gate.wait(timeout=30), "test gate never released"
+        return real(host)
+
+    monkeypatch.setattr(dotthz_mod, "finalize_scan", slow_finalize)
+    app = WebApp()
+    try:
+        app.worker.send("open_file", p)
+        assert entered.wait(timeout=30)  # device phase is now blocked
+        # poll while blocked: the snapshot captured after the host phase
+        # must carry the preview image, trace, and the preview marker
+        deadline = time.monotonic() + 10
+        snap = None
+        while time.monotonic() < deadline:
+            snap = app.state()
+            if snap.get("preview") and snap.get("image"):
+                break
+            time.sleep(0.1)
+        assert snap is not None and snap["preview"], snap and {
+            k: snap.get(k) for k in ("preview", "busy", "file")
+        }
+        assert snap["image"], "preview image missing while compiling"
+        assert snap["image_shape"] == [20, 18]
+        assert snap["file"] == p
+        assert len(snap["plots"]["signal"]) > 0  # selected-pixel trace
+        # release the device phase; final state loses the preview marker
+        gate.set()
+        assert app.worker.join_idle(timeout=60)
+        final = app.state()
+        assert not final["preview"]
+        assert len(final["plots"]["filtered_signal_fft"]) > 0
+    finally:
+        gate.set()
+        app.worker.close()
+
+
+def test_drained_finalize_self_heals(tmp_path):
+    """If the deferred device phase is lost (abort drained the queue),
+    the next command that needs device state completes the open."""
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p = _write_scan(tmp_path)
+    ex = Explorer()
+    ex.defer = lambda *a: None  # swallow the deferred command
+    ex.open_file(p)
+    assert ex.preview_pending
+    assert ex.pipeline.input is None
+    assert ex.plot.signal.size and not ex.plot.signal_fft.size  # preview
+    ex.set_fft_window_low(1.0)  # publish() self-heals
+    assert not ex.preview_pending
+    assert ex.pipeline.input is not None
+    assert ex.plot.signal_fft.size
+
+
+def test_rapid_sibling_opens_finalize_only_latest(tmp_path):
+    """Arrow-key skipping: a stale deferred finalize is superseded by a
+    newer open (epoch guard) — only the last scan pays the device phase."""
+    from thz_image_explorer_tpu.io import dotthz as dotthz_mod
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p1 = _write_scan(tmp_path, w=20, h=18)
+    import os
+
+    from make_sample import synthetic_scan, write_scan_thz
+
+    p2 = os.path.join(str(tmp_path), "scan2.thzimg")
+    t, cube = synthetic_scan(width=24, height=22, n_time=64)
+    write_scan_thz(p2, t, cube, dx=0.5, dy=0.5)
+
+    ex = Explorer()
+    deferred = []
+    ex.defer = lambda m, *a: deferred.append((m, a))
+    ex.open_file(p1)
+    ex.open_file(p2)
+    assert len(deferred) == 2
+    n_finalized = [0]
+    real = dotthz_mod.finalize_scan
+
+    def counting(host):
+        n_finalized[0] += 1
+        return real(host)
+
+    dotthz_mod.finalize_scan, orig = counting, dotthz_mod.finalize_scan
+    try:
+        for m, a in deferred:  # worker would replay in order
+            getattr(ex, m)(*a)
+    finally:
+        dotthz_mod.finalize_scan = orig
+    assert n_finalized[0] == 1  # stale epoch skipped
+    assert ex.image.shape == (24, 22)
+    assert not ex.preview_pending
+
+
 # -------------------------------------------------- hermetic dryrun gate
 def test_dryrun_multichip_hermetic_and_restores_default_device():
     """The multi-chip gate must run green on the virtual CPU mesh, leave

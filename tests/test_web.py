@@ -611,7 +611,12 @@ def test_png_encode_cached_across_polls(app, monkeypatch):
     app.command("open_sibling", [1], {})
     app.worker.join_idle()
     app.state()
-    assert calls["n"] == 3
+    # a new scan costs TWO encodes since the progressive open: one for
+    # the preview snapshot captured after the host phase, one for the
+    # final device image — still cached across subsequent polls
+    assert calls["n"] == 4
+    app.state()
+    assert calls["n"] == 4
 
 
 def test_js_escapes_and_guards_pinned():

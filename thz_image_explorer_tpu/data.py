@@ -182,11 +182,16 @@ def make_cube(
     resolution, mirroring ``io.rs:626-628``. ``valid_wh`` marks the valid
     pixel region of a bucket-padded grid (defaults to the full grid).
     """
+    # freq axis BEFORE the device conversion: with host `time` input the
+    # whole computation stays on host (frequency_axis's eager path) — on
+    # a device array it pulls time back, a d2h that costs a tunnel RTT
+    # per open and on axon can deadlock against queued transfers
+    # (2026-08-19 forensics); tracer/device inputs keep their old paths
+    freq = frequency_axis(time)
     time = jnp.asarray(time, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
     if data.ndim != 3:
         raise ValueError(f"data must be (X, Y, T), got shape {data.shape}")
-    freq = frequency_axis(time)
     nf = freq.shape[0]
     x, y = data.shape[0], data.shape[1]
     if valid_wh is None:
@@ -234,13 +239,15 @@ def _device_f32_copy(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32)
 
 
-def load_preprocess(data) -> tuple[jnp.ndarray, jnp.ndarray]:
+def load_preprocess(data, *, owned: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Load-time preprocessing on device: per-pixel DC-offset subtraction
     using sample 0 plus the intensity image (``io.rs:576-595``).
 
     ``_load_kernel`` donates its input (the raw cube is dead after the
     DC subtraction); a caller-owned DEVICE array must be copied first or
-    donation silently invalidates the caller's buffer."""
-    if isinstance(data, jax.Array):
+    donation silently invalidates the caller's buffer. Pass ``owned=True``
+    only when the device array belongs to this call (the loader's
+    in-flight ``start_transfer`` buffer) to skip the defensive copy."""
+    if isinstance(data, jax.Array) and not owned:
         data = _device_f32_copy(data)
     return _load_kernel(jnp.asarray(data, jnp.float32))

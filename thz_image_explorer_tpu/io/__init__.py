@@ -2,8 +2,11 @@
 
 from thz_image_explorer_tpu.io.dotthz import (  # noqa: F401
     DotthzMetadata,
+    HostScan,
+    finalize_scan,
     open_pulse,
     open_scan,
+    open_scan_host,
     load_metadata,
     save_scan,
     update_metadata,

@@ -182,14 +182,59 @@ def _first_group(f: h5py.File) -> Optional[str]:
     return None
 
 
-def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
-    """Open a scan: returns ``(cube, intensity_image, metadata)``.
+@dataclasses.dataclass
+class HostScan:
+    """Host-side result of reading a scan file — everything ``open_scan``
+    produces EXCEPT the device arrays. Exists so the Explorer can publish
+    a preview (image + selected-pixel trace) from pure host data before
+    paying the device transfer + first compile (the reference paints the
+    image immediately after load, ``data_thread.rs:1242-1316``)."""
+
+    time: np.ndarray  #: (T,) float32 time axis
+    data: np.ndarray  #: bucket-padded RAW cube (pw, ph, T), no DC offset
+    valid_wh: tuple  #: true scan size before bucket padding
+    metadata: DotthzMetadata = None
+    dx: float = None
+    dy: float = None
+    x_min: float = None
+    y_min: float = None
+    #: RECORDED DEAD END (2026-08-19): an async ``jax.device_put`` of the
+    #: raw cube kicked off at preview time (to overlap the tunnel h2d
+    #: with the preview window) DEADLOCKED the axon backend — the next
+    #: small d2h (freq-axis pull in make_cube) hung forever against the
+    #: in-flight 44 MB h2d, the documented "transfers racing a deep
+    #: device queue fail" quirk (repro: WebApp open at 64x60x128 on
+    #: axon; removing the early device_put fixes it, join_idle green).
+    #: The h2d therefore stays synchronous inside finalize_scan.
+    _dev_data: object = None
+
+    def preview_image(self) -> np.ndarray:
+        """Valid-region intensity image from host math: per-pixel
+        DC-offset subtraction + sum of squares (``io.rs:576-595``), the
+        same formula the device load kernel computes
+        (``data.load_preprocess``)."""
+        vw, vh = self.valid_wh
+        d = self.data[:vw, :vh]
+        d = d - d[:, :, :1]
+        return np.einsum("xyt,xyt->xy", d, d, dtype=np.float32)
+
+    def preview_trace(self, px: int = 0, py: int = 0) -> np.ndarray:
+        """DC-offset-subtracted raw trace at one pixel (the preview's
+        selected-pixel pulse plot)."""
+        d = self.data[px, py]
+        return (d - d[0]).astype(np.float32)
+
+
+def open_scan_host(path: str) -> HostScan:
+    """Host-only half of :func:`open_scan`: HDF5 read, metadata parse,
+    bucket padding — NO device transfer, no jit. Completes in well under
+    a second for typical scans; the Explorer publishes its preview from
+    this before the (possibly minutes-long on a cold cache) device phase.
 
     Reproduces ``open_scan_from_thz`` (``io.rs:496-631``): first group only;
     first 1-D dataset is time, first 3-D dataset the cube; fallback to a
     2-D ``[time, signal]`` single pulse as a 1x1 cube; width/height/dx/dy/
-    x_min/y_min parsed from metadata strings; per-pixel DC offset removed
-    and intensity image computed (on device here).
+    x_min/y_min parsed from metadata strings.
     """
     with h5py.File(path, "r") as f:
         gname = _first_group(f)
@@ -275,14 +320,41 @@ def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
         if (pw, ph) != (vw, vh):
             data = np.pad(data, ((0, pw - vw), (0, ph - vh), (0, 0)))
 
-    data_dev, img = load_preprocess(data)
-    cube = make_cube(
-        time, data_dev, dx=dx, dy=dy, x_min=x_min, y_min=y_min,
-        valid_wh=(vw, vh),
+    return HostScan(
+        time=time, data=data, valid_wh=(vw, vh), metadata=metadata,
+        dx=dx, dy=dy, x_min=x_min, y_min=y_min,
     )
+
+
+def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
+    """Open a scan: returns ``(cube, intensity_image, metadata)`` — the
+    host read (:func:`open_scan_host`) plus the device phase
+    (:func:`finalize_scan`): per-pixel DC offset removed and intensity
+    image computed on device (``io.rs:576-595``)."""
+    host = open_scan_host(path)
+    cube, img = finalize_scan(host)
+    return cube, img, host.metadata
+
+
+def finalize_scan(host: HostScan) -> tuple[ScanCube, np.ndarray]:
+    """Device half of a scan open: one h2d transfer of the raw cube (or
+    the in-flight one from ``start_transfer``), the on-device DC-offset +
+    intensity kernel, cube assembly."""
+    if host._dev_data is None:
+        data_dev, img = load_preprocess(host.data)
+    else:
+        # the in-flight buffer belongs to this open: let the kernel
+        # donate it instead of paying a defensive device copy
+        data_dev, img = load_preprocess(host._dev_data, owned=True)
+        host._dev_data = None  # donated — never reusable
+    cube = make_cube(
+        host.time, data_dev, dx=host.dx, dy=host.dy,
+        x_min=host.x_min, y_min=host.y_min, valid_wh=host.valid_wh,
+    )
+    vw, vh = host.valid_wh
     # the returned display image is the VALID region (its shape is how
     # callers learn the true scan size)
-    return cube, np.asarray(img)[:vw, :vh], metadata
+    return cube, np.asarray(img)[:vw, :vh]
 
 
 def _shape_bucket() -> int:

@@ -174,6 +174,15 @@ class Explorer:
         self.image: Optional[np.ndarray] = None
         self.file_path: Optional[str] = None
         self.housekeeping = HouseKeeping()
+        # Progressive open (data_thread.rs:1242-1316 paints the image
+        # immediately after load): open_file publishes a host-computed
+        # PREVIEW first, then the device phase runs as a deferred
+        # follow-up command when a worker is attached. ``defer`` is set
+        # by ExplorerWorker; ``_pending_open`` holds (epoch, HostScan)
+        # until the device phase consumes it.
+        self.defer = None
+        self._open_epoch = 0
+        self._pending_open = None
         # 3-D voxel view parameters (threed_plot.rs / paper.md:100-111)
         self.view3d = {
             "contrast": 2.0,
@@ -184,27 +193,91 @@ class Explorer:
 
     # ------------------------------------------------------------ files
     def open_file(self, path: str):
-        """OpenFile (``data_thread.rs:589-740``)."""
-        cube, img, metadata = thzio.open_scan(path)
+        """OpenFile (``data_thread.rs:589-740``), in two phases.
+
+        Phase 1 (here, host-only, sub-second): HDF5 read + metadata/ROI
+        parse + a PREVIEW publish — intensity image and selected-pixel
+        trace from host numpy, so the user sees their scan immediately
+        (the reference paints the image right after load,
+        ``data_thread.rs:1242-1316``) instead of a blank busy screen
+        while XLA compiles on a cold cache.
+
+        Phase 2 (``_finalize_open``): the device transfer + first chain
+        pass. Deferred through the worker queue when one is attached
+        (``self.defer``), so state polls between the phases serve the
+        preview; run synchronously otherwise (direct library callers see
+        the old single-phase contract). Any command that needs real
+        pipeline state self-heals via ``_ensure_open_finalized``."""
+        host = thzio.open_scan_host(path)
+        metadata = host.metadata
         self.metadata = metadata
         self.file_path = path
-        self.image = img
+        self.image = host.preview_image()
         # ROIs serialized in metadata come back (data_thread.rs:646-711)
         self.rois = {}
         self._datasets = {}
         for label, coords in metadata.get_rois():
             self.rois[str(_uuidlib.uuid4())] = (label, coords)
         self.pixel_selected = [0, 0]
-        valid_wh = (img.shape[0], img.shape[1])  # loader crops img to valid
-        self.housekeeping = HouseKeeping.from_cube(cube, valid_wh)
+        self.housekeeping = HouseKeeping.from_cube(host, host.valid_wh)
         self.housekeeping.apply_metadata(metadata.md)
-        self.pipeline.set_input(cube, valid_wh=valid_wh)
+        # preview plot: raw selected-pixel trace, host math only — the
+        # spectral series stay empty until the device phase publishes
+        plot = PlotData()
+        plot.time = host.time
+        plot.signal = host.preview_trace(0, 0)
+        plot.available_references = [n for n, _ in self._roi_names()]
+        plot.available_samples = plot.available_references + [SELECTED_PIXEL]
+        self.plot = plot
+        self._open_epoch += 1
+        self._pending_open = (self._open_epoch, host)
+        if self.defer is not None:
+            self.defer("_finalize_open", self._open_epoch)
+        else:
+            self._finalize_open(self._open_epoch)
+
+    @property
+    def preview_pending(self) -> bool:
+        """True between the preview publish and the device phase — the
+        GUI surfaces this so a preview is never mistaken for final."""
+        return self._pending_open is not None
+
+    def _finalize_open(self, epoch: int):
+        """Phase 2 of ``open_file``: h2d transfer, device DC-offset +
+        intensity, first chain pass, full publish. Idempotent and
+        epoch-guarded — a newer open supersedes a stale deferred
+        finalize."""
+        pending = self._pending_open
+        if pending is None or pending[0] != epoch:
+            return
+        host = pending[1]
+        try:
+            # preview_pending must stay True for the DURATION of the
+            # device phase (state polls label the served image a preview
+            # while this blocks), so consume the pending entry only on
+            # the way out — and also on failure, or a bad device phase
+            # would retry-loop on every subsequent command
+            cube, img = thzio.finalize_scan(host)
+        finally:
+            if self._pending_open is pending:
+                self._pending_open = None
+        self.image = img
+        self.pipeline.set_input(cube, valid_wh=host.valid_wh)
         self.publish()
+
+    def _ensure_open_finalized(self):
+        """Self-healing seam: any command that needs real device state
+        (publish, reference loads, saves) finalizes a pending open first.
+        Also covers the pathological case of the deferred finalize being
+        drained by an abort — the next command completes the open."""
+        if self._pending_open is not None:
+            self._finalize_open(self._pending_open[0])
 
     def open_ref(self, path: str):
         """OpenRef (``data_thread.rs:372-588``): load a reference pulse,
         align it to the scan's time axis, window+FFT it once with the
         current config, and register it as a pseudo-ROI dataset."""
+        self._ensure_open_finalized()
         time, signal, _md = thzio.open_pulse(path)
         inp = self.pipeline.input
         if inp is None:
@@ -243,6 +316,7 @@ class Explorer:
 
     def save_file(self, path: str):
         """SaveFile: raw (initial) cube + metadata (``data_thread.rs:741-768``)."""
+        self._ensure_open_finalized()
         inp = self.pipeline.input
         if inp is None:
             return
@@ -265,6 +339,7 @@ class Explorer:
         from thz_image_explorer_tpu.io.vtk import export_to_vtk
         from thz_image_explorer_tpu.ops.voxel import extract_instances
 
+        self._ensure_open_finalized()
         out = self.pipeline.output
         inp = self.pipeline.input
         if out is None or inp is None:
@@ -631,6 +706,8 @@ class Explorer:
         materialized slots — see
         :mod:`thz_image_explorer_tpu.pipeline.publish`."""
         from thz_image_explorer_tpu.pipeline.publish import gather_publish
+
+        self._ensure_open_finalized()
 
         plot = PlotData()
         slots = self.pipeline.slots

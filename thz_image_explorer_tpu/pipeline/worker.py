@@ -241,6 +241,9 @@ class ExplorerWorker:
         # single-threaded recv loop).
         self._abort_lock = threading.Lock()
         self.explorer.pipeline.cancelled = self._cancelled
+        # progressive open: the Explorer defers its device phase through
+        # the queue so state polls between phases serve the preview
+        self.explorer.defer = self._defer
         self._on_update: list[Callable[[Explorer], None]] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -302,6 +305,14 @@ class ExplorerWorker:
         if "error" in box:
             raise box["error"]
         return box["result"]
+
+    def _defer(self, method: str, *args):
+        """Enqueue a follow-up command from INSIDE a running command
+        (the Explorer's progressive open): a lossless one-shot, ordered
+        after anything already queued — so state-reading ``call()``
+        closures enqueued during phase 1 are served the preview before
+        the device phase blocks the worker."""
+        self.queue.put((method, args, {}))
 
     def _cancelled(self) -> bool:
         return self.abort_flag.is_set()

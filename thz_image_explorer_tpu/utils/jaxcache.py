@@ -29,6 +29,11 @@ def enable_compile_cache() -> None:
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Persist small programs too: at the default 0.5 s floor, six
+        # helper programs (device_zeros, load kernel, window plot, ...)
+        # recompiled in EVERY fresh process, adding ~2.3 s to every warm
+        # open (scripts/diag_firstopen.py, 2026-08-19). 0.05 s still
+        # excludes trivial scalar dispatches from the cache dir.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
     except Exception:  # cache is an optimization, never a failure
         pass

@@ -114,12 +114,24 @@ class WebApp:
             self._snapshot = self.worker.call(self._build_state, timeout=5)
         except Exception:  # noqa: BLE001 — worker already busy; best effort
             self._snapshot = None
+        # progressive open: right after open_file's host phase (preview
+        # published, device phase still queued) capture a fresh snapshot
+        # ON the worker thread — every poll that then times out behind
+        # the blocking device phase serves the preview image instead of
+        # the pre-open state (data_thread.rs:1242-1316 equivalence)
+        self.worker.on_update(self._capture_preview_snapshot)
         if load_settings:
             # the reference restores GuiSettingsContainer (incl. the
             # serialized PSF) before the first frame (main.rs:144-161)
             from thz_image_explorer_tpu.utils.settings import Settings
 
             self.worker.send("apply_settings", Settings.load())
+
+    def _capture_preview_snapshot(self, ex):
+        if getattr(ex, "preview_pending", False):
+            snap = self._build_state(ex)
+            with self._lock:
+                self._snapshot = snap
 
     def save_settings(self):
         """Exit autosave (``main.rs:116-126``)."""
@@ -163,7 +175,8 @@ class WebApp:
                         # unguarded (siblings.length, metadata.fields, …)
                         "file": None, "image": None, "image_shape": [0, 0],
                         "filters": {}, "rois": {}, "plots": {}, "log": [],
-                        "phase": None, "siblings": [], "sibling_paths": [],
+                        "phase": None, "preview": False,
+                        "siblings": [], "sibling_paths": [],
                         "metadata": {"fields": {}, "md": {}},
                         "view": dict(self.view),
                     }
@@ -172,8 +185,12 @@ class WebApp:
             snap["stale"] = True
             # the busy phase must be readable WHILE the worker is blocked
             # compiling (that is its whole point): a single attribute read
-            # of an immutable str is safe cross-thread
+            # of an immutable str is safe cross-thread (likewise the
+            # preview flag — reading one attribute against None)
             snap["phase"] = self.worker.explorer.pipeline.phase
+            snap["preview"] = bool(
+                getattr(self.worker.explorer, "preview_pending", False)
+            )
             return snap
 
     def _build_state(self, ex) -> dict:
@@ -244,6 +261,10 @@ class WebApp:
             # covered by the TimeoutError fallback in state())
             "busy": not self.worker.queue.empty(),
             "phase": pipeline.phase,
+            # progressive open: the served image/trace are the HOST
+            # preview until the device phase publishes (explorer.py
+            # open_file phase split) — the UI must label it as such
+            "preview": bool(getattr(ex, "preview_pending", False)),
             "config": {
                 "fft_window": pipeline.config.fft_window,
                 "fft_window_type": pipeline.config.fft_window_type.value,
@@ -1257,6 +1278,7 @@ function render() {
   S.selection = S.selection || {available_references:[], available_samples:[]};
   S.view = S.view || {cut_low:0, cut_high:100, midpoint:50, bw:false};
   el('fileinfo').textContent = (S.file||'no scan loaded') +
+    (S.preview ? '  👁 preview (host data; device results coming)' : '') +
     (S.busy ? (S.phase === 'compiling' ? '  ⏳ compiling (first run at this scan shape)' : '  ⏳') : '');
   // image
   if (S.image) {
