@@ -298,6 +298,12 @@ class Pipeline:
         self._pub_epoch = None
         self._lean_plan = None  # (fn, stage_params, statics-epoch info)
         self._fused_cache: dict = {}
+        #: one-pixel publish-view programs (round-5 task 6), keyed like
+        #: ``_fused_cache``; entry None = chain not click-reproducible
+        self._click_cache: dict = {}
+        #: count of publish updates served by the one-pixel program
+        #: instead of a full chain re-dispatch (tests / bench forensics)
+        self.click_dispatches = 0
         #: host-side copy of each slot's time axis, so parameter clamping
         #: and fused planning never pay a device->host read per update
         self._host_time: dict[int, np.ndarray] = {}
@@ -778,9 +784,15 @@ class Pipeline:
                 raw_shape=(self.slots[0].width, self.slots[0].height),
                 n_freq=len(host_times[-1]) // 2 + 1,
             )
+            if key not in self._click_cache:
+                self._click_cache[key] = self._build_click(
+                    names, tuple(actives), cfg.fft_window_type,
+                    int(s_eff), start, rawfd_idx,
+                )
             pub, epoch = self.pub_provider(spec)
             self._lean_plan = {
                 "fn": fn,
+                "click": self._click_cache[key],
                 "inp": inp,
                 "stage_params": stage_params,
                 "window": (np.float32(cfg.fft_window[0]),
@@ -922,16 +934,190 @@ class Pipeline:
         """Host copy of the publish outputs for the current publish
         inputs. Reuses the last dispatch's device outputs when the pub
         epoch is unchanged (the chain-command path: run_from already
-        computed them); a changed epoch (pixel click, ROI/optical
-        change) re-dispatches the cached merged program with fresh
-        inputs — one device pass, hidden under the transfer round-trip.
-        Returns None when no lean plan exists (exact/non-lean mode)."""
+        computed them). A changed VIEW epoch (pixel click, optical
+        selection, thickness) runs the gather-sized one-pixel program
+        over the already-materialized device state — the reference's
+        ``UpdateType::Plot`` contract, zero chain recompute
+        (``data_thread.rs:853-903``). A changed CUBE epoch (ROI
+        geometry: the masked reductions need the spectral temporaries)
+        or a chain without a click program re-dispatches the cached
+        merged program with fresh inputs — one device pass, hidden
+        under the transfer round-trip. Returns None when no lean plan
+        exists (exact/non-lean mode)."""
         if self._lean_plan is None or self.pub_provider is None:
             return None
         pub, epoch = self.pub_provider(self._lean_plan["spec"])
-        if self._pub_out is None or epoch != self._pub_epoch:
+        if self._pub_out is None:
             self._dispatch_lean(pub, epoch, record=False)
+        elif epoch != self._pub_epoch:
+            if not self._click_dispatch(pub, epoch):
+                self._dispatch_lean(pub, epoch, record=False)
         return jax.device_get(self._pub_out)
+
+    def _click_dispatch(self, pub, epoch) -> bool:
+        """Serve a view-only publish change with the one-pixel program
+        (round-5 task 6). Applies when the plan has a click program, the
+        provider's epoch is the ``(cube_key, view_key)`` split and only
+        the view part changed, and the previous publish outputs are
+        live. Returns False to fall back to the full lean re-dispatch."""
+        plan = self._lean_plan
+        click = plan.get("click")
+        old = self._pub_epoch
+        if (
+            click is None
+            or not (isinstance(epoch, tuple) and len(epoch) == 2)
+            or not (isinstance(old, tuple) and len(old) == 2)
+            or epoch[0] != old[0]
+        ):
+            return False
+        out = self._pub_out
+        if out is None or "roi_amp" not in out:
+            return False
+        final = self.slots[plan["end"] - 1]
+        if final is None or final is VIRTUAL:
+            return False
+        inp = plan["inp"]
+        wl, wh = plan["window"]
+        small = {
+            k: pub[k]
+            for k in (
+                "rxy", "fxy", "gxy", "ref_mode", "samp_mode", "ref_idx",
+                "samp_idx", "ref_pseudo", "samp_pseudo", "thickness",
+            )
+        }
+        upd = click(
+            self.slots[0].data, inp.data, inp.time, inp.valid_wh,
+            final.data, final.freq, wl, wh, plan["stage_params"], small,
+            out["roi_amp"], out["roi_ph"],
+        )
+        self._pub_out = {**out, **upd}
+        self._pub_epoch = epoch
+        self.click_dispatches += 1
+        return True
+
+    def _build_click(self, names, actives, window_type, scale, start,
+                     rawfd_idx):
+        """One-pixel publish-view program for lean mode (round-5 task
+        6): recomputes exactly the pixel- and optical-dependent publish
+        outputs from the materialized raw/final slots plus the same
+        traced ``stage_params`` the chain program reads — a windowed
+        (1, 1, T) DFT matvec, the factored per-frequency FD weights, and
+        two gathers. Pixel-independent outputs (ROI reductions, means,
+        image) stay cached on device; the reference recomputes NOTHING
+        on ``SetSelectedPixel`` (``data_thread.rs:853-903``), this is
+        the gather-sized TPU equivalent (~µs of device work vs the
+        ~5.8 ms merged chain).
+
+        Returns None when the active chain cannot be reproduced at a
+        single pixel: a non-weightable pre-FFT stage (tilt shifts pixels
+        individually through ``fused_apply``) or a non-weightable FD
+        stage (deconvolution couples neighboring pixels)."""
+        if not self._fd_stages_weightable(names, actives):
+            return None
+        filters = self.filters
+        i0, i1 = names.index("fft"), names.index("ifft")
+        pre = []
+        for k in range(i0):
+            if not actives[k] or names[k] == "scaling":
+                continue
+            if hasattr(filters.get(names[k]), "td_weight_vector"):
+                pre.append(names[k])
+            else:
+                return None
+        pre_names = tuple(pre)
+        # (name, active, accumulate-into-rawfd?) per FD stage — mirrors
+        # the chain loop's ``start + k == rawfd_idx`` capture point: the
+        # raw-spectrum display slot carries the weights of active FD
+        # stages up to and including rawfd_idx (executor chain loop)
+        fd_steps = tuple(
+            (names[k], actives[k], start + k <= rawfd_idx)
+            for k in range(i0 + 1, i1)
+        )
+        scale_here = scale if "scaling" in names[:i0] else 1
+
+        import jax.numpy as jnp
+
+        from thz_image_explorer_tpu.ops.fourier import _rfft, unwrap
+        from thz_image_explorer_tpu.ops.optical import (
+            calculate_optical_properties,
+        )
+        from thz_image_explorer_tpu.ops.windows import window_array
+
+        def fn(raw_data, inp_data, inp_time, inp_valid, final_data, freq,
+               window_low, window_high, stage_params, pub,
+               roi_amp, roi_ph):
+            rxy, fxy, gxy = pub["rxy"], pub["fxy"], pub["gxy"]
+            if scale_here > 1:
+                s = scale_here
+                t = inp_data.shape[-1]
+                block = jax.lax.dynamic_slice(
+                    inp_data, (fxy[0] * s, fxy[1] * s, 0), (s, s, t)
+                )
+                # same block sum + zeroed mixed boundary blocks as
+                # ops/scaling._scale_impl (padded pixels stay exact 0)
+                trace = block.sum(axis=(0, 1)) / jnp.asarray(
+                    s * s, block.dtype
+                )
+                valid = jnp.maximum(inp_valid // s, 1)
+                inside = (fxy[0] < valid[0]) & (fxy[1] < valid[1])
+                trace = jnp.where(inside, trace, 0.0)
+            else:
+                trace = inp_data[fxy[0], fxy[1]]
+            w = window_array(inp_time, window_type, window_low,
+                             window_high)
+            for name in pre_names:
+                w = w * filters[name].td_weight_vector(
+                    inp_time, stage_params[name]
+                ).astype(w.dtype)
+            spec = _rfft(trace[None, None, :], time_weight=w)[0, 0]
+            amp = jnp.abs(spec).astype(jnp.float32)
+            ph = unwrap(jnp.angle(spec).astype(jnp.float32))
+            wvec = jnp.ones_like(amp)
+            wvec_rawfd = jnp.ones_like(amp)
+            for name, active, at_rawfd in fd_steps:
+                if active:
+                    wvec = wvec * filters[name].fd_weight_vector(
+                        freq, stage_params[name]
+                    ).astype(jnp.float32)
+                if at_rawfd:
+                    wvec_rawfd = wvec
+            pix_amp = wvec * amp
+            pix_ph = ph  # FD stages never touch phases (band_pass_fd.rs)
+            out = dict(
+                signal=raw_data[rxy[0], rxy[1]],
+                signal_fft=wvec_rawfd * amp,
+                phase_fft=ph,
+                filtered_signal=final_data[gxy[0], gxy[1]],
+                filtered_signal_fft=pix_amp,
+                filtered_phase_fft=pix_ph,
+            )
+            # optical properties with traced selection — the same
+            # contract as publish.compute_publish_traced lines 262-287
+            # over the CACHED (already-finished) ROI means
+            ref_mode, samp_mode = pub["ref_mode"], pub["samp_mode"]
+            ref_a = jnp.where(ref_mode == 1, roi_amp[pub["ref_idx"]],
+                              pub["ref_pseudo"][0])
+            ref_p = jnp.where(ref_mode == 1, roi_ph[pub["ref_idx"]],
+                              pub["ref_pseudo"][1])
+            samp_a = jnp.where(
+                samp_mode == 1, roi_amp[pub["samp_idx"]],
+                jnp.where(samp_mode == 2, pub["samp_pseudo"][0], pix_amp),
+            )
+            samp_p = jnp.where(
+                samp_mode == 1, roi_ph[pub["samp_idx"]],
+                jnp.where(samp_mode == 2, pub["samp_pseudo"][1], pix_ph),
+            )
+            n, alpha, kappa = calculate_optical_properties(
+                samp_a, samp_p, ref_a, ref_p, freq, pub["thickness"]
+            )
+            out.update(
+                refractive_index=n,
+                absorption_coefficient=alpha,
+                extinction_coefficient=kappa,
+            )
+            return out
+
+        return jax.jit(fn)
 
     def _fd_stages_weightable(self, names, actives) -> bool:
         """True when every ACTIVE stage between the range's fft and ifft

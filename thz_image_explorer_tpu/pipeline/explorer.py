@@ -963,16 +963,24 @@ class Explorer:
             "samp_pseudo": opt.get("samp_pseudo", zeros2f),
             "thickness": np.float32(opt.get("thickness", self.sample_thickness)),
         }
+        # (cube_key, view_key) split (round-5 task 6): the executor's
+        # one-pixel fast path may serve a publish whose CUBE key is
+        # unchanged — ROI geometry feeds the masked reductions over
+        # in-program spectral temporaries, so any ROI change needs the
+        # full lean re-dispatch; pixel/optical/dataset changes only
+        # touch gathers and F-length math over cached means
         epoch = (
-            tuple(self.pixel_selected),
             tuple(
                 (u, n, tuple(map(tuple, p)) if p else None)
                 for u, (n, p) in self.rois.items()
             ),
-            self.reference_selection,
-            self.sample_selection,
-            float(self.sample_thickness),
-            tuple(sorted(self._datasets)),
+            (
+                tuple(self.pixel_selected),
+                self.reference_selection,
+                self.sample_selection,
+                float(self.sample_thickness),
+                tuple(sorted(self._datasets)),
+            ),
         )
         return pub, epoch
 
