@@ -335,3 +335,58 @@ def test_js_series_mapping_matches_mirror():
         f"const py = y => H-{xmb}-(y-ymin)/(ymax-ymin)*(H-{xmt + xmb});"
         in web.PSF_PAGE
     ), "drawXY py drifted from jslogic.series_py(XY_MARGINS)"
+
+
+# ------------------------------------------------------ colorbar mirrors
+def test_cbar_click_and_drag_mapping():
+    """Click = absolute midpoint from the bar TOP (matrix_plot.rs:214-223
+    assigns val_y directly); drag = relative delta_y/height*100
+    (rs:264-271). Clamp is 1..99 — a documented deviation from the
+    reference's 0..100 clamp, whose Rust colormap tolerates the /0 at
+    the extremes while the server's numpy one must never see it."""
+    assert jl.cbar_click_mid(220.0, 440.0) == 50.0
+    assert jl.cbar_click_mid(0.0, 440.0) == 1.0
+    assert jl.cbar_click_mid(440.0, 440.0) == 99.0
+    assert jl.cbar_drag_mid(50.0, 44.0, 440.0) == 60.0
+    assert jl.cbar_drag_mid(50.0, -44.0, 440.0) == 40.0
+    assert jl.cbar_drag_mid(95.0, 100.0, 440.0) == 99.0
+    assert jl.cbar_drag_mid(5.0, -100.0, 440.0) == 1.0
+    # marker y inverse-maps the click rule inside the clamp range
+    assert jl.cbar_click_mid(
+        jl.cbar_marker_y(37.0, 440.0), 440.0
+    ) == pytest.approx(37.0)
+
+
+def test_js_cbar_formulas_match_mirror():
+    assert ("function cbarClickMid(y, barH) "
+            "{ return Math.min(99, Math.max(1, y/barH*100)); }") in web.PAGE
+    assert ("function cbarDragMid(mid, dy, barH) "
+            "{ return Math.min(99, Math.max(1, mid + dy/barH*100)); }"
+            ) in web.PAGE
+    assert ("function cbarMarkerY(mid, barH) "
+            "{ return mid/100*barH; }") in web.PAGE
+    # double-click resets to 50 (matrix_plot.rs:219-220)
+    assert re.search(r"dblclick[\s\S]{0,120}midpoint = 50", web.PAGE)
+
+
+def test_colorbar_gradient_reference_ramp():
+    """Server-rendered colorbar column (matrix_plot.rs:149-179): blue at
+    the top (0 %), red at the bottom, green AT the midpoint row — and
+    the midpoint-stretch moves the green row with the midpoint. BW mode
+    is the monotone grayscale v = stretch."""
+    import numpy as np
+
+    from thz_image_explorer_tpu.viz.colormap import colorbar_rgba
+
+    bar = colorbar_rgba(100, 50.0, False)
+    assert bar.shape == (100, 1, 4)
+    r0, g0, b0, a0 = bar[0, 0]
+    assert b0 > 200 and r0 < 60 and a0 == 255
+    rn, gn, bn, _ = bar[-1, 0]
+    assert rn > 200 and bn < 60
+    assert bar[50, 0][1] > 200  # green at the midpoint row
+    low = colorbar_rgba(100, 25.0, False)
+    assert low[25, 0][1] > 200  # midpoint=25 -> green at 25 %
+    bw = colorbar_rgba(100, 50.0, True)
+    g = bw[:, 0, 0].astype(int)
+    assert (np.diff(g) >= 0).all() and g[0] == 0 and g[-1] > 240

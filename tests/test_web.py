@@ -37,6 +37,7 @@ def test_state_snapshot_is_json_complete(app):
     assert "roi_ffts" in s["plots"]
     assert s["metadata"]["md"].get("dx [mm]") == "1.0"
     assert "dr_db" in s["readouts"]
+    assert s["colorbar"]  # server-rendered midpoint gradient (b64 PNG)
 
 
 def test_view_and_metadata_commands(app):
@@ -600,23 +601,27 @@ def test_png_encode_cached_across_polls(app, monkeypatch):
     monkeypatch.setattr(web, "encode_png", counting)
     if hasattr(app, "_png_cache"):
         del app._png_cache
-    s1 = app.state()
+    if hasattr(app, "_cbar_cache"):
+        del app._cbar_cache
+    s1 = app.state()  # image + colorbar: one encode each
     s2 = app.state()
-    assert calls["n"] == 1
+    assert calls["n"] == 2
     assert s1["image"] == s2["image"]
-    # a view change invalidates; a new scan (replaced image array) too
+    assert s1["colorbar"] == s2["colorbar"]
+    # a view change invalidates BOTH caches (midpoint feeds the colormap
+    # and the colorbar gradient); a new scan (replaced image array) too
     app.command("set_view", ["midpoint", 60], {})
     app.state()
-    assert calls["n"] == 2
+    assert calls["n"] == 4
     app.command("open_sibling", [1], {})
     app.worker.join_idle()
     app.state()
-    # a new scan costs TWO encodes since the progressive open: one for
-    # the preview snapshot captured after the host phase, one for the
-    # final device image — still cached across subsequent polls
-    assert calls["n"] == 4
+    # a new scan costs TWO image encodes since the progressive open: one
+    # for the preview snapshot captured after the host phase, one for the
+    # final device image — the colorbar stays cached (view unchanged)
+    assert calls["n"] == 6
     app.state()
-    assert calls["n"] == 4
+    assert calls["n"] == 6
 
 
 def test_js_escapes_and_guards_pinned():

@@ -64,6 +64,33 @@ def color_from_intensity(
     return _hsv_to_rgb(hue, np.ones_like(hue), np.ones_like(hue))
 
 
+def colorbar_rgba(
+    height: int = 100, midpoint: float = 50.0, bw: bool = False
+) -> np.ndarray:
+    """Midpoint-stretched colorbar column as uint8 RGBA ``(height, 1, 4)``
+    — the gradient the reference regenerates every frame
+    (``matrix_plot.rs:149-179``). Row 0 is the TOP of the displayed bar
+    (0 %, blue end); the hue runs ``0.667 - stretch * 0.667`` — the
+    colorbar ramp, which is NOT the image ramp's 0.334/0.333 two-segment
+    split (``matrix_plot.rs:105-112`` vs ``:172``) — and the grayscale
+    value equals the stretch. Same linear→sRGB encode as the image."""
+    yn = np.arange(height, dtype=np.float64) / height  # ref: y/100, 100 rows
+    mid = midpoint / 100.0
+    stretch = np.where(
+        yn <= mid, (yn / mid) * 0.5, 0.5 + (yn - mid) / (1.0 - mid) * 0.5
+    )
+    if bw:
+        rgb = np.stack([stretch, stretch, stretch], axis=-1)
+    else:
+        ones = np.ones_like(stretch)
+        rgb = _hsv_to_rgb(0.667 - stretch * 0.667, ones, ones)
+    srgb = _linear_to_srgb(rgb)
+    rgba = np.concatenate(
+        [srgb, np.ones(srgb.shape[:-1] + (1,), srgb.dtype)], axis=-1
+    )
+    return np.round(rgba * 255).astype(np.uint8)[:, None, :]
+
+
 def intensity_image_rgba(
     img: np.ndarray,
     cut_off: tuple[float, float] = (0.0, 100.0),

@@ -219,3 +219,28 @@ def series_py(
     """Data y -> canvas px (JS ``py``): inverted (canvas y grows down)."""
     mt, mb = margins[2], margins[3]
     return canvas_h - mb - (y - ymin) / (ymax - ymin) * (canvas_h - mt - mb)
+
+
+# ---------------------------------------------------------------- colorbar
+def cbar_click_mid(y: float, bar_h: float) -> float:
+    """Mirror of JS ``cbarClickMid``: clicking the colorbar sets the
+    midpoint from the distance to the bar TOP — the reference computes
+    ``val_y = img.height - pointer.y`` in its y-up plot space and assigns
+    it directly (``matrix_plot.rs:214-223``). Clamped to 1..99 where the
+    reference clamps 0..100: its Rust colormap tolerates the
+    divide-by-zero at the extremes, the server's numpy one must not."""
+    return min(99.0, max(1.0, y / bar_h * 100.0))
+
+
+def cbar_drag_mid(mid: float, dy: float, bar_h: float) -> float:
+    """Mirror of JS ``cbarDragMid``: dragging the triangle marker moves
+    the midpoint RELATIVELY by ``delta_y / bar_height * 100``
+    (``matrix_plot.rs:264-271``), same 1..99 clamp as the click."""
+    return min(99.0, max(1.0, mid + dy / bar_h * 100.0))
+
+
+def cbar_marker_y(mid: float, bar_h: float) -> float:
+    """Mirror of JS ``cbarMarkerY``: marker screen y from the bar top —
+    ``y_start + (y_end - y_start) * mid/100`` (``matrix_plot.rs:243-245``
+    with our bar spanning the full canvas height)."""
+    return mid / 100.0 * bar_h

@@ -174,6 +174,7 @@ class WebApp:
                         # must cover every key render() dereferences
                         # unguarded (siblings.length, metadata.fields, …)
                         "file": None, "image": None, "image_shape": [0, 0],
+                        "colorbar": None,
                         "filters": {}, "rois": {}, "plots": {}, "log": [],
                         "phase": None, "preview": False,
                         "siblings": [], "sibling_paths": [],
@@ -224,6 +225,21 @@ class WebApp:
                 self._png_cache = (ex.image, vkey, image_b64)
             img_shape = ex.image.shape
 
+        # colorbar gradient (matrix_plot.rs:149-179): server-rendered so
+        # the page's bar and the image colormap can never drift; tiny
+        # (100x1) and cached on the only inputs it has
+        ckey = (self.view["midpoint"], self.view["bw"])
+        cached_cbar = getattr(self, "_cbar_cache", None)
+        if cached_cbar is not None and cached_cbar[0] == ckey:
+            colorbar_b64 = cached_cbar[1]
+        else:
+            from thz_image_explorer_tpu.viz.colormap import colorbar_rgba
+
+            colorbar_b64 = base64.b64encode(
+                encode_png(colorbar_rgba(100, ckey[0], ckey[1]))
+            ).decode()
+            self._cbar_cache = (ckey, colorbar_b64)
+
         filters = {}
         for uuid, f in pipeline.filters.items():
             cfg = f.config()
@@ -255,6 +271,7 @@ class WebApp:
             "file": ex.file_path,
             "image": image_b64,
             "image_shape": list(img_shape),
+            "colorbar": colorbar_b64,
             "pixel": ex.pixel_selected,
             # built on the worker thread itself, so "busy" = more commands
             # queued behind this snapshot (a long in-flight command is
@@ -1091,7 +1108,9 @@ PAGE = r"""<!DOCTYPE html>
   <canvas id="gauge_p0" width="90" height="90" style="display:none;background:none;border:none"></canvas>
  </div>
  <div class="panel"><h3>Intensity image <span style="font-size:11px;color:#999">(click: pixel · shift-click: ROI)</span></h3>
-  <canvas id="img" width="440" height="440"></canvas>
+  <canvas id="img" width="440" height="440"></canvas><canvas id="cbar"
+    width="44" height="440" title="drag the marker: midpoint · click: set · double-click: reset"
+    style="vertical-align:top;background:none;border:none;cursor:ns-resize"></canvas>
   <div style="font-size:12px">
    clip <input type="range" id="cutlo" min="0" max="100" value="0"
      onchange="cmd('set_view',['cut_low',parseFloat(this.value)])">
@@ -1353,6 +1372,7 @@ function render() {
   syncInput('cutlo', S.view.cut_low);
   syncInput('cuthi', S.view.cut_high);
   syncInput('midpt', S.view.midpoint);
+  if (!cbarDrag) drawColorbar();  // don't fight an in-flight drag
   syncInput('bw', S.view.bw);
   el('siblings').textContent = S.siblings.length > 1 ? `(${S.siblings.length} files in dir)` : '';
   // sibling-file table, click to open (left_panel.rs:165-275)
@@ -1458,6 +1478,66 @@ el('img').addEventListener('click', ev => {
     // (matrix_plot.rs:610-613)
     cmd('set_selected_pixel', [H-1-y, x]);
   }
+});
+// ---- colorbar midpoint (matrix_plot.rs:219-271): click on the bar sets
+// the midpoint from the distance to the bar TOP (the reference's
+// val_y = height - pointer.y in its y-up plot); dragging the triangle
+// marker moves it RELATIVELY by delta_y / bar_height * 100; double-click
+// resets to 50. Clamped to 1..99 where the reference clamps 0..100: its
+// Rust colormap silently tolerates the divide-by-zero at the ends, the
+// server's numpy one must never see it. Mirrored in viz/jslogic.py
+// (cbar_click_mid / cbar_drag_mid / cbar_marker_y) and pinned by
+// tests/test_jslogic.py.
+function cbarClickMid(y, barH) { return Math.min(99, Math.max(1, y/barH*100)); }
+function cbarDragMid(mid, dy, barH) { return Math.min(99, Math.max(1, mid + dy/barH*100)); }
+function cbarMarkerY(mid, barH) { return mid/100*barH; }
+const CBAR_W = 18;
+function drawColorbar() {
+  const c = el('cbar'); if (!c || !S.colorbar) return;
+  const ctx = c.getContext('2d'), barH = c.height;
+  const im = new Image();
+  im.onload = () => {
+    ctx.clearRect(0, 0, c.width, c.height);
+    ctx.imageSmoothingEnabled = true;
+    ctx.drawImage(im, 2, 0, CBAR_W, barH);
+    const y = cbarMarkerY(S.view.midpoint, barH);
+    ctx.beginPath();  // triangle marker, tip on the bar edge
+    ctx.moveTo(CBAR_W + 3, y); ctx.lineTo(CBAR_W + 13, y - 6);
+    ctx.lineTo(CBAR_W + 13, y + 6);
+    ctx.closePath(); ctx.fillStyle = '#fff'; ctx.strokeStyle = '#555';
+    ctx.fill(); ctx.stroke();
+  };
+  im.src = 'data:image/png;base64,' + S.colorbar;
+}
+let cbarDrag = null, cbarLastSend = 0;
+el('cbar').addEventListener('mousedown', ev => {
+  const r = ev.target.getBoundingClientRect(), barH = ev.target.height;
+  const y = ev.clientY - r.top;
+  if (Math.abs(y - cbarMarkerY(S.view.midpoint, barH)) > 10 || ev.offsetX <= CBAR_W) {
+    S.view.midpoint = cbarClickMid(y, barH);   // click: absolute set
+    drawColorbar(); cmd('set_view', ['midpoint', S.view.midpoint]);
+  }
+  cbarDrag = {startY: ev.clientY, startMid: S.view.midpoint};
+  ev.preventDefault();
+});
+window.addEventListener('mousemove', ev => {
+  if (!cbarDrag) return;
+  S.view.midpoint = cbarDragMid(
+    cbarDrag.startMid, ev.clientY - cbarDrag.startY, el('cbar').height);
+  drawColorbar();
+  const now = performance.now();   // coalesce: ~20 Hz while dragging
+  if (now - cbarLastSend > 50) {
+    cbarLastSend = now; cmd('set_view', ['midpoint', S.view.midpoint]);
+  }
+});
+window.addEventListener('mouseup', () => {
+  if (!cbarDrag) return;
+  cmd('set_view', ['midpoint', S.view.midpoint]);  // final value, lossless
+  cbarDrag = null;
+});
+el('cbar').addEventListener('dblclick', () => {
+  S.view.midpoint = 50; drawColorbar();
+  cmd('set_view', ['midpoint', 50]);   // double-click reset (rs:219-220)
 });
 async function refresh() {
   // an {"error":...} body is NOT a state snapshot — keep the last good S
