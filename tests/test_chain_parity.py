@@ -285,7 +285,11 @@ def test_chain_deconvolution_realistic_on_padded_grid(tmp_path):
 
     deconv = p.filters["deconvolution"]
     deconv.active = True
-    deconv.params.n_iterations = 12
+    # reference-like iteration scale (round-5 task 7): the per-band count
+    # is data-derived from the beam widths (deconvolution.rs:969-971,
+    # n_iterations is the MAX); 200 here drives the skew to >=100 on the
+    # widest band and >=500 iterations total across the 10 bands
+    deconv.params.n_iterations = 200
     deconv.params.n_filters = 10
     deconv.params.start_freq = 0.25
     deconv.params.end_freq = 4.0
@@ -311,6 +315,11 @@ def test_chain_deconvolution_realistic_on_padded_grid(tmp_path):
     assert geo is not None
     assert geo.taps.shape == (10, 499)
     assert int(geo.n_iter.min()) < int(geo.n_iter.max())  # skewed iters
+    # realistic iteration regime: gain accumulation / fori_loop freeze
+    # masks are exercised at reference-like depth, composed through the
+    # crop -> deconvolve -> re-insert seam (round-5 task 7)
+    assert int(geo.n_iter.sum()) >= 500
+    assert int(geo.n_iter.max()) >= 100
     expected = deconvolve_oracle(pre, geo)
 
     out = np.asarray(p.slots[p.index_of("deconvolution")].data)
