@@ -519,9 +519,60 @@ def _bench_explorer_body(path, Explorer, jax, jnp):
         ex.set_fft_window_low(1.05 + 0.001 * i)
         walls.append(time.perf_counter() - t0)
     ex.pipeline._timer.drain()
+
+    # pixel-click fast path (round-5 task 6): device time of the
+    # one-pixel publish-view program — N dispatches, ONE barrier (>=40
+    # amortizes the tunnel RTT per CLAUDE.md timing discipline) — plus
+    # the end-to-end wall of a set_selected_pixel incl. the transfer
+    click_device_ms = None
+    click_wall_p50_ms = None
+    plan = p._lean_plan
+    clk = plan.get("click") if plan else None
+    if clk is not None and p._pub_out is not None:
+        ex.publish()  # ensure fresh pub epoch + outputs
+        pub, _ = p.pub_provider(plan["spec"])
+        small = {
+            k: pub[k]
+            for k in ("rxy", "fxy", "gxy", "ref_mode", "samp_mode",
+                      "ref_idx", "samp_idx", "ref_pseudo", "samp_pseudo",
+                      "thickness")
+        }
+        final = p.slots[plan["end"] - 1]
+        inp = plan["inp"]
+        wl, wh = plan["window"]
+        out0 = p._pub_out
+        w_grid = final.data.shape[0]
+
+        def click_once(i):
+            sm = dict(small)
+            xy = np.asarray([i % w_grid, (i * 7) % w_grid], np.int32)
+            sm["rxy"] = sm["fxy"] = sm["gxy"] = xy
+            return clk(p.slots[0].data, inp.data, inp.time, inp.valid_wh,
+                       final.data, final.freq, wl, wh,
+                       plan["stage_params"], sm,
+                       out0["roi_amp"], out0["roi_ph"])
+
+        click_once(0)  # compile
+        t0 = time.perf_counter()
+        last = None
+        for i in range(1, 41):
+            last = click_once(i)
+        float(_sum(last["filtered_signal"]))
+        click_device_ms = round((time.perf_counter() - t0) / 40 * 1e3, 3)
+
+        cwalls = []
+        for i in range(10):
+            t0 = time.perf_counter()
+            ex.set_selected_pixel(3 + i, 5 + i)
+            cwalls.append(time.perf_counter() - t0)
+        click_wall_p50_ms = round(float(np.median(cwalls)) * 1e3, 2)
+
     padded = ex.pipeline.input.data.shape
     px = padded[0] * padded[1]
     return {
+        "click_device_ms": click_device_ms,
+        "click_wall_p50_ms": click_wall_p50_ms,
+        "click_dispatches": p.click_dispatches,
         "explorer_update_ms": round(device_s * 1e3, 3),
         "explorer_update_p50_wall_ms": round(float(np.median(walls)) * 1e3, 2),
         "padded_grid": f"{padded[0]}x{padded[1]}x{padded[2]}",
@@ -583,6 +634,48 @@ def bench_voxel(t, data):
                     "the dense-volume product fetch measured 4633 ms",
         }
     finally:
+        app.worker.close()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def bench_drag(t, data):
+    """Sustained slider-drag throughput at the PRODUCT seam (round-5
+    task 8): a 100-event window-slider drag at ~125 Hz mouse cadence
+    replayed through the REAL HTTP API against the live worker (per-key
+    coalescing on), with a concurrent /api/state poller playing the
+    browser. Reports the end-to-end latest-wins staleness p50/p99 and
+    the chain updates/s the worker actually executed — the
+    config.rs:41-51 contract under real load (utils/dragbench)."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from thz_image_explorer_tpu.utils.dragbench import replay_drag
+    from thz_image_explorer_tpu.web import WebApp, make_handler
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "bench.thzimg")
+    _write_bench_scan(path, t, data)
+    app = WebApp()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        app.worker.send("open_file", path)
+        for uuid in ("time_band_pass_before_fft", "frequency_band_pass",
+                     "water_vapor_notch", "time_band_pass_after_fft"):
+            app.worker.send("set_filter_active", uuid, True)
+        app.worker.join_idle()
+        # warmup: compile the from-fft lean program before the clock runs
+        app.command("set_fft_window_low", [0.99], {})
+        app.worker.join_idle()
+        return replay_drag(
+            port, n_events=100, lo=1.0, hi=1.5, interval_s=0.008, app=app,
+        )
+    finally:
+        server.shutdown()
         app.worker.close()
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1020,6 +1113,9 @@ def main():
         if eu is not None:
             extra["explorer_update_ms"] = eu
             extra["explorer_vs_pipelined"] = round(eu / (pipelined_s * 1e3), 2)
+        cu = extra["explorer"].get("click_device_ms")
+        if cu is not None:
+            extra["click_device_ms"] = cu
     except Exception as e:  # noqa: BLE001
         extra["explorer_error"] = str(e)[:160]
     try:
@@ -1028,6 +1124,13 @@ def main():
             extra["voxel_ms"] = extra["voxel"]["voxel_ms"]
     except Exception as e:  # noqa: BLE001
         extra["voxel_error"] = str(e)[:160]
+    try:
+        extra["drag"] = bench_drag(t, data)
+        for k in ("drag_p50_ms", "drag_p99_ms", "drag_updates_per_s"):
+            if k in extra["drag"]:
+                extra[k] = extra["drag"][k]
+    except Exception as e:  # noqa: BLE001
+        extra["drag_error"] = str(e)[:160]
     try:
         extra["psf_tool"] = bench_psf()
         if "psf_fit_ms" in extra["psf_tool"]:
@@ -1117,6 +1220,7 @@ def main():
 HEADLINE_KEYS = (
     "pipelined_update_ms",
     "explorer_update_ms",
+    "click_device_ms",
     "chain_bytes_accessed_gb",
     "mfu_bf16x3",
     "hbm_roofline_frac_measured",
