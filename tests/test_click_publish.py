@@ -196,3 +196,30 @@ def test_click_with_fold_kill_switch(tmp_path, monkeypatch):
         ex.set_selected_pixel(6, 8)
     assert lean.pipeline.click_dispatches == before + 1
     _close_pix(lean, exact)
+
+
+def test_click_under_forced_specred_kernel(tmp_path, monkeypatch):
+    """THZ_SPECRED=1 (the one-pass pallas reduction supplies the cached
+    ROI/avg means): a later pixel click must compose correctly with the
+    kernel-produced cached outputs."""
+    monkeypatch.setenv("THZ_SPECRED", "1")
+    monkeypatch.setenv("THZ_PALLAS_INTERPRET", "1")
+    from thz_image_explorer_tpu.ops import pallas_specred as psr
+    monkeypatch.setattr(psr, "_RUNTIME_BROKEN", [False])
+
+    lean, exact = _pair(tmp_path)
+    for ex in (lean, exact):
+        ex.set_filter_active("frequency_band_pass", True)
+        ex.add_roi("u1", "roi-a", [(1, 1), (9, 1), (9, 7), (1, 7)])
+        ex.set_reference("roi-a")
+        ex.set_sample("Selected Pixel")
+    before = lean.pipeline.click_dispatches
+    for ex in (lean, exact):
+        ex.set_selected_pixel(7, 5)
+    assert lean.pipeline.click_dispatches == before + 1
+    _close_pix(lean, exact, atol=5e-4, rtol=5e-4)
+    import numpy as np
+    np.testing.assert_allclose(
+        lean.plot.refractive_index[1:], exact.plot.refractive_index[1:],
+        atol=1e-3, rtol=1e-3,
+    )
