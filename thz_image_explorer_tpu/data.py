@@ -239,15 +239,17 @@ def _device_f32_copy(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32)
 
 
-def load_preprocess(data, *, owned: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+def load_preprocess(data) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Load-time preprocessing on device: per-pixel DC-offset subtraction
     using sample 0 plus the intensity image (``io.rs:576-595``).
 
     ``_load_kernel`` donates its input (the raw cube is dead after the
-    DC subtraction); a caller-owned DEVICE array must be copied first or
-    donation silently invalidates the caller's buffer. Pass ``owned=True``
-    only when the device array belongs to this call (the loader's
-    in-flight ``start_transfer`` buffer) to skip the defensive copy."""
-    if isinstance(data, jax.Array) and not owned:
+    DC subtraction); a caller-owned DEVICE array is copied first, or
+    donation would silently invalidate the caller's buffer. (Host numpy
+    input — the only production caller, ``io.dotthz.finalize_scan`` —
+    transfers fresh and needs no copy; an async pre-transfer that could
+    have owned the buffer was a recorded dead end, ``io/dotthz.py``
+    HostScan docstring.)"""
+    if isinstance(data, jax.Array):
         data = _device_f32_copy(data)
     return _load_kernel(jnp.asarray(data, jnp.float32))

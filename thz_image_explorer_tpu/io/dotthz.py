@@ -206,17 +206,23 @@ class HostScan:
     #: device queue fail" quirk (repro: WebApp open at 64x60x128 on
     #: axon; removing the early device_put fixes it, join_idle green).
     #: The h2d therefore stays synchronous inside finalize_scan.
-    _dev_data: object = None
 
     def preview_image(self) -> np.ndarray:
         """Valid-region intensity image from host math: per-pixel
         DC-offset subtraction + sum of squares (``io.rs:576-595``), the
         same formula the device load kernel computes
-        (``data.load_preprocess``)."""
+        (``data.load_preprocess``) — expanded as
+        ``sum(d^2) - 2*off*sum(d) + T*off^2`` so no DC-subtracted copy
+        of the cube is materialized (the naive ``d - d[..., :1]`` doubles
+        host memory for the scan and dominates the preview phase on a
+        1-core host)."""
         vw, vh = self.valid_wh
         d = self.data[:vw, :vh]
-        d = d - d[:, :, :1]
-        return np.einsum("xyt,xyt->xy", d, d, dtype=np.float32)
+        off = np.asarray(d[:, :, 0], np.float64)
+        ss = np.einsum("xyt,xyt->xy", d, d, dtype=np.float64)
+        s = np.einsum("xyt->xy", d, dtype=np.float64)
+        n = d.shape[-1]
+        return (ss - 2.0 * off * s + n * off * off).astype(np.float32)
 
     def preview_trace(self, px: int = 0, py: int = 0) -> np.ndarray:
         """DC-offset-subtracted raw trace at one pixel (the preview's
@@ -337,16 +343,11 @@ def open_scan(path: str) -> tuple[ScanCube, np.ndarray, DotthzMetadata]:
 
 
 def finalize_scan(host: HostScan) -> tuple[ScanCube, np.ndarray]:
-    """Device half of a scan open: one h2d transfer of the raw cube (or
-    the in-flight one from ``start_transfer``), the on-device DC-offset +
-    intensity kernel, cube assembly."""
-    if host._dev_data is None:
-        data_dev, img = load_preprocess(host.data)
-    else:
-        # the in-flight buffer belongs to this open: let the kernel
-        # donate it instead of paying a defensive device copy
-        data_dev, img = load_preprocess(host._dev_data, owned=True)
-        host._dev_data = None  # donated — never reusable
+    """Device half of a scan open: one synchronous h2d transfer of the
+    raw cube (async pre-transfer is a recorded dead end — see the
+    ``HostScan`` docstring), the on-device DC-offset + intensity kernel,
+    cube assembly."""
+    data_dev, img = load_preprocess(host.data)
     cube = make_cube(
         host.time, data_dev, dx=host.dx, dy=host.dy,
         x_min=host.x_min, y_min=host.y_min, valid_wh=host.valid_wh,

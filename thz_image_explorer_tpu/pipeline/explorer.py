@@ -183,6 +183,11 @@ class Explorer:
         self.defer = None
         self._open_epoch = 0
         self._pending_open = None
+        # re-entrancy guard: publish() self-heals pending opens, and
+        # _finalize_open keeps preview_pending True through its own
+        # publish — without the guard that publish would recurse into
+        # the finalize and re-run the h2d transfer
+        self._finalizing = False
         # 3-D voxel view parameters (threed_plot.rs / paper.md:100-111)
         self.view3d = {
             "contrast": 2.0,
@@ -209,6 +214,11 @@ class Explorer:
         the old single-phase contract). Any command that needs real
         pipeline state self-heals via ``_ensure_open_finalized``."""
         host = thzio.open_scan_host(path)
+        # captured BEFORE any facade mutation: if the device phase later
+        # fails (e.g. ResourceExhausted on the h2d), the facade rolls
+        # back to this so it never disagrees with pipeline.input — the
+        # single-phase open_file failed atomically and so must this one
+        snapshot = self._open_snapshot()
         metadata = host.metadata
         self.metadata = metadata
         self.file_path = path
@@ -230,7 +240,7 @@ class Explorer:
         plot.available_samples = plot.available_references + [SELECTED_PIXEL]
         self.plot = plot
         self._open_epoch += 1
-        self._pending_open = (self._open_epoch, host)
+        self._pending_open = (self._open_epoch, host, snapshot)
         if self.defer is not None:
             self.defer("_finalize_open", self._open_epoch)
         else:
@@ -242,28 +252,57 @@ class Explorer:
         GUI surfaces this so a preview is never mistaken for final."""
         return self._pending_open is not None
 
+    def _open_snapshot(self) -> dict:
+        """The facade attributes ``open_file`` mutates before the device
+        phase, captured so a failed phase 2 rolls the facade back to the
+        previous scan (``_finalize_open``)."""
+        return {
+            "metadata": self.metadata,
+            "file_path": self.file_path,
+            "image": self.image,
+            "rois": self.rois,
+            "_datasets": self._datasets,
+            "pixel_selected": self.pixel_selected,
+            "housekeeping": self.housekeeping,
+            "plot": self.plot,
+        }
+
     def _finalize_open(self, epoch: int):
         """Phase 2 of ``open_file``: h2d transfer, device DC-offset +
         intensity, first chain pass, full publish. Idempotent and
         epoch-guarded — a newer open supersedes a stale deferred
-        finalize."""
+        finalize. ``preview_pending`` stays True for the DURATION of
+        this phase INCLUDING its own publish (state polls label the
+        served image a preview while the first chain pass compiles);
+        the ``_finalizing`` guard keeps that publish's
+        ``_ensure_open_finalized`` from recursing back in here and
+        re-running the h2d transfer."""
         pending = self._pending_open
-        if pending is None or pending[0] != epoch:
+        if pending is None or pending[0] != epoch or self._finalizing:
             return
-        host = pending[1]
+        _, host, snapshot = pending
+        self._finalizing = True
         try:
-            # preview_pending must stay True for the DURATION of the
-            # device phase (state polls label the served image a preview
-            # while this blocks), so consume the pending entry only on
-            # the way out — and also on failure, or a bad device phase
-            # would retry-loop on every subsequent command
-            cube, img = thzio.finalize_scan(host)
+            try:
+                cube, img = thzio.finalize_scan(host)
+            except BaseException:
+                # pipeline.input is untouched, so roll the facade back
+                # to the previous scan — the two-phase open fails as
+                # atomically as the old single-phase one did (a publish
+                # failure below does NOT roll back: by then the pipeline
+                # holds the new cube and the facade must agree with it)
+                for attr, value in snapshot.items():
+                    setattr(self, attr, value)
+                raise
+            self.image = img
+            self.pipeline.set_input(cube, valid_wh=host.valid_wh)
+            self.publish()
         finally:
+            self._finalizing = False
+            # consume only on the way out — also on failure, or a bad
+            # device phase would retry-loop on every subsequent command
             if self._pending_open is pending:
                 self._pending_open = None
-        self.image = img
-        self.pipeline.set_input(cube, valid_wh=host.valid_wh)
-        self.publish()
 
     def _ensure_open_finalized(self):
         """Self-healing seam: any command that needs real device state

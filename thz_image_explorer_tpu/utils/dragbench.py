@@ -30,6 +30,17 @@ import threading
 import time
 from typing import Optional
 
+#: Methods this harness can observe through /api/state, mapped to the
+#: state-JSON extractor the poller uses to decide an event is satisfied.
+#: The drag values must be strictly increasing for the latest-wins
+#: satisfaction rule to hold, which both window bounds respect.
+_OBSERVERS = {
+    "set_fft_window_low":
+        lambda s: (s.get("config") or {}).get("fft_window", [None, None])[0],
+    "set_fft_window_high":
+        lambda s: (s.get("config") or {}).get("fft_window", [None, None])[1],
+}
+
 
 def _post_command(host: str, port: int, method: str, args: list,
                   timeout: float = 30.0) -> float:
@@ -76,7 +87,16 @@ def replay_drag(
     updates actually executed — the honest ``drag_updates_per_s``
     numerator (HTTP-only observers undercount when polls are slower
     than updates).
+
+    ``method`` must be one the poller knows how to observe in the state
+    JSON (``_OBSERVERS``) — anything else would silently time out every
+    event instead of measuring, so it raises.
     """
+    observe = _OBSERVERS.get(method)
+    if observe is None:
+        raise ValueError(
+            f"replay_drag cannot observe {method!r} through /api/state; "
+            f"supported: {sorted(_OBSERVERS)}")
     values = [lo + (hi - lo) * (i + 1) / n_events for i in range(n_events)]
 
     # poller: full /api/state GETs back to back — each one rides the
@@ -92,7 +112,7 @@ def replay_drag(
                              headers={"Host": f"localhost:{port}"})
                 r = conn.getresponse()
                 s = json.loads(r.read())
-                v = (s.get("config") or {}).get("fft_window", [None])[0]
+                v = observe(s)
                 if v is not None:
                     polls.append((time.perf_counter(), float(v)))
             except Exception:  # noqa: BLE001 — poller must survive races
@@ -127,6 +147,7 @@ def replay_drag(
             rest = interval_s - (time.perf_counter() - t_due)
             if rest > 0:
                 time.sleep(rest)
+        send_loop_s = time.perf_counter() - t_start
         # settle: keep polling until the LAST value is observed
         deadline = time.perf_counter() + settle_timeout_s
         while time.perf_counter() < deadline:
@@ -163,9 +184,7 @@ def replay_drag(
         "drag_events": n_events,
         "drag_p50_ms": pct(50),
         "drag_p99_ms": pct(99),
-        "drag_posts_per_s": round(n_events / max(sum(post_ms) / 1e3
-                                                 + interval_s * n_events,
-                                                 1e-9), 1),
+        "drag_posts_per_s": round(n_events / max(send_loop_s, 1e-9), 1),
         "drag_post_p99_ms": round(sorted(post_ms)[int(0.99 * len(post_ms))
                                                   if len(post_ms) > 1 else 0],
                                   2),
