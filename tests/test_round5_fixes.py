@@ -311,6 +311,85 @@ def test_rapid_sibling_opens_finalize_only_latest(tmp_path):
     assert not ex.preview_pending
 
 
+def test_failed_device_phase_rolls_facade_back(tmp_path):
+    """A failed phase 2 (e.g. h2d ResourceExhausted) must leave the
+    facade agreeing with pipeline.input — rolled back to the previous
+    scan, exactly as atomic as the old single-phase open_file."""
+    import os
+
+    from make_sample import synthetic_scan, write_scan_thz
+    from thz_image_explorer_tpu.io import dotthz as dotthz_mod
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p1 = _write_scan(tmp_path, w=20, h=18)
+    p2 = os.path.join(str(tmp_path), "scan2.thzimg")
+    t, cube = synthetic_scan(width=24, height=22, n_time=64)
+    write_scan_thz(p2, t, cube, dx=0.5, dy=0.5)
+
+    ex = Explorer()
+    ex.open_file(p1)  # synchronous single-phase: fully published
+    img1, meta1, hk1 = ex.image, ex.metadata, ex.housekeeping
+
+    def boom(host):
+        raise RuntimeError("synthetic h2d failure")
+
+    dotthz_mod.finalize_scan, orig = boom, dotthz_mod.finalize_scan
+    try:
+        with pytest.raises(RuntimeError, match="synthetic h2d"):
+            ex.open_file(p2)
+    finally:
+        dotthz_mod.finalize_scan = orig
+    assert ex.file_path == p1
+    assert ex.image is img1
+    assert ex.metadata is meta1
+    assert ex.housekeeping is hk1
+    assert not ex.preview_pending  # no retry-loop on later commands
+    # the facade still drives the scan-1 pipeline
+    ex.set_fft_window_low(1.0)
+    assert ex.plot.signal_fft.size
+    assert ex.image.shape == (20, 18)
+
+
+def test_finalize_publish_runs_with_preview_marker(tmp_path):
+    """preview_pending holds through the finalize's own first publish
+    (the compile-heavy part a state poll sees), and the _finalizing
+    guard keeps that publish's _ensure_open_finalized from recursing
+    into the finalize — which would re-run the h2d transfer."""
+    from thz_image_explorer_tpu.io import dotthz as dotthz_mod
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p = _write_scan(tmp_path)
+    ex = Explorer()
+    deferred = []
+    ex.defer = lambda m, *a: deferred.append((m, a))
+    ex.open_file(p)
+    assert deferred and ex.preview_pending
+
+    n_final = [0]
+    real = dotthz_mod.finalize_scan
+
+    def counting(host):
+        n_final[0] += 1
+        return real(host)
+
+    seen = []
+    real_publish = ex.publish
+
+    def spying_publish():
+        seen.append(ex.preview_pending)
+        real_publish()
+
+    ex.publish = spying_publish
+    dotthz_mod.finalize_scan = counting
+    try:
+        ex._finalize_open(deferred[0][1][0])
+    finally:
+        dotthz_mod.finalize_scan = real
+    assert n_final[0] == 1  # the guard stopped any recursion
+    assert seen == [True]  # the publish saw the preview marker
+    assert not ex.preview_pending
+
+
 # -------------------------------------------------- hermetic dryrun gate
 def test_dryrun_multichip_hermetic_and_restores_default_device():
     """The multi-chip gate must run green on the virtual CPU mesh, leave
