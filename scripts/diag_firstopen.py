@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--shape", default="150x130x768")
     ap.add_argument("--slider", action="store_true",
                     help="also time one fft-window slider update")
+    ap.add_argument("--timeline", action="store_true",
+                    help="print every captured compile/cache event with "
+                    "its offset — the GAPS between events localize stalls "
+                    "the per-program compile times don't account for "
+                    "(e.g. a remote compile-service queue)")
     args = ap.parse_args()
 
     os.environ["THZ_XLA_CACHE"] = args.cache
@@ -52,10 +57,15 @@ def main() -> int:
 
     # capture jax's compile/cache log stream with timestamps
     events: list[tuple[float, str]] = []
+    t_ref = time.perf_counter()
 
     class _H(logging.Handler):
         def emit(self, r: logging.LogRecord) -> None:
             events.append((time.perf_counter(), r.getMessage()))
+
+    def mark(label: str) -> None:
+        """Synthetic phase-boundary event for the --timeline view."""
+        events.append((time.perf_counter(), f"PHASE {label}"))
 
     handler = _H()
     for name in ("jax._src.compiler", "jax._src.compilation_cache"):
@@ -81,11 +91,13 @@ def main() -> int:
     t0 = time.perf_counter()
     ex = Explorer()
     phases["explorer_init_s"] = round(time.perf_counter() - t0, 2)
+    mark("explorer_init done")
     t0 = time.perf_counter()
     from thz_image_explorer_tpu import io as thzio
 
     cube, img, metadata = thzio.open_scan(args.scan)
     phases["open_scan_s"] = round(time.perf_counter() - t0, 2)
+    mark("open_scan done")
     t0 = time.perf_counter()
     ex.metadata = metadata
     ex.file_path = args.scan
@@ -100,9 +112,11 @@ def main() -> int:
     ex.housekeeping.apply_metadata(metadata.md)
     ex.pipeline.set_input(cube, valid_wh=valid_wh)
     phases["set_input_s"] = round(time.perf_counter() - t0, 2)
+    mark("set_input done")
     t0 = time.perf_counter()
     ex.publish()
     phases["publish_s"] = round(time.perf_counter() - t0, 2)
+    mark("publish done")
     open_s = sum(v for k, v in phases.items() if k != "explorer_init_s")
 
     slider_s = None
@@ -127,7 +141,7 @@ def main() -> int:
         if m:
             compiles.append({"name": m.group(1)[:60],
                              "secs": round(float(m.group(2)), 2)})
-    print(json.dumps({
+    out = {
         "import_s": round(import_s, 2),
         "open_s": round(open_s, 2),
         "phases": phases,
@@ -137,7 +151,13 @@ def main() -> int:
         "hits": hits,
         "misses": misses,
         "compiles": compiles,
-    }))
+    }
+    if args.timeline:
+        out["timeline"] = [
+            [round(ts - t_ref, 2), msg.splitlines()[0][:90]]
+            for ts, msg in events
+        ]
+    print(json.dumps(out))
     return 0
 
 

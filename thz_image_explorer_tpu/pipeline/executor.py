@@ -304,6 +304,10 @@ class Pipeline:
         #: count of publish updates served by the one-pixel program
         #: instead of a full chain re-dispatch (tests / bench forensics)
         self.click_dispatches = 0
+        #: (host, device) copies of the view-constant click operands —
+        #: pre-staged so a pixel click transfers only the 3 tiny pixel
+        #: indices (scripts/profile_click.py)
+        self._click_const = None
         #: host-side copy of each slot's time axis, so parameter clamping
         #: and fused planning never pay a device->host read per update
         self._host_time: dict[int, np.ndarray] = {}
@@ -978,12 +982,27 @@ class Pipeline:
             return False
         inp = plan["inp"]
         wl, wh = plan["window"]
+        # pre-stage the view-constant small operands: a click changes
+        # only rxy/fxy/gxy, but handing the other 7 host leaves to the
+        # jit call re-transfers them every dispatch — ~6 ms/click on the
+        # tunnelled runtime (scripts/profile_click.py, 2026-08-19:
+        # fresh-numpy 8.7 ms vs pre-put 2.6 ms per dispatch). Keyed by
+        # VALUE (shapes included), so selection/thickness/dataset
+        # changes — and an F-length change from a new cube — re-put.
+        const_keys = ("ref_mode", "samp_mode", "ref_idx", "samp_idx",
+                      "ref_pseudo", "samp_pseudo", "thickness")
+        cached = self._click_const
+        if cached is not None and all(
+            np.array_equal(cached[0][k], pub[k]) for k in const_keys
+        ):
+            dev_const = cached[1]
+        else:
+            host_const = {k: pub[k] for k in const_keys}
+            dev_const = jax.device_put(host_const)
+            self._click_const = (host_const, dev_const)
         small = {
-            k: pub[k]
-            for k in (
-                "rxy", "fxy", "gxy", "ref_mode", "samp_mode", "ref_idx",
-                "samp_idx", "ref_pseudo", "samp_pseudo", "thickness",
-            )
+            **dev_const,
+            "rxy": pub["rxy"], "fxy": pub["fxy"], "gxy": pub["gxy"],
         }
         upd = click(
             self.slots[0].data, inp.data, inp.time, inp.valid_wh,
