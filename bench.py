@@ -840,12 +840,21 @@ events = []
 class _H(logging.Handler):
     def emit(self, r):
         events.append(r.getMessage())
-t0 = time.perf_counter()
 import jax
 jax.config.update("jax_log_compiles", True)
 for name in ("jax._src.compiler", "jax._src.dispatch"):
     lg = logging.getLogger(name); lg.setLevel(logging.DEBUG); lg.addHandler(_H())
 
+# Pay the backend's first-d2h init up front and TIME it: on the axon
+# tunnel it is 0.2-476 s bimodal (scripts/probe_tunnel.py) and was the
+# whole round-3/4 warm-open nondeterminism. The product pays it in the
+# background at Explorer construction (utils/warmup.py); here it must
+# complete before the clock so open_s measures repo-controlled work and
+# the stall is attributed per run.
+from thz_image_explorer_tpu.utils.warmup import warm_transfer_paths
+tunnel_s = warm_transfer_paths(block=True)
+
+t0 = time.perf_counter()
 from thz_image_explorer_tpu.pipeline import Explorer
 ex = Explorer()
 # defer the device phase exactly as the worker would, so the PREVIEW
@@ -871,6 +880,7 @@ for msg in events:
     m = re.search(r"Finished XLA compilation of (\\S+) in ([0-9.]+) sec", msg)
     if m: compiles.append([m.group(1)[:48], round(float(m.group(2)), 2)])
 print(json.dumps({{"preview_s": preview_s, "open_s": open_s,
+                   "tunnel_s": round(tunnel_s, 2),
                    "slider_s": slider_s, "n_hits": len(hits),
                    "n_misses": len(misses), "misses": misses[:20],
                    "compiles": compiles[:20]}}))
@@ -927,12 +937,21 @@ print(json.dumps({{"preview_s": preview_s, "open_s": open_s,
         "first_open_warm_preview_runs_s": [
             round(r.get("preview_s", -1), 2) for r in warm_runs
         ],
+        # the backend's first-d2h init per fresh process, paid BEFORE the
+        # open clock (mirrors the product's background warmup at Explorer
+        # construction). 0.2-476 s bimodal on the axon tunnel — this, not
+        # cache misses, was the round-3/4 warm-open spread
+        # (scripts/probe_tunnel.py).
+        "first_open_tunnel_runs_s": [
+            round(r.get("tunnel_s", -1), 2) for r in [cold] + warm_runs
+        ],
         "first_open_warm_detail": warm_runs,
         "shape": f"{w}x{h}x{nt} (novel bucket, fresh cache dir)",
         "note": "cold = empty XLA cache (remote compiles); warm = fresh "
                 "process, same persistent cache. preview_s = host image+"
                 "trace published (progressive open); open_s = full device "
-                "results. hit/miss per program in the details.",
+                "results; tunnel_s = the environment's first-d2h init, "
+                "timed separately. hit/miss per program in the details.",
     }
 
 
@@ -1283,6 +1302,7 @@ HEADLINE_FIRSTOPEN_KEYS = (
     "first_open_warm_s",
     "first_open_warm_runs_s",
     "first_open_preview_s",
+    "first_open_tunnel_runs_s",
 )
 
 

@@ -85,6 +85,15 @@ def main() -> int:
 
     import_s = time.perf_counter() - t0
 
+    # Pay + time the backend's first-d2h init separately (0.2-476 s
+    # bimodal on the axon tunnel, scripts/probe_tunnel.py) so the open
+    # phases below measure repo work, not the environment's data-plane
+    # cold start.
+    from thz_image_explorer_tpu.utils.warmup import warm_transfer_paths
+
+    tunnel_s = warm_transfer_paths(block=True)
+    mark("tunnel warm done")
+
     # phase-level split of open_file (explorer.py:186-202): scan load +
     # device put + first image, pipeline set_input, first publish
     phases = {}
@@ -143,6 +152,7 @@ def main() -> int:
                              "secs": round(float(m.group(2)), 2)})
     out = {
         "import_s": round(import_s, 2),
+        "tunnel_s": None if tunnel_s is None else round(tunnel_s, 2),
         "open_s": round(open_s, 2),
         "phases": phases,
         "slider_s": None if slider_s is None else round(slider_s, 3),

@@ -407,3 +407,27 @@ def test_dryrun_multichip_hermetic_and_restores_default_device():
     prev = jax.config.jax_default_device
     ge.dryrun_multichip(8)
     assert jax.config.jax_default_device == prev
+
+
+# -------------------------------------------------- transfer-path warmup
+def test_warm_transfer_paths_once_per_process_and_wired():
+    """utils.warmup pays the backend's first-d2h init (0.2-476 s bimodal
+    on the axon tunnel, scripts/probe_tunnel.py) once per process;
+    Explorer construction fires it in the background so the stall
+    overlaps startup instead of the first open's publish."""
+    import inspect
+    import threading
+
+    from thz_image_explorer_tpu.pipeline.explorer import Explorer
+    from thz_image_explorer_tpu.utils import warmup
+
+    secs = warmup.warm_transfer_paths(block=True)
+    assert secs is not None and secs >= 0.0
+    # second call returns the SAME measurement (once-per-process latch),
+    # and leaves no second warmup thread behind
+    assert warmup.warm_transfer_paths(block=True) == secs
+    names = [t.name for t in threading.enumerate()]
+    assert names.count("thz-d2h-warmup") == 0  # daemon thread finished
+    # wired into Explorer construction (non-blocking form)
+    src = inspect.getsource(Explorer.__init__)
+    assert "warm_transfer_paths" in src

@@ -150,8 +150,13 @@ class Explorer:
 
     def __init__(self):
         from thz_image_explorer_tpu.utils.jaxcache import enable_compile_cache
+        from thz_image_explorer_tpu.utils.warmup import warm_transfer_paths
 
         enable_compile_cache()
+        # pay the backend's first-d2h init (0.2-476 s bimodal on the axon
+        # tunnel, scripts/probe_tunnel.py) during startup, not inside the
+        # first open's publish
+        warm_transfer_paths()
         self.pipeline = Pipeline()
         # merged lean publish (round-4 task 1): the executor's fused
         # chain program computes the publish reductions in-program; this
