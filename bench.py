@@ -384,7 +384,15 @@ def bench_hbm_limit():
         td_before_active=True, td_after_active=True,
     )
     params = StepParams.defaults()
-    W, H, T = 512, 512, 2048
+    T = 2048
+
+    # Predict with the SAME program the exec runs: the donated batch
+    # chain WITHOUT the raw_fd output (the interactive publish's
+    # raw-spectrum source; kept as a jit output it materializes a whole
+    # extra spectrum cube, +5 GB at this shape — that growth from the
+    # round-5 lean-publish rework, not fragmentation, is what turned
+    # BENCH_r04's in-process 11.1 GB run into hbm_limit_error).
+    stepd = jax.jit(lambda c, p: _step(c, p, cfg)[:2], donate_argnums=0)
 
     def predict(w, h):
         t = (np.arange(T) * DT).astype(np.float32)
@@ -400,39 +408,87 @@ def bench_hbm_limit():
             return x
 
         abs_cube = jtu.tree_map(widen, small)
-        ma = interactive_update.lower(abs_cube, params, cfg).compile(
-        ).memory_analysis()
+        ma = stepd.lower(abs_cube, params).compile().memory_analysis()
         return round(ma.peak_memory_in_bytes / GB, 2)
 
     pred = {f"{w}x{w}x{T}": predict(w, w) for w in (512, 576)}
 
-    stepd = jax.jit(lambda c, p: _step(c, p, cfg), donate_argnums=0)
+    # Execute each shape in a FRESH process (clean HBM heap, no residue
+    # from earlier in-process benches) and record run-vs-OOM per shape —
+    # the pair brackets the chip's usable limit empirically.
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + ":" + env.get("PYTHONPATH", "")
+    out = {
+        "predicted_peak_gb": pred,
+        "note": "donated-buffer batch chain (img output only; the "
+                "interactive path additionally holds the raw slot cube "
+                "and raw_fd). Each shape executed in a fresh process; "
+                "run-vs-OOM brackets the usable single-chip HBM.",
+    }
+    for w in (512, 576):
+        key = f"{w}x{w}x{T}"
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {here!r}); "
+             f"import bench; bench._hbm_limit_exec({w}, {w}, {T})"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            out[f"executed_{key}"] = json.loads(
+                r.stdout.strip().splitlines()[-1])
+        elif "RESOURCE_EXHAUSTED" in (r.stderr or ""):
+            out[f"executed_{key}"] = {
+                "oom": True, "predicted_gb": pred.get(key)}
+        else:
+            out[f"executed_{key}"] = {
+                "error": (r.stderr or "no output")[-200:]}
+    return out
+
+
+def _hbm_limit_exec(W, H, T):
+    """Subprocess body of :func:`bench_hbm_limit`'s execution half: the
+    donated-buffer batch chain (cube+img outputs) at ``WxHxT`` on a
+    clean HBM heap. Prints one JSON line."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from thz_image_explorer_tpu.data import make_cube
+    from thz_image_explorer_tpu.parallel.step import (
+        StepConfig,
+        StepParams,
+        _step,
+    )
+
+    cfg = StepConfig(
+        fd_active=True, notch_active=True,
+        td_before_active=True, td_after_active=True,
+    )
+    params = StepParams.defaults()
+    stepd = jax.jit(lambda c, p: _step(c, p, cfg)[:2], donate_argnums=0)
     t = (np.arange(T) * DT).astype(np.float32)
     mk = jax.jit(lambda key: jax.random.normal(key, (W, H, T), jnp.float32))
     cube = make_cube(jnp.asarray(t), mk(jax.random.PRNGKey(0)), dx=0.5, dy=0.5)
     _sum = jax.jit(jnp.sum)
-    # _step returns (cube, img, raw_fd) since the lean-publish rework
-    cube, img, _ = stepd(cube, params)
+    cube, img = stepd(cube, params)
     float(_sum(img))
     t0 = time.perf_counter()
     n = 4
     for i in range(n):
         params = dataclasses.replace(params, fd_low=np.float32(0.2 + 0.001 * i))
-        cube, img, _ = stepd(cube, params)
+        cube, img = stepd(cube, params)
     float(_sum(img))
     per = (time.perf_counter() - t0) / n
-    return {
-        "executed_shape": f"{W}x{H}x{T}",
-        "cube_gb": round(W * H * T * 4 / GB, 2),
-        "predicted_peak_gb": pred,
+    print(json.dumps({
+        "cube_gb": round(W * H * T * 4 / (1 << 30), 2),
         "update_ms": round(per * 1e3, 1),
         "traces_per_sec": round(W * H / per),
-        "note": "576x576x2048 (predicted 14.98 GB) ResourceExhausts on this "
-                "v5e: the usable single-chip limit lies between the 11.1 and "
-                "15.0 GB predictions (runtime reserves); donated buffers "
-                "(batch loop) — the interactive path additionally holds the "
-                "raw slot cube",
-    }
+    }))
 
 
 def _write_bench_scan(path, t, data):
@@ -1078,8 +1134,15 @@ def main():
     # persistent compilation cache: the first process on a machine pays the
     # (remote) XLA compiles, every later run reuses them
     from thz_image_explorer_tpu.utils.jaxcache import enable_compile_cache
+    from thz_image_explorer_tpu.utils.warmup import warm_transfer_paths
 
     enable_compile_cache()
+    # pay + record the tunnel's first-d2h init (0.2-476 s bimodal,
+    # scripts/probe_tunnel.py) so no sub-bench absorbs it into a number
+    print("bench: transfer-path warmup...", file=sys.stderr, flush=True)
+    tunnel_s = warm_transfer_paths(block=True)
+    print(f"bench: first d2h took {tunnel_s:.2f} s", file=sys.stderr,
+          flush=True)
 
     t, data = _make_data()
     # the remote tunnelled TPU worker occasionally crashes/restarts; one
@@ -1111,6 +1174,9 @@ def main():
     extra = {
         "traces_per_sec_pipelined": round(WIDTH * HEIGHT / pipelined_s, 1),
         "pipelined_update_ms": round(pipelined_s * 1e3, 3),
+        # the environment's first-d2h init, paid before any timing
+        # (0.2-476 s bimodal on the axon tunnel, scripts/probe_tunnel.py)
+        "tunnel_first_d2h_s": round(tunnel_s, 2),
         "cube": f"{WIDTH}x{HEIGHT}x{NTIME}",
         "cpu_torch_ms": None if cpu_s is None else round(cpu_s * 1e3, 2),
         "note": "p50 includes the host<->device round-trip of the remote "
