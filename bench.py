@@ -1361,6 +1361,7 @@ HEADLINE_KEYS = (
     "cpu_pinned_ms",
     "vs_baseline_pinned",
     "vs_baseline_pinned_incl_rtt",
+    "tunnel_first_d2h_s",
 )
 
 HEADLINE_FIRSTOPEN_KEYS = (
