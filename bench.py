@@ -975,10 +975,14 @@ print(json.dumps({{"preview_s": preview_s, "open_s": open_s,
     finally:
         shutil.rmtree(scan_dir, ignore_errors=True)
         shutil.rmtree(cache, ignore_errors=True)
+    # median over SUCCESSFUL runs only: a failed run has no open_s, and
+    # an inf sentinel would serialize as bare `Infinity` — invalid JSON,
+    # the exact parsed=null artifact class VERDICT r4 #1b fixed. Failed
+    # runs stay visible as -1 in first_open_warm_runs_s + the details.
     warm_opens = sorted(
-        r.get("open_s", float("inf")) for r in warm_runs
+        r["open_s"] for r in warm_runs if "open_s" in r
     )
-    warm_median = warm_opens[len(warm_opens) // 2]
+    warm_median = warm_opens[len(warm_opens) // 2] if warm_opens else -1
     return {
         "first_open_cold_s": round(cold.get("open_s", -1), 1),
         "first_open_preview_s": round(cold.get("preview_s", -1), 2),

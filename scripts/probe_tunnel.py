@@ -76,11 +76,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             trials.append({"error": str(e)[:200]})
         print(json.dumps({"trial": i, **trials[-1]}), flush=True)
-    firsts = sorted(t.get("first_d2h_s", float("inf")) for t in trials)
+    # successful trials only: an inf sentinel serializes as bare
+    # `Infinity`, which strict JSON parsers reject (bench.py keeps the
+    # same rule for its warm-open median)
+    firsts = sorted(t["first_d2h_s"] for t in trials if "first_d2h_s" in t)
     print(json.dumps({
         "n": len(trials),
-        "first_d2h_median_s": firsts[len(firsts) // 2],
-        "first_d2h_max_s": firsts[-1],
+        "n_failed": sum("first_d2h_s" not in t for t in trials),
+        "first_d2h_median_s": firsts[len(firsts) // 2] if firsts else -1,
+        "first_d2h_max_s": firsts[-1] if firsts else -1,
     }))
     return 0
 

@@ -431,3 +431,92 @@ def test_warm_transfer_paths_once_per_process_and_wired():
     # wired into Explorer construction (non-blocking form)
     src = inspect.getsource(Explorer.__init__)
     assert "warm_transfer_paths" in src
+
+
+# ------------------------------------------- round-5 self-review fixes
+def test_queued_mutation_survives_deferred_finalize(tmp_path):
+    """A mutating command queued between the open's two phases finalizes
+    the open FIRST (single-phase ordering restored by the worker loop):
+    its filter-param write must survive instead of being reverted by the
+    deferred finalize's reset_filters."""
+    import threading
+
+    from thz_image_explorer_tpu.pipeline import Explorer
+    from thz_image_explorer_tpu.pipeline.worker import ExplorerWorker
+
+    p = _write_scan(tmp_path)
+    w = ExplorerWorker(Explorer())
+    try:
+        gate = threading.Event()
+        # hold the worker so open_file and the mutation are BOTH queued
+        # before phase 1 runs — the deferred finalize then lands AFTER
+        # the mutation, the exact order that used to revert it
+        w.queue.put((lambda ex: gate.wait(30), (), {}))
+        w.send("open_file", p)
+        w.send("set_filter_param", "time_band_pass_before_fft", "low", 1.25)
+        gate.set()
+        assert w.join_idle(timeout=120)
+        f = w.explorer.pipeline.filters["time_band_pass_before_fft"]
+        assert f.low == 1.25, "queued param write reverted by finalize"
+        assert not w.explorer.preview_pending
+        assert w.explorer.pipeline.input is not None
+    finally:
+        w.close()
+
+
+def test_set_view_midpoint_clamped_serverside(tmp_path):
+    """The page JS clamps the colorbar midpoint to 1..99, but a raw API
+    client can POST anything — the server must clamp too or the numpy
+    colormap divides by zero and serves NaN pixels."""
+    from thz_image_explorer_tpu.web import WebApp
+
+    p = _write_scan(tmp_path)
+    app = WebApp(load_settings=False)
+    try:
+        app.command("open_file", [p], {})
+        assert app.worker.join_idle(timeout=120)
+        for raw, want in ((0, 1.0), (100, 99.0), (-5, 1.0), (42.5, 42.5)):
+            app.command("set_view", ["midpoint", raw], {})
+            assert app.view["midpoint"] == want
+            s = app.state()
+            assert s["colorbar"] and s["image"]  # PNGs render, no NaN
+        app.command("set_view", ["cut_low", -10], {})
+        assert app.view["cut_low"] == 0.0
+        app.command("set_view", ["cut_high", 250], {})
+        assert app.view["cut_high"] == 100.0
+    finally:
+        app.worker.close()
+
+
+def test_pseudo_roi_keeps_click_fast_path(tmp_path):
+    """open_ref registers a pseudo-ROI (poly None) whose spectra enter
+    the publish as VALUES — it must live in the VIEW half of the pub
+    epoch, so the pixel-click fast path survives a reference load
+    instead of paying a full lean re-dispatch."""
+    import os
+
+    import numpy as np
+
+    from make_sample import synthetic_scan, write_pulse_thz
+    from thz_image_explorer_tpu.pipeline import Explorer
+
+    p = _write_scan(tmp_path)
+    t, cube = synthetic_scan(width=4, height=4, n_time=64)
+    pulse = os.path.join(str(tmp_path), "ref.thz")
+    write_pulse_thz(pulse, t, np.asarray(cube[0, 0]))
+
+    ex = Explorer()
+    ex.open_file(p)
+    ex.set_selected_pixel(1, 1)  # establish the click path
+    before = ex.pipeline.click_dispatches
+    assert before >= 1
+    ex.open_ref(pulse)
+    ex.set_selected_pixel(2, 2)
+    # +2: open_ref's own publish (view key gained a dataset) AND the
+    # click both ride the one-pixel program; before the fix both fell
+    # back to the full chain re-dispatch (cube key hashed pseudo-ROIs)
+    assert ex.pipeline.click_dispatches == before + 2, (
+        "reference load bumped the CUBE epoch: publish fell back to "
+        "the full chain re-dispatch"
+    )
+    assert np.isfinite(ex.plot.signal).all()

@@ -1004,11 +1004,23 @@ class Pipeline:
             **dev_const,
             "rxy": pub["rxy"], "fxy": pub["fxy"], "gxy": pub["gxy"],
         }
-        upd = click(
-            self.slots[0].data, inp.data, inp.time, inp.valid_wh,
-            final.data, final.freq, wl, wh, plan["stage_params"], small,
-            out["roi_amp"], out["roi_ph"],
-        )
+        # first-dispatch compile surfacing, same contract as
+        # _run_fused_program: the click program's first call traces +
+        # compiles (seconds to minutes through a degraded remote compile
+        # service) on the worker thread — state polls must see the
+        # 'compiling' phase, not an apparently hung app
+        shape_key = (id(click), inp.data.shape, final.data.shape)
+        if shape_key not in self._dispatched:
+            self.phase = "compiling"
+        try:
+            upd = click(
+                self.slots[0].data, inp.data, inp.time, inp.valid_wh,
+                final.data, final.freq, wl, wh, plan["stage_params"],
+                small, out["roi_amp"], out["roi_ph"],
+            )
+        finally:
+            self._dispatched.add(shape_key)
+            self.phase = None
         self._pub_out = {**out, **upd}
         self._pub_epoch = epoch
         self.click_dispatches += 1
@@ -1110,9 +1122,11 @@ class Pipeline:
                 filtered_signal_fft=pix_amp,
                 filtered_phase_fft=pix_ph,
             )
-            # optical properties with traced selection — the same
-            # contract as publish.compute_publish_traced lines 262-287
-            # over the CACHED (already-finished) ROI means
+            # optical properties with traced selection over the CACHED
+            # (already-finished) ROI means — third body of the publish
+            # INVARIANT (publish._publish_program docstring): edit
+            # together with _publish_program / compute_publish_traced;
+            # tests/test_click_publish.py pins click == full
             ref_mode, samp_mode = pub["ref_mode"], pub["samp_mode"]
             ref_a = jnp.where(ref_mode == 1, roi_amp[pub["ref_idx"]],
                               pub["ref_pseudo"][0])

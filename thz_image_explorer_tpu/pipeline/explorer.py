@@ -1010,13 +1010,18 @@ class Explorer:
         # (cube_key, view_key) split (round-5 task 6): the executor's
         # one-pixel fast path may serve a publish whose CUBE key is
         # unchanged — ROI geometry feeds the masked reductions over
-        # in-program spectral temporaries, so any ROI change needs the
-        # full lean re-dispatch; pixel/optical/dataset changes only
-        # touch gathers and F-length math over cached means
+        # in-program spectral temporaries, so any POLYGON change needs
+        # the full lean re-dispatch; pixel/optical/dataset changes only
+        # touch gathers and F-length math over cached means. Pseudo-ROI
+        # entries (poly None, from open_ref) build no mask and their
+        # spectra enter as per-dispatch VALUES (ref/samp_pseudo), so they
+        # live in the view key (sorted datasets) — hashing them into the
+        # cube key forced a needless full re-dispatch per reference load
         epoch = (
             tuple(
-                (u, n, tuple(map(tuple, p)) if p else None)
+                (u, n, tuple(map(tuple, p)))
                 for u, (n, p) in self.rois.items()
+                if p
             ),
             (
                 tuple(self.pixel_selected),

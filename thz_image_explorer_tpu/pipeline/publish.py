@@ -66,12 +66,16 @@ def _publish_program(
 ):
     """Standalone publish over MATERIALIZED slots (exact mode / lean off).
 
-    INVARIANT: this body and :func:`compute_publish_traced` are the same
-    publication contract expressed twice — once over materialized slot
-    arrays with STATIC optical selectors (cheap here: a recompile costs
-    one small program), once over in-program chain temporaries with
-    TRACED selectors (mandatory there: a recompile would rebuild the
-    whole fused chain).  They are deliberately NOT merged: a shared core
+    INVARIANT: this body, :func:`compute_publish_traced`, and the
+    pixel/optical tail of the executor's one-pixel click program
+    (``executor.Pipeline._build_click`` — the traced ref/samp selection
+    ladder over cached ROI means) are the same publication contract
+    expressed THREE times — once over materialized slot arrays with
+    STATIC optical selectors (cheap here: a recompile costs one small
+    program), once over in-program chain temporaries with TRACED
+    selectors (mandatory there: a recompile would rebuild the whole
+    fused chain), and once gather-sized for clicks. Edit all three
+    together; ``tests/test_click_publish.py`` pins click == full.  They are deliberately NOT merged: a shared core
     would need a knob per divergence (selector staticness, the
     ``phases_encoded`` finish, the specred source) in parity-critical
     code.  Any change to the published keys or reduction math must be
@@ -173,8 +177,9 @@ def compute_publish_traced(
     slots), the optical reference/sample selectors are TRACED int codes
     (0=none/zeros, 1=roi, 2=pseudo, 3=selected-pixel) — changing the
     optical selection must not recompile the whole chain program.
-    See the INVARIANT note on :func:`_publish_program`: the two bodies
-    are one contract expressed twice; edit both together.
+    See the INVARIANT note on :func:`_publish_program`: three bodies
+    (this, :func:`_publish_program`, ``executor._build_click``'s optical
+    tail) are one contract; edit all together.
 
     ``phases_encoded``: the chain ran ``forward_fft(lean_phases=True)``,
     so every phase cube/mean carries :func:`phase_increments` — the

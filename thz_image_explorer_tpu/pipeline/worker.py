@@ -370,6 +370,30 @@ class ExplorerWorker:
                     if callable(method):  # closure from call()
                         method(self.explorer)
                     else:
+                        if method not in ("_finalize_open", "open_file"):
+                            # single-phase open ordering for MUTATING
+                            # commands: finalize a pending progressive
+                            # open BEFORE the command, or the deferred
+                            # finalize's reset_filters would later revert
+                            # e.g. a queued set_filter_param (the old
+                            # one-phase open completed before any queued
+                            # command). call() closures above stay on the
+                            # preview; open_file supersedes the pending
+                            # open itself. A finalize failure rolls back
+                            # and consumes the pending open, so the
+                            # command still runs — against the previous
+                            # scan, exactly the old failure contract.
+                            try:
+                                ensure = getattr(
+                                    self.explorer,
+                                    "_ensure_open_finalized", None,
+                                )
+                                if ensure is not None:
+                                    ensure()
+                            except Exception:  # noqa: BLE001
+                                import traceback
+
+                                traceback.print_exc()
                         getattr(self.explorer, method)(*args, **kwargs)
                         for cb in self._on_update:
                             cb(self.explorer)

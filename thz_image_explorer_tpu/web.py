@@ -483,7 +483,21 @@ class WebApp:
             key, value = args
             with self._lock:
                 if key in self.view:
-                    self.view[key] = bool(value) if key == "bw" else float(value)
+                    if key == "bw":
+                        value = bool(value)
+                    else:
+                        value = float(value)
+                        # server-side twin of the page JS clamps: the
+                        # numpy colormap divides by mid and (100-mid)
+                        # (viz/colormap.py), so a raw API client POSTing
+                        # midpoint 0/100 must never reach it — NaN pixels
+                        # otherwise (the reference's Rust colormap
+                        # tolerates the extremes, matrix_plot.rs:219-271)
+                        if key == "midpoint":
+                            value = min(99.0, max(1.0, value))
+                        else:
+                            value = min(100.0, max(0.0, value))
+                    self.view[key] = value
             return
         if method == "set_fft_window_type":
             from thz_image_explorer_tpu.ops.windows import WindowType
