@@ -876,6 +876,21 @@ def bench_firstopen():
     import tempfile
 
     if os.environ.get("THZ_BENCH_FIRSTOPEN", "1") == "0":
+        # skip must not ERASE: carry the previous artifact's measured
+        # first-open record forward (marked carried) so a quick headline
+        # rerun can't lose the durable first-open evidence
+        try:
+            import json as _json
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_FULL.json")) as f:
+                prev = _json.load(f)["extra"]["first_open"]
+            if "first_open_cold_s" in prev:
+                prev.setdefault("carried_from_previous_run", True)
+                prev["skipped"] = True
+                return prev
+        except Exception:  # noqa: BLE001 — no previous record
+            pass
         return {"skipped": True}
 
     cache = tempfile.mkdtemp(prefix="thz_cold_cache_")
